@@ -1,0 +1,112 @@
+"""Loaders for the PR-SSM system-identification benchmark files.
+
+Capability parity with reference cbfssm/datasets/prssm/real_world_tasks.py
+(the exercised subset): each task reads its raw file from ``data/`` and
+splits train/test at the published split point:
+
+  Actuator  actuator.mat    (u, p)        split 512   (real_world_tasks.py:150)
+  Ballbeam  ballbeam.dat    cols 0/1      split 500   (:180)
+  Drive     drive.mat       (u1, z1)      split 250   (:203)
+  Furnace   gas_furnace.csv cols 0/1      split 148   (:225)
+  Dryer     dryer.dat       cols 0/1      split 500   (:246)
+  Sarcos    sarcos_inv.mat  674-step experiments, torques(21:28) ->
+            positions(0:7), exps 0-59 train / 60-65 test, downsample x2
+            (:89-112)
+
+Loaded data is returned as lists of 2-D [time, dim] arrays (one per
+experiment).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import scipy.io
+
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+@dataclass
+class TaskData:
+    train_in: list = field(default_factory=list)
+    train_out: list = field(default_factory=list)
+    test_in: list = field(default_factory=list)
+    test_out: list = field(default_factory=list)
+    dt: float = 1.0
+
+
+def _as_2d(a: np.ndarray) -> np.ndarray:
+    a = np.asarray(a, dtype=np.float64)
+    return a[:, None] if a.ndim == 1 else a
+
+
+def _split_task(data_in, data_out, split_point, dt=1.0) -> TaskData:
+    data_in = _as_2d(data_in)
+    data_out = _as_2d(data_out)
+    return TaskData(
+        train_in=[data_in[:split_point]],
+        train_out=[data_out[:split_point]],
+        test_in=[data_in[split_point:]],
+        test_out=[data_out[split_point:]],
+        dt=dt,
+    )
+
+
+def load_actuator(data_dir=_DATA_DIR) -> TaskData:
+    data = scipy.io.loadmat(os.path.join(data_dir, "actuator.mat"))
+    return _split_task(data["u"], data["p"], 512)
+
+
+def load_ballbeam(data_dir=_DATA_DIR) -> TaskData:
+    data = np.loadtxt(os.path.join(data_dir, "ballbeam.dat"))
+    return _split_task(data[:, 0], data[:, 1], 500, dt=0.1)
+
+
+def load_drive(data_dir=_DATA_DIR) -> TaskData:
+    data = scipy.io.loadmat(os.path.join(data_dir, "drive.mat"))
+    return _split_task(data["u1"], data["z1"], 250)
+
+
+def load_furnace(data_dir=_DATA_DIR) -> TaskData:
+    data = np.loadtxt(os.path.join(data_dir, "gas_furnace.csv"), skiprows=1, delimiter=",")
+    return _split_task(data[:, 0], data[:, 1], 148)
+
+
+def load_dryer(data_dir=_DATA_DIR) -> TaskData:
+    data = np.loadtxt(os.path.join(data_dir, "dryer.dat"))
+    return _split_task(data[:, 0], data[:, 1], 500)
+
+
+def load_sarcos(data_dir=_DATA_DIR) -> TaskData:
+    """Forward dynamics: 7 joint torques (cols 21:28) -> 7 joint
+    positions (cols 0:7), per-experiment blocks of 674 samples,
+    downsampled by 2."""
+    raw = scipy.io.loadmat(os.path.join(data_dir, "sarcos_inv.mat"))["sarcos_inv"]
+    raw = raw.astype(np.float64)
+    h_exp = 674
+    downsample = 2
+    exps = [raw[i : i + h_exp] for i in range(0, raw.shape[0], h_exp)]
+    exps = [e[::downsample] for e in exps]
+    input_ind = list(range(21, 28))
+    output_ind = list(range(0, 7))
+    task = TaskData(dt=0.01 * downsample)
+    for i, e in enumerate(exps):
+        if i < 60:
+            task.train_in.append(e[:, input_ind])
+            task.train_out.append(e[:, output_ind])
+        elif i < 66:
+            task.test_in.append(e[:, input_ind])
+            task.test_out.append(e[:, output_ind])
+    return task
+
+
+TASK_LOADERS = {
+    "actuator": load_actuator,
+    "ballbeam": load_ballbeam,
+    "drive": load_drive,
+    "furnace": load_furnace,
+    "dryer": load_dryer,
+    "sarcos": load_sarcos,
+}

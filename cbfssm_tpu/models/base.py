@@ -1,0 +1,102 @@
+"""Shared model scaffolding.
+
+Replaces the reference's ``BaseModel`` TF-graph/placeholder machinery
+(cbfssm/model/base_model.py): here a model is a pure-functional JAX
+program and the data pipeline lives on the host (cbfssm_tpu.training).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from cbfssm_tpu.config import as_config
+from cbfssm_tpu.ops import transforms
+from cbfssm_tpu.ops.distributions import diag_gaussian_logpdf
+
+
+@struct.dataclass
+class PredictOutput:
+    """Free-running / conditioned prediction statistics (parity with the
+    reference's pred_mean/pred_var/mse/sde graph outputs,
+    cbfssm.py:264-271)."""
+
+    pred_mean: Any  # [B, T, dy] mean over particles
+    pred_var: Any  # [B, T, dy] variance over particles + observation noise
+    internal_mean: Any  # [B, T, dx]
+    internal_var: Any  # [B, T, dx]
+    mse: Any  # scalar
+    sde: Any  # [B, T, dy] standardized error
+
+
+def moments_over_samples(x):
+    """Population mean/variance over the particle axis of [B, T, S, D]."""
+    mean = jnp.mean(x, axis=2)
+    var = jnp.mean(jnp.square(x - mean[:, :, None, :]), axis=2)
+    return mean, var
+
+
+class BaseSSM:
+    """Common config handling + loss/prediction helpers."""
+
+    def __init__(self, config):
+        self.config = as_config(config)
+        self.dtype = jnp.dtype(self.config.dtype)
+        self.dim_u = int(self.config.dim_u)
+        self.dim_y = int(self.config.dim_y)
+        self.samples = int(self.config.samples)
+        self.jitter = self.config.jitter
+
+    # --- parameter helpers --------------------------------------------
+
+    def _noise_unc(self, value) -> jnp.ndarray:
+        """Unconstrained (inverse-softplus) init for a noise variance."""
+        return jnp.asarray(transforms.positive_inverse(np.asarray(value)), dtype=self.dtype)
+
+    # --- loss helpers --------------------------------------------------
+
+    def _loglik(self, y_final, y_obs, var_y_obs):
+        """Observation log-likelihood summed over time/particles/dims,
+        kept per-sequence: [T, B, S, dy] x [T, B, dy] -> [B]."""
+        ll = diag_gaussian_logpdf(y_obs[:, :, None, :], y_final, var_y_obs)  # [T, B, S]
+        return jnp.sum(ll, axis=(0, 2))
+
+    def _prediction_stats(self, x_final, y_obs, var_y) -> PredictOutput:
+        """x_final: [T, B, S, dx] (time-major), y_obs: [T, B, dy]."""
+        dim_y = self.dim_y
+        x_bt = jnp.transpose(x_final, (1, 0, 2, 3))  # [B, T, S, dx]
+        internal_mean, internal_var = moments_over_samples(x_bt)
+        pred_mean = internal_mean[..., :dim_y]
+        pred_var = internal_var[..., :dim_y] + var_y[:dim_y]
+        y_bt = jnp.transpose(y_obs, (1, 0, 2))
+        mse = jnp.mean(jnp.square(pred_mean - y_bt))
+        sde = jnp.abs(pred_mean - y_bt) / jnp.sqrt(pred_var)
+        return PredictOutput(
+            pred_mean=pred_mean,
+            pred_var=pred_var,
+            internal_mean=internal_mean,
+            internal_var=internal_var,
+            mse=mse,
+            sde=sde,
+        )
+
+    # --- data staging --------------------------------------------------
+
+    def _time_major(self, a):
+        """[B, T, D] host/device array -> [T, B, D] in compute dtype."""
+        return jnp.transpose(jnp.asarray(a, dtype=self.dtype), (1, 0, 2))
+
+    @staticmethod
+    def _shared_eps(key, shape, dtype):
+        """Per-(time, batch, particle) standard-normal draws shared across
+        state dimensions — the reference ties one scalar draw per particle
+        and broadcasts it over dims (cbfssm.py:149,209)."""
+        return jax.random.normal(key, shape + (1,), dtype=dtype)
+
+
+LOG_2PI_E = math.log(2.0 * math.pi * math.e)

@@ -1,0 +1,240 @@
+"""CBF-SSM: conditional backward/forward state-space model (flagship).
+
+Re-design of the reference graph (cbfssm/model/cbfssm.py:15-277) as two
+``lax.scan`` programs:
+
+* Backward (recognition) pass — the reference runs the full reverse-time
+  loop TWICE, once per segment phase (cbfssm.py:92-93). Here the two
+  runs are a leading axis of size 2 *inside one scan*: both phases step
+  together, their GP queries merge into a single [2*B*S, M] MXU matmul
+  batch, and per-step write/resample conditions become precomputed
+  boolean masks (cbfssm_tpu.models.segmentation). This halves the
+  sequential depth and doubles the matmul width vs. a literal
+  translation.
+
+* Forward (generative/conditioning) pass — one scan over transitions
+  with the Kalman-style k-factor conditioning update, shared-across-dims
+  particle noise, and the per-step conditioning KL, exactly as in
+  cbfssm.py:185-237.
+
+All per-step GP predictions are solve-free (cached K^-1 operators,
+see cbfssm_tpu.ops.gp). ELBO assembly follows cbfssm.py:239-262.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cbfssm_tpu.models import segmentation
+from cbfssm_tpu.models.base import LOG_2PI_E, BaseSSM
+from cbfssm_tpu.ops import gp, transforms
+from cbfssm_tpu.ops.distributions import kl_diag_gaussians
+
+
+@struct.dataclass
+class CBFSSMParams:
+    gp_f: gp.SparseGPParams  # forward dynamics GP: dim_x + dim_u -> dim_x
+    gp_b: gp.SparseGPParams  # backward recognition GP: dim_x + dim_u -> dim_x - dim_y
+    var_x_unc: Any  # [dim_x] unconstrained process noise
+    var_y_unc: Any  # [dim_x] unconstrained observation noise
+
+
+class CBFSSM(BaseSSM):
+    def __init__(self, config):
+        super().__init__(config)
+        self.dim_x = int(self.config.dim_x)
+        self.dim_h = self.dim_x - self.dim_y  # unobserved latent dims
+        if self.dim_h < 0:
+            raise ValueError("dim_x must be >= dim_y")
+
+    # --- parameters ----------------------------------------------------
+
+    def init(self, key) -> CBFSSMParams:
+        cfg = self.config
+        kf, kb = jax.random.split(key)
+        gp_kwargs = dict(
+            num_points=cfg.ind_pnt_num,
+            gp_var=cfg.gp_var,
+            gp_len=cfg.gp_len,
+            zeta_mean=cfg.zeta_mean,
+            zeta_pos=cfg.zeta_pos,
+            zeta_var=cfg.zeta_var,
+            dtype=self.dtype,
+        )
+        return CBFSSMParams(
+            gp_f=gp.init_sparse_gp(kf, self.dim_x + self.dim_u, self.dim_x, **gp_kwargs),
+            gp_b=gp.init_sparse_gp(kb, self.dim_x + self.dim_u, self.dim_h, **gp_kwargs),
+            var_x_unc=self._noise_unc(cfg.var_x),
+            var_y_unc=self._noise_unc(cfg.var_y),
+        )
+
+    def var_dict(self, params: CBFSSMParams) -> dict:
+        """Named hyper/variational parameters (parity with the reference
+        var_dump, cbfssm.py:56-67)."""
+        return {
+            "process noise": transforms.positive(params.var_x_unc),
+            "observation noise": transforms.positive(params.var_y_unc),
+            "kernel lengthscales f": params.gp_f.kern_len,
+            "kernel variance f": params.gp_f.kern_var,
+            "IP pos f": params.gp_f.z,
+            "IP mean f": params.gp_f.mean,
+            "IP var f": params.gp_f.var,
+            "kernel lengthscales b": params.gp_b.kern_len,
+            "kernel variance b": params.gp_b.kern_var,
+            "IP pos b": params.gp_b.z,
+            "IP mean b": params.gp_b.mean,
+            "IP var b": params.gp_b.var,
+        }
+
+    # --- backward (recognition) pass ------------------------------------
+
+    def _backward(self, cache_b, var_x, u_tm, y_tm, key):
+        """Two-phase reverse-time recognition sampling.
+
+        u_tm: [T, B, du], y_tm: [T, B, dy] ->
+        (y_tilde [T, B, S, dx], entropy [B])
+        """
+        t_len, b = u_tm.shape[0], u_tm.shape[1]
+        s, dh = self.samples, self.dim_h
+        dtype = self.dtype
+
+        k_noise, k_eps = jax.random.split(key)
+        noise = self._shared_eps(k_noise, (t_len, 2, b, s), dtype)
+        eps = self._shared_eps(k_eps, (t_len, 2, b, s), dtype)
+
+        resample_np, write0_np = segmentation.backward_masks(t_len, self.config.recog_len)
+        resample = jnp.asarray(resample_np)  # [T, 2]
+        write0 = jnp.asarray(write0_np)  # [T]
+
+        def step(h, inp):
+            u_t, y_t, res_t, w0_t, noise_t, eps_t = inp
+            h_in = jnp.where(res_t[:, None, None, None], noise_t, h)  # [2, B, S, dh]
+            uy = jnp.broadcast_to(
+                jnp.concatenate((u_t, y_t), axis=-1)[None, :, None, :],
+                (2, b, s, self.dim_u + self.dim_y),
+            )
+            gp_in = jnp.concatenate((h_in, uy), axis=-1).reshape(2 * b * s, -1)
+            fmean, fvar = gp.predict(cache_b, gp_in)
+            fmean = fmean.reshape(2, b, s, dh) + h_in  # residual transition
+            fvar = fvar.reshape(2, b, s, dh) + var_x[:dh]
+            out = fmean + eps_t * jnp.sqrt(fvar)
+            y2_t = jnp.where(w0_t, out[0], out[1])  # writing run's sample
+            ent_run = 0.5 * jnp.sum(LOG_2PI_E + jnp.log(fvar), axis=(2, 3))  # [2, B]
+            ent_t = jnp.where(w0_t, ent_run[0], ent_run[1])  # [B]
+            return out, (y2_t, ent_t)
+
+        h0 = jnp.zeros((2, b, s, dh), dtype=dtype)
+        inputs = (
+            jnp.flip(u_tm, 0),
+            jnp.flip(y_tm, 0),
+            jnp.flip(resample, 0),
+            jnp.flip(write0, 0),
+            jnp.flip(noise, 0),
+            jnp.flip(eps, 0),
+        )
+        _, (y2_rev, ent_rev) = jax.lax.scan(step, h0, inputs)
+        y2 = jnp.flip(y2_rev, 0)  # [T, B, S, dh]
+        entropy = jnp.sum(ent_rev, axis=0)  # [B]
+
+        y_obs = jnp.broadcast_to(y_tm[:, :, None, :], (t_len, b, s, self.dim_y))
+        y_tilde = jnp.concatenate((y_obs, y2), axis=-1)  # [T, B, S, dx]
+        return y_tilde, entropy
+
+    # --- forward (generative) pass --------------------------------------
+
+    def _forward(self, cache_f, var_x, var_y, y_tilde, u_tm, key, condition: bool):
+        """Conditioned particle rollout.
+
+        y_tilde: [T, B, S, dx], u_tm: [T, B, du] ->
+        (x_final [T, B, S, dx], kl_x [B])
+        """
+        t_len, b = u_tm.shape[0], u_tm.shape[1]
+        s, dx = self.samples, self.dim_x
+        k_factor = jnp.asarray(self.config.k_factor, dtype=self.dtype)
+
+        eps = self._shared_eps(key, (t_len - 1, b, s), self.dtype)
+        cond_mask = jnp.asarray(
+            segmentation.forward_condition_mask(t_len, self.config.recog_len)
+        )
+        if condition:
+            cond_mask = jnp.ones_like(cond_mask)
+
+        def step(x, inp):
+            u_t, y_next, eps_t, cond_t = inp
+            u_bs = jnp.broadcast_to(u_t[:, None, :], (b, s, self.dim_u))
+            gp_in = jnp.concatenate((x, u_bs), axis=-1).reshape(b * s, -1)
+            fmean, fvar = gp.predict(cache_f, gp_in)
+            fmean = fmean.reshape(b, s, dx) + x  # residual transition
+            fvar = fvar.reshape(b, s, dx) + var_x
+
+            # Kalman-style conditioning on the pseudo observation y_next
+            # with k-factor-inflated observation variance (cbfssm.py:211-221).
+            var_y_t = var_y + (k_factor - 1.0) * fvar
+            gain = fvar / (var_y_t + fvar)
+            mu = fmean + gain * (y_next - fmean)
+            sig = jnp.square(1.0 - gain) * fvar + jnp.square(gain) * var_y_t
+
+            mu_used = jnp.where(cond_t, mu, fmean)
+            sig_used = jnp.where(cond_t, sig, fvar)
+            x_next = mu_used + eps_t * jnp.sqrt(sig_used)
+
+            kl_t = kl_diag_gaussians(mu, sig, fmean, fvar, axis=(1, 2))  # [B]
+            kl_t = jnp.where(cond_t, kl_t, 0.0)
+            return x_next, (x_next, kl_t)
+
+        x0 = y_tilde[0]
+        inputs = (u_tm[:-1], y_tilde[1:], eps, cond_mask)
+        _, (x_rest, kl_steps) = jax.lax.scan(step, x0, inputs)
+        x_final = jnp.concatenate((x0[None], x_rest), axis=0)  # [T, B, S, dx]
+        return x_final, jnp.sum(kl_steps, axis=0)
+
+    # --- ELBO ----------------------------------------------------------
+
+    def _rollout(self, params: CBFSSMParams, u, y, key, condition: bool):
+        var_x = transforms.positive(params.var_x_unc)
+        var_y = transforms.positive(params.var_y_unc)
+        cache_f = gp.precompute(params.gp_f, self.jitter)
+        cache_b = gp.precompute(params.gp_b, self.jitter)
+        u_tm, y_tm = self._time_major(u), self._time_major(y)
+        kb, kf = jax.random.split(key)
+        y_tilde, entropy = self._backward(cache_b, var_x, u_tm, y_tm, kb)
+        x_final, kl_x = self._forward(cache_f, var_x, var_y, y_tilde, u_tm, kf, condition)
+        return x_final, kl_x, entropy, (var_x, var_y, cache_f, cache_b, y_tm)
+
+    def loss(self, params: CBFSSMParams, u, y, key, condition: bool = True, weights=None):
+        """Negative ELBO (cbfssm.py:239-262): per-sequence terms are
+        weighted (pad masking) and summed; inducing-point KLs are global.
+        Returns (loss, aux)."""
+        cfg = self.config
+        x_final, kl_x, entropy, (var_x, var_y, cache_f, cache_b, y_tm) = self._rollout(
+            params, u, y, key, condition
+        )
+        y_final = x_final[..., : self.dim_y]
+        loglik = self._loglik(y_final, y_tm, var_y[: self.dim_y])  # [B]
+
+        if weights is None:
+            weights = jnp.ones(y_tm.shape[1], dtype=self.dtype)
+        lam1, lam2 = [jnp.asarray(f, dtype=self.dtype) for f in cfg.loss_factors[:2]]
+        kl_zf = gp.prior_kl(params.gp_f, cache_f)
+        kl_zb = gp.prior_kl(params.gp_b, cache_b)
+        per_seq = lam1 * (loglik - kl_x) + lam2 * entropy
+        elbo = jnp.dot(per_seq, weights) / self.samples - kl_zf - kl_zb
+        aux = {
+            "loglik": jnp.dot(loglik, weights),
+            "kl_x": jnp.dot(kl_x, weights),
+            "entropy": jnp.dot(entropy, weights),
+            "kl_z_f": kl_zf,
+            "kl_z_b": kl_zb,
+        }
+        return -elbo, aux
+
+    def predict(self, params: CBFSSMParams, u, y, key, condition: bool = False):
+        """Prediction statistics; with ``condition=False`` the rollout is
+        free-running after the recognition prefix (reference
+        outputs.py:61-141 evaluation semantics)."""
+        x_final, _, _, (_, var_y, _, _, y_tm) = self._rollout(params, u, y, key, condition)
+        return self._prediction_stats(x_final, y_tm, var_y)

@@ -1,0 +1,344 @@
+"""Voliro: physics + GP hybrid model of an overactuated drone.
+
+Capability parity with reference cbfssm/model/voliro.py:10-343:
+
+* control mapping: per-rotor (sin tilt, cos tilt) * pwm^2 -> 12 local
+  coordinates (:88-95); a fixed 6x12 allocation matrix maps them to
+  body-frame force/torque (:97-104, :295-312);
+* a sparse GP corrects the *force* (first 3 dims) with learned GP noise
+  var_z; the correction is sampled once per (batch, time, particle)
+  shared across the 6 force/torque dims (:106-123) — computed for ALL
+  timesteps in ONE batched GP predict (a [B*T, M] MXU matmul), exactly
+  the layout a TPU wants;
+* forward dynamics is a deterministic symplectic-Euler rigid-body
+  integrator over [pos(3), quat(4), linvel(3), angvel(3)] (:314-338),
+  not a GP; process noise var_x provides the transition variance;
+* a single-run backward pass (no segmenting/resampling) conditions on
+  [h(6), ft_gp(6), observed pos+quat(7)] (:139-186);
+* the ELBO adds Beta priors on GP noise and lengthscales (:244-292).
+
+dt is inferred from the time channel (u[..., 12]) of the first sequence
+in the batch (:44-45).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from cbfssm_tpu.models.base import LOG_2PI_E, BaseSSM
+from cbfssm_tpu.ops import gp, quaternion, transforms
+from cbfssm_tpu.ops.distributions import beta_logpdf, kl_diag_gaussians
+
+
+def allocation_matrix() -> np.ndarray:
+    """6x12 rotor-geometry allocation matrix (voliro.py:295-312): columns
+    alternate (sin, cos) components per rotor; rows are [fx, fy, fz,
+    tx, ty, tz]."""
+    angles = np.asarray([0.5, -0.5, -1.0 / 6.0, 5.0 / 6.0, 1.0 / 6.0, 7.0 / 6.0]) * math.pi
+    arm_length = 0.3
+    a = np.zeros((6, 12))
+    for i, ang in enumerate(angles):
+        a[0, 2 * i] = -math.cos(ang)
+        a[1, 2 * i] = -math.sin(ang)
+        a[2, 2 * i + 1] = -1.0
+        a[3, 2 * i + 1] = -arm_length * math.cos(ang)
+        a[4, 2 * i + 1] = -arm_length * math.sin(ang)
+        a[5, 2 * i] = -arm_length
+    return a
+
+
+@struct.dataclass
+class VoliroParams:
+    gp_f: gp.SparseGPParams  # force correction GP: 12 -> 3
+    gp_b: gp.SparseGPParams  # backward GP: 19 -> 6
+    var_x_unc: Any  # [13]
+    var_y_unc: Any  # [13]
+    var_z_unc: Any  # [6] GP force/torque noise
+
+
+class Voliro(BaseSSM):
+    # Fixed physical dimensions (voliro.py:13-18).
+    GP_DIM_IN_F = 12
+    GP_DIM_OUT_F = 3
+    GP_DIM_IN_B = 19
+    GP_DIM_OUT_B = 6
+    DIM_Y = 7  # pos(3) + quat(4)
+    DIM_X = 13
+
+    ROTOR_FORCE_CONSTANT = 0.000012
+    ROTOR_SPEED_MAX = 1700.0
+    MASS = 4.04
+    INERTIA = (0.078359127, 0.081797886, 0.1533554115)
+    GRAVITY = (0.0, 0.0, 9.81)
+
+    def __init__(self, config):
+        super().__init__(config)
+        self.dim_x = self.DIM_X
+        # The model's observation space is the 7-dim hidden projection of
+        # the 22-dim dataset output (out_to_hidden, voliro.py:340-343).
+        self.model_dim_y = self.DIM_Y
+        self.alloc = jnp.asarray(allocation_matrix(), dtype=self.dtype)
+        self.post_scale = self.ROTOR_FORCE_CONSTANT * self.ROTOR_SPEED_MAX**2
+        self.mass_inv = 1.0 / self.MASS
+        self.inertia_inv = jnp.asarray([1.0 / i for i in self.INERTIA], dtype=self.dtype)
+        self.gravity = jnp.asarray(self.GRAVITY, dtype=self.dtype)
+
+    def init(self, key) -> VoliroParams:
+        cfg = self.config
+        kf, kb = jax.random.split(key)
+        gp_kwargs = dict(
+            num_points=cfg.ind_pnt_num,
+            gp_var=cfg.gp_var,
+            gp_len=cfg.gp_len,
+            zeta_mean=cfg.zeta_mean,
+            zeta_pos=cfg.zeta_pos,
+            zeta_var=cfg.zeta_var,
+            dtype=self.dtype,
+        )
+        return VoliroParams(
+            gp_f=gp.init_sparse_gp(kf, self.GP_DIM_IN_F, self.GP_DIM_OUT_F, **gp_kwargs),
+            gp_b=gp.init_sparse_gp(kb, self.GP_DIM_IN_B, self.GP_DIM_OUT_B, **gp_kwargs),
+            var_x_unc=self._noise_unc(cfg.var_x),
+            var_y_unc=self._noise_unc(cfg.var_y),
+            var_z_unc=self._noise_unc(cfg.var_z),
+        )
+
+    def var_dict(self, params) -> dict:
+        return {
+            "process noise": transforms.positive(params.var_x_unc),
+            "observation noise": transforms.positive(params.var_y_unc),
+            "gp noise": transforms.positive(params.var_z_unc),
+            "kernel lengthscales f": params.gp_f.kern_len,
+            "kernel variance f": params.gp_f.kern_var,
+            "IP pos f": params.gp_f.z,
+            "IP mean f": params.gp_f.mean,
+            "IP var f": params.gp_f.var,
+            "kernel lengthscales b": params.gp_b.kern_len,
+            "kernel variance b": params.gp_b.kern_var,
+            "IP pos b": params.gp_b.z,
+            "IP mean b": params.gp_b.mean,
+            "IP var b": params.gp_b.var,
+        }
+
+    # --- physics --------------------------------------------------------
+
+    @staticmethod
+    def out_to_hidden(y):
+        """Dataset observation [..., 22] -> model observation [..., 7]:
+        position (0:3) and quaternion (12:16) (voliro.py:340-343)."""
+        return jnp.concatenate((y[..., 0:3], y[..., 12:16]), axis=-1)
+
+    def local_coordinates(self, u):
+        """u [..., 13] -> 12 local rotor coordinates
+        (sin tilt_k, cos tilt_k) * pwm_k^2 (voliro.py:88-95)."""
+        pwm, tilt = u[..., :6], u[..., 6:12]
+        fac = jnp.square(pwm)
+        sin_part = jnp.sin(tilt) * fac
+        cos_part = jnp.cos(tilt) * fac
+        # interleave: [s0, c0, s1, c1, ...]
+        stacked = jnp.stack((sin_part, cos_part), axis=-1)
+        return stacked.reshape(u.shape[:-1] + (12,))
+
+    def physical_model(self, local_coo):
+        """Allocation-matrix force/torque [..., 6] (voliro.py:97-104)."""
+        ft = jnp.einsum("ij,...j->...i", self.alloc, local_coo)
+        return ft * self.post_scale
+
+    def infer_dt(self, u):
+        """dt from the time channel of the first batch sequence
+        (voliro.py:44-45)."""
+        ts = u[0, :, 12]
+        return (ts[-1] - ts[0]) / ts.shape[0]
+
+    def symplectic_euler(self, x, force_torque, dt):
+        """One symplectic-Euler step of the rigid body (voliro.py:314-338).
+        x: [..., 13], force_torque: [..., 6]."""
+        pos, rot = x[..., 0:3], x[..., 3:7]
+        linvel, angvel = x[..., 7:10], x[..., 10:13]
+
+        f_glob = quaternion.rotate_vector(force_torque[..., :3], rot)
+        t_glob = quaternion.rotate_vector(self.inertia_inv * force_torque[..., 3:], rot)
+
+        linvel = linvel + (self.mass_inv * f_glob + self.gravity) * dt
+        angvel = angvel + t_glob * dt
+
+        rot_diff = 0.5 * quaternion.multiply(quaternion.from_vector(angvel), rot)
+        pos = pos + linvel * dt
+        rot = quaternion.normalize(rot + rot_diff * dt)
+        return jnp.concatenate((pos, rot, linvel, angvel), axis=-1)
+
+    # --- GP force correction -------------------------------------------
+
+    def gp_forces(self, params, cache_f, var_z, u_bt, key):
+        """Batched force/torque distribution + particle samples for all
+        timesteps at once (voliro.py:106-123).
+
+        u_bt: [B, T, 13] -> (ft_gp [B, T, S, 6], ft_mean [B, T, 6],
+        ft_var [B, T, 6], force_torque [B, T, 6])
+        """
+        b, t = u_bt.shape[0], u_bt.shape[1]
+        local_coo = self.local_coordinates(u_bt)
+        force_torque = self.physical_model(local_coo)
+
+        fmean, fvar = gp.predict(cache_f, local_coo.reshape(b * t, self.GP_DIM_IN_F))
+        fmean = fmean.reshape(b, t, self.GP_DIM_OUT_F) + force_torque[..., :3]
+        fvar = fvar.reshape(b, t, self.GP_DIM_OUT_F)
+        ft_mean = jnp.concatenate((fmean, force_torque[..., 3:]), axis=-1)
+        ft_var = jnp.concatenate((fvar, jnp.zeros_like(force_torque[..., 3:])), axis=-1)
+        ft_var = ft_var + var_z
+
+        eps = self._shared_eps(key, (b, t, self.samples), self.dtype)  # [B,T,S,1]
+        ft_gp = ft_mean[:, :, None, :] + eps * jnp.sqrt(ft_var[:, :, None, :])
+        return ft_gp, ft_mean, ft_var, force_torque
+
+    # --- backward pass --------------------------------------------------
+
+    def _backward(self, cache_b, ft_gp_tm, yh_tm, key):
+        """Single-run reverse-time recognition (voliro.py:139-186): input
+        [h(6), ft_gp(6), y_hidden(7)], residual on h, NO var_x added.
+
+        ft_gp_tm: [T, B, S, 6], yh_tm: [T, B, 7] ->
+        (y_tilde [T, B, S, 13], entropy [B])
+        """
+        t_len, b = yh_tm.shape[0], yh_tm.shape[1]
+        s, dh = self.samples, self.GP_DIM_OUT_B
+        eps = self._shared_eps(key, (t_len, b, s), self.dtype)
+
+        def step(h, inp):
+            ft_t, y_t, eps_t = inp
+            y_bs = jnp.broadcast_to(y_t[:, None, :], (b, s, self.DIM_Y))
+            gp_in = jnp.concatenate((h, ft_t, y_bs), axis=-1).reshape(b * s, -1)
+            fmean, fvar = gp.predict(cache_b, gp_in)
+            fmean = fmean.reshape(b, s, dh) + h
+            fvar = fvar.reshape(b, s, dh)
+            out = fmean + eps_t * jnp.sqrt(fvar)
+            ent_t = 0.5 * jnp.sum(LOG_2PI_E + jnp.log(fvar), axis=(1, 2))  # [B]
+            return out, (out, ent_t)
+
+        h0 = jnp.zeros((b, s, dh), dtype=self.dtype)
+        inputs = (jnp.flip(ft_gp_tm, 0), jnp.flip(yh_tm, 0), jnp.flip(eps, 0))
+        _, (y2_rev, ent_rev) = jax.lax.scan(step, h0, inputs)
+        y2 = jnp.flip(y2_rev, 0)
+        y_obs = jnp.broadcast_to(yh_tm[:, :, None, :], (t_len, b, s, self.DIM_Y))
+        return jnp.concatenate((y_obs, y2), axis=-1), jnp.sum(ent_rev, axis=0)
+
+    # --- forward pass ---------------------------------------------------
+
+    def _forward(self, var_x, var_y, y_tilde, ft_gp_tm, dt, key):
+        """Physics rollout with always-on conditioning (voliro.py:211-242)."""
+        t_len, b = y_tilde.shape[0], y_tilde.shape[1]
+        s, dx = self.samples, self.DIM_X
+        eps = self._shared_eps(key, (t_len - 1, b, s), self.dtype)
+
+        def step(x, inp):
+            ft_t, y_next, eps_t = inp
+            fmean = self.symplectic_euler(x, ft_t, dt)
+            fvar = jnp.broadcast_to(var_x, (b, s, dx))
+
+            gain = fvar / (var_y + fvar)
+            mu = fmean + gain * (y_next - fmean)
+            sig = jnp.square(1.0 - gain) * fvar + jnp.square(gain) * var_y
+            x_next = mu + eps_t * jnp.sqrt(sig)
+
+            kl_t = kl_diag_gaussians(mu, sig, fmean, fvar, axis=(1, 2))
+            return x_next, (x_next, kl_t)
+
+        x0 = y_tilde[0]
+        inputs = (ft_gp_tm[:-1], y_tilde[1:], eps)
+        _, (x_rest, kl_steps) = jax.lax.scan(step, x0, inputs)
+        x_final = jnp.concatenate((x0[None], x_rest), axis=0)
+        return x_final, jnp.sum(kl_steps, axis=0)
+
+    # --- ELBO -----------------------------------------------------------
+
+    def _rollout(self, params, u, y, key, condition: bool = True):
+        del condition  # Voliro always conditions (voliro.py:224-235)
+        var_x = transforms.positive(params.var_x_unc)
+        var_y = transforms.positive(params.var_y_unc)
+        var_z = transforms.positive(params.var_z_unc)
+        cache_f = gp.precompute(params.gp_f, self.jitter)
+        cache_b = gp.precompute(params.gp_b, self.jitter)
+
+        u_bt = jnp.asarray(u, dtype=self.dtype)
+        y_bt = jnp.asarray(y, dtype=self.dtype)
+        dt = self.infer_dt(u_bt)
+        kz, kb, kf = jax.random.split(key, 3)
+
+        ft_gp, ft_mean, ft_var, force_torque = self.gp_forces(
+            params, cache_f, var_z, u_bt, kz
+        )
+        ft_gp_tm = jnp.transpose(ft_gp, (1, 0, 2, 3))  # [T, B, S, 6]
+        yh_tm = self._time_major(self.out_to_hidden(y_bt))  # [T, B, 7]
+
+        y_tilde, entropy = self._backward(cache_b, ft_gp_tm, yh_tm, kb)
+        x_final, kl_x = self._forward(var_x, var_y, y_tilde, ft_gp_tm, dt, kf)
+        extras = {
+            "force_torque": force_torque,
+            "ft_mean": ft_mean,
+            "ft_var": ft_var,
+            "var_x": var_x,
+            "var_y": var_y,
+            "var_z": var_z,
+            "cache_f": cache_f,
+            "cache_b": cache_b,
+            "yh_tm": yh_tm,
+        }
+        return x_final, kl_x, entropy, extras
+
+    def loss(self, params, u, y, key, condition: bool = True, weights=None):
+        """ELBO with Beta priors (voliro.py:244-292)."""
+        cfg = self.config
+        x_final, kl_x, entropy, ex = self._rollout(params, u, y, key, condition)
+        y_final = x_final[..., : self.DIM_Y]
+        loglik = self._loglik(y_final, ex["yh_tm"], ex["var_y"][: self.DIM_Y])
+
+        if weights is None:
+            weights = jnp.ones(x_final.shape[1], dtype=self.dtype)
+        kl_zf = gp.prior_kl(params.gp_f, ex["cache_f"])
+        kl_zb = gp.prior_kl(params.gp_b, ex["cache_b"])
+
+        n_a, n_b, n_scale = cfg.n_beta
+        l_a, l_b, l_scale = cfg.l_beta
+        n_reg = jnp.sum(beta_logpdf(ex["var_z"] / n_scale, n_a, n_b))
+        l_reg = jnp.sum(beta_logpdf(params.gp_f.kern_len / l_scale, l_a, l_b))
+
+        lam = [jnp.asarray(f, dtype=self.dtype) for f in cfg.loglik_factor[:3]]
+        per_seq = lam[0] * (loglik - kl_x) + lam[1] * entropy
+        elbo = (
+            jnp.dot(per_seq, weights) / self.samples
+            + lam[2] * (n_reg + l_reg)
+            - kl_zf
+            - kl_zb
+        )
+        aux = {
+            "loglik": jnp.dot(loglik, weights),
+            "kl_x": jnp.dot(kl_x, weights),
+            "entropy": jnp.dot(entropy, weights),
+            "kl_z_f": kl_zf,
+            "kl_z_b": kl_zb,
+            "n_reg": n_reg,
+            "l_reg": l_reg,
+        }
+        return -elbo, aux
+
+    def predict(self, params, u, y, key, condition: bool = True):
+        """Full-state prediction moments + var_y over all 13 dims
+        (voliro.py:273-275), plus the force-model outputs used by the
+        Voliro evaluation plots (outputs_voliro.py:27-35)."""
+        x_final, _, _, ex = self._rollout(params, u, y, key, condition)
+        x_bt = jnp.transpose(x_final, (1, 0, 2, 3))
+        mean = jnp.mean(x_bt, axis=2)
+        var = jnp.mean(jnp.square(x_bt - mean[:, :, None, :]), axis=2) + ex["var_y"]
+        return {
+            "pred_mean": mean,
+            "pred_var": var,
+            "force_torque": ex["force_torque"],
+            "ft_mean": ex["ft_mean"],
+            "ft_var": ex["ft_var"],
+        }

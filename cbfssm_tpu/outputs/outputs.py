@@ -1,0 +1,187 @@
+"""Evaluation artifacts.
+
+Capability parity with reference cbfssm/outputs/outputs.py:11-164 — the
+same user-facing API (``Outputs(out_dir)``, ``set_ds`` / ``set_model`` /
+``set_trainer`` / ``create_all`` / ``get_last_rmse``) and the same
+artifact files:
+
+  training_loss.pdf    loss curves over epochs
+  predict_{train,test}.pdf/.mat
+                       free-running prediction (condition=False) on the
+                       first 300 steps of train/test experiment 0, with
+                       1.96-sigma band, denormalized
+  mse.txt              free-running test MSE/RMSE over full experiments
+  var_dump.txt         all hyper/variational parameters
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+import scipy.io  # noqa: E402
+
+from cbfssm_tpu.training import checkpoint  # noqa: E402
+
+_BAND_COLOR = (255.0 / 255.0, 178.0 / 255.0, 110.0 / 255.0)
+
+
+class Outputs:
+    def __init__(self, out_dir: str, seed: int = 0):
+        self.out_dir = out_dir
+        self.ds = None
+        self.model = None
+        self.model_dir = None
+        self.trainer = None
+        self.params = None
+        self.last_rmse = None
+        self.seed = seed
+        os.makedirs(out_dir, exist_ok=True)
+
+    # --- wiring (reference outputs.py:23-34) ---------------------------
+
+    def set_ds(self, ds):
+        self.ds = ds
+
+    def set_model(self, model, model_dir):
+        self.model = model
+        self.model_dir = model_dir
+
+    def set_trainer(self, trainer):
+        self.trainer = trainer
+
+    def get_last_rmse(self):
+        return self.last_rmse
+
+    # --- driver --------------------------------------------------------
+
+    def _restore_params(self):
+        if self.trainer is not None and checkpoint.exists(
+            os.path.join(self.model_dir, checkpoint.BEST)
+        ):
+            return self.trainer.restore(checkpoint.BEST)
+        if self.trainer is not None and self.trainer.params is not None:
+            return self.trainer.params
+        raise RuntimeError("no trained parameters available; train first")
+
+    def create_all(self):
+        assert self.model is not None
+        assert self.ds is not None
+        self.params = self._restore_params()
+        print("Generating outputs...")
+        self._create_all()
+
+    def _create_all(self):
+        self.training_stats()
+        self.prediction()
+        self.test_mse()
+        self.var_dump()
+
+    def _predict(self, u, y, condition=False):
+        out = self.model.predict(
+            self.params,
+            u,
+            y,
+            jax.random.PRNGKey(self.seed),
+            condition=condition,
+        )
+        return np.asarray(out.pred_mean), np.asarray(out.pred_var)
+
+    # --- artifacts -----------------------------------------------------
+
+    def training_stats(self):
+        if self.trainer is None:
+            return
+        print("  training stats")
+        plt.figure(1)
+        plt.plot(self.trainer.train_all, label="train")
+        plt.plot(self.trainer.test_all, label="test")
+        plt.legend()
+        plt.savefig(os.path.join(self.out_dir, "training_loss.pdf"))
+        plt.close(1)
+
+    def _plot_prediction(self, name: str, data_in, data_out, predict_size: int):
+        pred, var = self._predict(data_in, data_out, condition=False)
+        pred = self.ds.denormalize(pred, "out")[0]
+        gt = self.ds.denormalize(data_out, "out")[0]
+        std = self.ds.denormalize(np.sqrt(var), "out", shift=False)[0]
+        lower = pred[:, 0] - 1.96 * std[:, 0]
+        upper = pred[:, 0] + 1.96 * std[:, 0]
+
+        plt.figure(1, figsize=(6, 4))
+        plt.plot(gt[:, 0], label="ground truth")
+        plt.plot(pred[:, 0], label="prediction")
+        plt.fill_between(range(predict_size), lower, upper, color=_BAND_COLOR)
+        plt.legend(loc=2)
+        plt.grid(True)
+        plt.xlabel("time (steps)")
+        plt.xlim([0, predict_size])
+        plt.savefig(
+            os.path.join(self.out_dir, f"predict_{name}.pdf"), bbox_inches="tight"
+        )
+        plt.close(1)
+
+        scipy.io.savemat(
+            os.path.join(self.out_dir, f"predict_{name}.mat"),
+            {"mean": pred, "std": std, "gt": gt},
+        )
+
+    def prediction(self, predict_size: int = 300):
+        print("  prediction")
+        ds = self.ds
+        predict_size = min(ds.train_in.shape[1], predict_size)
+        self._plot_prediction(
+            "train",
+            ds.train_in[0:1, :predict_size, :],
+            ds.train_out[0:1, :predict_size, :],
+            predict_size,
+        )
+        self._plot_prediction(
+            "test",
+            ds.test_in[0:1, :predict_size, :],
+            ds.test_out[0:1, :predict_size, :],
+            predict_size,
+        )
+
+    def test_mse(self):
+        print("  test mse")
+        ds = self.ds
+        mse_all = []
+        for i in range(ds.test_in.shape[0]):
+            pred, _ = self._predict(
+                ds.test_in[i : i + 1], ds.test_out[i : i + 1], condition=False
+            )
+            pred = self.ds.denormalize(pred, "out")[0]
+            gt = self.ds.denormalize(ds.test_out[i : i + 1], "out")[0]
+            mse_all.append(float(np.mean((gt - pred) ** 2)))
+
+        mse = float(np.mean(mse_all))
+        rmse = math.sqrt(mse)
+        with open(os.path.join(self.out_dir, "mse.txt"), "w") as f:
+            f.write("MSE:  %f\n" % mse)
+            f.write("RMSE: %f\n" % rmse)
+        self.last_rmse = rmse
+
+    def var_dump(self):
+        print("  var dump")
+        with open(os.path.join(self.out_dir, "var_dump.txt"), "w") as f:
+            for name, value in self.model.var_dict(self.params).items():
+                value = np.atleast_1d(np.asarray(value))
+                f.write(name + ":\n")
+                if value.ndim == 1:
+                    for val in value:
+                        f.write("  % .4e" % val)
+                elif value.ndim == 2:
+                    for row in value:
+                        for val in row:
+                            f.write("  % .4e" % val)
+                        f.write("\n")
+                f.write("\n\n")

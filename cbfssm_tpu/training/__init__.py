@@ -1,0 +1,2 @@
+from cbfssm_tpu.training.trainer import Trainer  # noqa: F401
+from cbfssm_tpu.training import checkpoint  # noqa: F401

@@ -1,0 +1,58 @@
+"""Sarcos 7-DoF arm forward dynamics (reference run/run_sarcos.py):
+5 iterations, dim_x=14, 100 inducing points."""
+
+import numpy as np
+
+from cbfssm_tpu.data import Sarcos
+from cbfssm_tpu.models import CBFSSM
+from cbfssm_tpu.outputs import Outputs, OutputSummary
+from cbfssm_tpu.training import Trainer
+
+root_dir = "run_output/sarcos"
+iterations = 5
+seq_len = 250
+seq_stride = 10
+dim_x = 14
+model_config = {
+    "ds": Sarcos,
+    "batch_size": 5,
+    "shuffle": 10000,
+    "dim_x": dim_x,
+    "ind_pnt_num": 100,
+    "samples": 20,
+    "learning_rate": 0.05,
+    "loss_factors": np.asarray([6.0, 0.0]),
+    "k_factor": 50.0,
+    "recog_len": 16,
+    "zeta_pos": 2.0,
+    "zeta_mean": 0.05**2,
+    "zeta_var": 0.01**2,
+    "var_x": np.asarray([0.002**2] * dim_x),
+    "var_y": np.asarray([0.05**2] * dim_x),
+    "gp_var": 0.5**2,
+    "gp_len": 1.0,
+}
+epochs = 8
+
+
+def main():
+    summary = OutputSummary(root_dir)
+    for it in range(iterations):
+        if iterations != 1:
+            print("\n=== Iteration %d ===\n" % it)
+        out_dir = root_dir if iterations == 1 else root_dir + "/run_%d" % it
+        outputs = Outputs(out_dir)
+        ds = Sarcos(seq_len, seq_stride)
+        outputs.set_ds(ds)
+        model = CBFSSM(model_config)
+        outputs.set_model(model, out_dir)
+        trainer = Trainer(model, out_dir, seed=it)
+        trainer.train(ds, epochs)
+        outputs.set_trainer(trainer)
+        outputs.create_all()
+        summary.add_outputs(outputs)
+    summary.write_summary()
+
+
+if __name__ == "__main__":
+    main()
