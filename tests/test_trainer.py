@@ -1,0 +1,175 @@
+"""Training loop, checkpointing, sharding, and end-to-end smoke tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cbfssm_tpu.models import CBFSSM
+from cbfssm_tpu.outputs import Outputs, OutputSummary
+from cbfssm_tpu.parallel import make_mesh, pad_batch
+from cbfssm_tpu.training import Trainer, checkpoint
+
+
+class SmokeDS:
+    """Synthetic first-order system, Actuator-shaped: one experiment,
+    windowed into sequences (no files needed)."""
+
+    dim_u = 1
+    dim_y = 1
+
+    def __init__(self, seq_len=12, seq_stride=4, n=160, seed=0):
+        from cbfssm_tpu.data.base import BaseDS
+
+        rng = np.random.default_rng(seed)
+        u = rng.uniform(-1, 1, size=(n, 1))
+        x = np.zeros(n)
+        for i in range(1, n):
+            x[i] = 0.8 * x[i - 1] + 0.3 * np.tanh(u[i - 1, 0])
+        y = (x + rng.normal(0, 0.01, size=n))[:, None]
+
+        base = BaseDS(seq_len, seq_stride)
+        base.normalize_init(u, y)
+        split = 120
+        base.train_in = base.normalize(u, "in")[None, :split]
+        base.train_out = base.normalize(y, "out")[None, :split]
+        base.test_in = base.normalize(u, "in")[None, split:]
+        base.test_out = base.normalize(y, "out")[None, split:]
+        base.create_batches()
+        self.__dict__.update(base.__dict__)
+        self.normalize = base.normalize
+        self.denormalize = base.denormalize
+
+
+def smoke_config(dim_x=2):
+    return {
+        "ds": SmokeDS,
+        "batch_size": 8,
+        "shuffle": 100,
+        "dim_x": dim_x,
+        "ind_pnt_num": 5,
+        "samples": 4,
+        "learning_rate": 0.05,
+        "loss_factors": np.asarray([0.5, 0.0]),
+        "k_factor": 50.0,
+        "recog_len": 4,
+        "zeta_pos": 2.0,
+        "zeta_mean": 0.0025,
+        "zeta_var": 0.0001,
+        "var_x": np.asarray([0.002**2] * dim_x),
+        "var_y": np.asarray([1.0] * dim_x),
+        "gp_var": 0.25,
+        "gp_len": 2.0,
+        "dtype": "float64",
+        "jitter": 1e-8,
+    }
+
+
+def test_pad_batch():
+    (u, y), w = pad_batch((np.ones((3, 4, 1)), np.ones((3, 4, 2))), 8)
+    assert u.shape == (8, 4, 1)
+    assert y.shape == (8, 4, 2)
+    np.testing.assert_allclose(w, [1, 1, 1, 0, 0, 0, 0, 0])
+    np.testing.assert_allclose(u[3:], 0.0)
+
+
+def test_train_decreases_loss(tmp_path):
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    trainer = Trainer(model, str(tmp_path / "m"))
+    trainer.train(ds, epochs=6)
+    assert len(trainer.train_all) == 6
+    assert all(np.isfinite(trainer.train_all))
+    # optimization must actually reduce the loss on this easy system
+    assert trainer.train_all[-1] < trainer.train_all[0]
+    # checkpoints exist
+    assert checkpoint.exists(os.path.join(str(tmp_path / "m"), checkpoint.BEST))
+    assert checkpoint.exists(os.path.join(str(tmp_path / "m"), checkpoint.LAST))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    trainer = Trainer(model, str(tmp_path / "m"))
+    trainer.train(ds, epochs=1)
+    saved = jax.tree_util.tree_map(np.asarray, trainer.params)
+
+    trainer2 = Trainer(model, str(tmp_path / "m"))
+    restored = trainer2.restore(checkpoint.LAST)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+        saved,
+        restored,
+    )
+
+
+def test_retrain_resumes(tmp_path):
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    trainer = Trainer(model, str(tmp_path / "m"))
+    trainer.train(ds, epochs=1)
+    first = jax.tree_util.tree_map(np.asarray, trainer.params)
+    trainer.train(ds, epochs=1, retrain=True)
+    # parameters moved on from the restored state
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), first, trainer.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_outputs_artifacts(tmp_path):
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    out_dir = str(tmp_path / "out")
+    trainer = Trainer(model, out_dir)
+    trainer.train(ds, epochs=2)
+
+    outputs = Outputs(out_dir)
+    outputs.set_ds(ds)
+    outputs.set_model(model, out_dir)
+    outputs.set_trainer(trainer)
+    outputs.create_all()
+
+    for fname in [
+        "training_loss.pdf",
+        "predict_train.pdf",
+        "predict_train.mat",
+        "predict_test.pdf",
+        "predict_test.mat",
+        "mse.txt",
+        "var_dump.txt",
+    ]:
+        assert os.path.isfile(os.path.join(out_dir, fname)), fname
+    assert outputs.get_last_rmse() is not None and np.isfinite(outputs.get_last_rmse())
+
+    with open(os.path.join(out_dir, "mse.txt")) as f:
+        content = f.read()
+    assert content.startswith("MSE:")
+    assert "RMSE:" in content
+
+    summary = OutputSummary(str(tmp_path / "summary"))
+    summary.add_outputs(outputs)
+    summary.write_summary()
+    with open(os.path.join(str(tmp_path / "summary"), "summary.txt")) as f:
+        assert "Mean:" in f.read()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_parallel_training(tmp_path):
+    """Full train step over an 8-device CPU mesh: batch axis sharded,
+    params replicated, psum'd grads — loss matches single-device to
+    float64 tolerance."""
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    mesh = make_mesh(8)
+    trainer = Trainer(model, str(tmp_path / "mesh"), mesh=mesh)
+    trainer.train(ds, epochs=2)
+    assert all(np.isfinite(trainer.train_all))
+
+    trainer_single = Trainer(model, str(tmp_path / "single"))
+    trainer_single.train(ds, epochs=2)
+    # same seed, same batches -> identical losses up to reduction order
+    np.testing.assert_allclose(
+        trainer.train_all, trainer_single.train_all, rtol=1e-8
+    )
