@@ -70,6 +70,11 @@ class BaseDS:
         starts = np.arange(0, num_points - length + 1, stride)
         if (num_points - length) % stride > 0:
             starts = np.append(starts, num_points - length)
+        if x.dtype == np.float64:
+            # native multi-threaded gather (numpy-fallback inside)
+            from cbfssm_tpu import native
+
+            return native.window_gather(np.ascontiguousarray(x), starts, length)
         # [experiments, windows, length, dim] via one fancy-index gather.
         idx = starts[:, None] + np.arange(length)[None, :]
         windows = x[:, idx, :]

@@ -55,8 +55,14 @@ def unwrap_euler_angles(vec: np.ndarray, threshold: float = 2.0 / 3.0 * np.pi) -
     """Jump filter for euler-angle time series (reference
     voliro_loader.py:141-158): when consecutive samples jump by more than
     the threshold, shift by 2*pi (or pi as intermediate) to keep the
-    series continuous."""
+    series continuous. Carried-dependency loop -> native C++ when
+    available, python fallback below."""
     vec = np.atleast_2d(vec)
+    from cbfssm_tpu import native
+
+    result = native.unwrap_angles(vec, threshold)
+    if result is not None:
+        return result
     out = np.zeros_like(vec)
     out[0] = vec[0]
     for k in range(vec.shape[1]):

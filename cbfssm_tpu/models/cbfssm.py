@@ -118,7 +118,7 @@ class CBFSSM(BaseSSM):
                 (2, b, s, self.dim_u + self.dim_y),
             )
             gp_in = jnp.concatenate((h_in, uy), axis=-1).reshape(2 * b * s, -1)
-            fmean, fvar = gp.predict(cache_b, gp_in)
+            fmean, fvar = gp.predict_fast(cache_b, gp_in)
             fmean = fmean.reshape(2, b, s, dh) + h_in  # residual transition
             fvar = fvar.reshape(2, b, s, dh) + var_x[:dh]
             out = fmean + eps_t * jnp.sqrt(fvar)
@@ -167,7 +167,7 @@ class CBFSSM(BaseSSM):
             u_t, y_next, eps_t, cond_t = inp
             u_bs = jnp.broadcast_to(u_t[:, None, :], (b, s, self.dim_u))
             gp_in = jnp.concatenate((x, u_bs), axis=-1).reshape(b * s, -1)
-            fmean, fvar = gp.predict(cache_f, gp_in)
+            fmean, fvar = gp.predict_fast(cache_f, gp_in)
             fmean = fmean.reshape(b, s, dx) + x  # residual transition
             fvar = fvar.reshape(b, s, dx) + var_x
 

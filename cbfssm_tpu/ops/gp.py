@@ -70,6 +70,8 @@ class GPCache:
     kern_var: Any  # [] constrained kernel variance
     kern_len: Any  # [in_dim] constrained lengthscales
     z: Any  # [M, in_dim]
+    inv_ls: Any  # [in_dim] 1 / lengthscales
+    zs: Any  # [M, in_dim] z * inv_ls (pre-scaled inducing inputs)
 
 
 def init_sparse_gp(
@@ -118,6 +120,7 @@ def precompute(params: SparseGPParams, jitter: float | None = None) -> GPCache:
     chol = linalg.jittered_cholesky(gram, jitter)
     kinv = linalg.cholesky_inverse(chol)
     alpha = jnp.matmul(kinv, params.mean, precision=kernels.HIGHEST)
+    inv_ls = 1.0 / kern_len
     return GPCache(
         chol=chol,
         kinv=kinv,
@@ -127,6 +130,8 @@ def precompute(params: SparseGPParams, jitter: float | None = None) -> GPCache:
         kern_var=kern_var,
         kern_len=kern_len,
         z=params.z,
+        inv_ls=inv_ls,
+        zs=params.z * inv_ls,
     )
 
 
@@ -144,6 +149,18 @@ def predict(cache: GPCache, xnew):
         jnp.square(w), cache.var_q, precision=kernels.HIGHEST
     )  # [N, D]
     return fmean, fvar
+
+
+def predict_fast(cache: GPCache, xnew):
+    """Like :func:`predict` but through the fused Pallas TPU kernel
+    (single-kernel forward; analytic custom VJP). Falls back to the same
+    math in plain jnp on non-TPU backends. Used inside the models' scan
+    bodies where per-kernel launch overhead dominates."""
+    from cbfssm_tpu.ops.pallas import fused_predict
+
+    return fused_predict(
+        xnew, cache.zs, cache.inv_ls, cache.kern_var, cache.kinv, cache.alpha, cache.var_q
+    )
 
 
 def predict_reference(params: SparseGPParams, xnew, jitter: float | None = None):

@@ -26,10 +26,12 @@ import optax
 
 from cbfssm_tpu.parallel.sharding import DataParallel, pad_batch
 from cbfssm_tpu.training import checkpoint
+from cbfssm_tpu.utils.profiling import MetricsLogger, StepTimer, trace
 
 
 class Trainer:
-    def __init__(self, model, model_dir, mesh=None, seed=0):
+    def __init__(self, model, model_dir, mesh=None, seed=0, metrics_path=None,
+                 profile_dir=None):
         self.model = model
         self.model_dir = model_dir
         self.train_all = []
@@ -40,6 +42,9 @@ class Trainer:
         self.params = None
         self.opt_state = None
         self._rng = np.random.default_rng(seed)
+        self.metrics = MetricsLogger(metrics_path)
+        self.profile_dir = profile_dir
+        self.step_timer = StepTimer(warmup=2)
         os.makedirs(model_dir, exist_ok=True)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -79,6 +84,7 @@ class Trainer:
             self.params, self.opt_state, loss = self._update(
                 self.params, self.opt_state, u, y, w, jax.random.fold_in(key, i)
             )
+            self.step_timer.tick()
             losses.append(loss)
         return float(np.mean([np.asarray(l) for l in losses]))
 
@@ -115,7 +121,14 @@ class Trainer:
         for epoch in range(epochs):
             t0 = time.perf_counter()
             ekey = jax.random.fold_in(base_key, epoch)
-            train_loss = self._epoch_train(ds, batch_size, jax.random.fold_in(ekey, 0))
+            if self.profile_dir and epoch == 1:
+                # epoch 1: past compile, representative steady-state trace
+                with trace(self.profile_dir):
+                    train_loss = self._epoch_train(
+                        ds, batch_size, jax.random.fold_in(ekey, 0)
+                    )
+            else:
+                train_loss = self._epoch_train(ds, batch_size, jax.random.fold_in(ekey, 0))
             test_loss = self._epoch_eval(ds, batch_size, jax.random.fold_in(ekey, 1))
             dt = time.perf_counter() - t0
 
@@ -126,12 +139,21 @@ class Trainer:
             )
             self.train_all.append(train_loss)
             self.test_all.append(test_loss)
+            self.metrics.log(
+                event="epoch",
+                epoch=epoch,
+                train_loss=train_loss,
+                test_loss=test_loss,
+                seconds=dt,
+                steps_per_sec=self.step_timer.steps_per_sec,
+            )
 
             if train_loss < lowest_train:
                 self._save(checkpoint.BEST)
                 lowest_train = train_loss
 
         self._save(checkpoint.LAST)
+        self.metrics.log(event="done", epochs=epochs, best_train=lowest_train)
 
     def _save(self, name: str):
         checkpoint.save(
