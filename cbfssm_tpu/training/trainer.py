@@ -6,11 +6,21 @@ batch, loss summed within a batch), test-set loss evaluation with
 ``condition=True``, per-epoch stdout line, best-by-train-loss and final
 checkpoints, and ``retrain=True`` resuming from the last checkpoint.
 
-TPU-native design: ONE jitted update step (value_and_grad of the
-negative ELBO + optax.adam apply) compiled once per batch shape; the
-host pipeline pads the ragged last batch to a fixed shape and masks it
-with per-sequence weights; with a device mesh the batch axis is sharded
-(data parallel) and XLA inserts the gradient psum over ICI.
+TPU-native design — the ENTIRE epoch is one device program:
+
+* The windowed dataset is uploaded once; each epoch ships only a
+  [n_batches, batch_size] permutation/index array and runs a jitted
+  ``lax.scan`` over batches (gather -> value_and_grad of the negative
+  ELBO -> optax.adam apply). One host dispatch per epoch instead of one
+  per optimizer step — essential when the chip sits behind a
+  high-latency tunnel, and it removes all host-side Python from the hot
+  loop either way.
+* The ragged last batch becomes index-0 padding with zero per-sequence
+  weights (the loss is a weighted sum, matching the reference's
+  sum-not-mean batch semantics).
+* With a device mesh, a sharding constraint pins each gathered batch's
+  leading axis to the ``data`` axis; parameters stay replicated and XLA
+  inserts the gradient psum over ICI.
 """
 
 from __future__ import annotations
@@ -23,8 +33,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import PartitionSpec as P
 
-from cbfssm_tpu.parallel.sharding import DataParallel, pad_batch
+from cbfssm_tpu.parallel.sharding import DataParallel
 from cbfssm_tpu.training import checkpoint
 from cbfssm_tpu.utils.profiling import MetricsLogger, StepTimer, trace
 
@@ -44,57 +55,100 @@ class Trainer:
         self._rng = np.random.default_rng(seed)
         self.metrics = MetricsLogger(metrics_path)
         self.profile_dir = profile_dir
-        self.step_timer = StepTimer(warmup=2)
+        self.step_timer = StepTimer(warmup=1)
         os.makedirs(model_dir, exist_ok=True)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def _update(params, opt_state, u, y, w, key):
-            (loss, aux), grads = jax.value_and_grad(model.loss, has_aux=True)(
-                params, u, y, key, True, w
+        def constrain_batch(tree):
+            if self.dp.mesh is None:
+                return tree
+            spec = P("data")
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(
+                    a, jax.sharding.NamedSharding(self.dp.mesh, spec)
+                ),
+                tree,
             )
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _epoch_update(params, opt_state, data_u, data_y, idx, w, key):
+            """One full training epoch: scan over [n_batches] gathered
+            batches, one Adam step each. idx: [n_batches, B] window
+            indices, w: [n_batches, B] pad weights."""
+
+            def step(carry, inp):
+                params, opt_state = carry
+                idx_b, w_b, i = inp
+                u = constrain_batch(jnp.take(data_u, idx_b, axis=0))
+                y = constrain_batch(jnp.take(data_y, idx_b, axis=0))
+                (loss, _), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                    params, u, y, jax.random.fold_in(key, i), True, w_b
+                )
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            n_batches = idx.shape[0]
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (idx, w, jnp.arange(n_batches))
+            )
+            return params, opt_state, losses
 
         @jax.jit
-        def _eval_loss(params, u, y, w, key):
-            loss, _ = model.loss(params, u, y, key, True, w)
-            return loss
+        def _epoch_eval(params, data_u, data_y, idx, w, key):
+            def step(_, inp):
+                idx_b, w_b, i = inp
+                u = constrain_batch(jnp.take(data_u, idx_b, axis=0))
+                y = constrain_batch(jnp.take(data_y, idx_b, axis=0))
+                loss, _ = model.loss(params, u, y, jax.random.fold_in(key, i), True, w_b)
+                return None, loss
 
-        self._update = _update
-        self._eval_loss = _eval_loss
+            n_batches = idx.shape[0]
+            _, losses = jax.lax.scan(step, None, (idx, w, jnp.arange(n_batches)))
+            return losses
+
+        self._epoch_update = _epoch_update
+        self._epoch_eval_fn = _epoch_eval
+        self._device_data = {}
 
     # --- batching ------------------------------------------------------
 
-    def _batches(self, data_in, data_out, batch_size, shuffle: bool):
-        """Yield fixed-shape (u, y, weights) batches; the ragged tail is
-        zero-padded and weight-masked."""
-        n = data_in.shape[0]
+    def _stage(self, tag, data_in, data_out):
+        """Upload a windowed dataset to the device once per train() call."""
+        if tag not in self._device_data:
+            dtype = self.model.dtype
+            self._device_data[tag] = (
+                jax.device_put(np.asarray(data_in, dtype=dtype)),
+                jax.device_put(np.asarray(data_out, dtype=dtype)),
+            )
+        return self._device_data[tag]
+
+    def _epoch_indices(self, n, batch_size, shuffle: bool):
+        """[n_batches, B] gather indices + [n_batches, B] pad weights."""
         idx = self._rng.permutation(n) if shuffle else np.arange(n)
-        for start in range(0, n, batch_size):
-            sel = idx[start : start + batch_size]
-            (u, y), w = pad_batch((data_in[sel], data_out[sel]), batch_size)
-            yield self.dp.device_put_batch(u, y) + (jax.device_put(w),)
+        n_batches = -(-n // batch_size)
+        padded = np.zeros(n_batches * batch_size, dtype=np.int32)
+        padded[:n] = idx
+        weights = np.zeros(n_batches * batch_size, dtype=np.float32)
+        weights[:n] = 1.0
+        return (
+            padded.reshape(n_batches, batch_size),
+            weights.reshape(n_batches, batch_size).astype(self.model.dtype),
+        )
 
     def _epoch_train(self, ds, batch_size, key):
-        losses = []
-        for i, (u, y, w) in enumerate(
-            self._batches(ds.train_in_batch, ds.train_out_batch, batch_size, shuffle=True)
-        ):
-            self.params, self.opt_state, loss = self._update(
-                self.params, self.opt_state, u, y, w, jax.random.fold_in(key, i)
-            )
-            self.step_timer.tick()
-            losses.append(loss)
-        return float(np.mean([np.asarray(l) for l in losses]))
+        data_u, data_y = self._stage("train", ds.train_in_batch, ds.train_out_batch)
+        idx, w = self._epoch_indices(ds.train_in_batch.shape[0], batch_size, shuffle=True)
+        self.params, self.opt_state, losses = self._epoch_update(
+            self.params, self.opt_state, data_u, data_y, idx, w, key
+        )
+        self.step_timer.tick()
+        return float(jnp.mean(losses))
 
     def _epoch_eval(self, ds, batch_size, key):
-        losses = []
-        for i, (u, y, w) in enumerate(
-            self._batches(ds.test_in_batch, ds.test_out_batch, batch_size, shuffle=False)
-        ):
-            losses.append(self._eval_loss(self.params, u, y, w, jax.random.fold_in(key, i)))
-        return float(np.mean([np.asarray(l) for l in losses]))
+        data_u, data_y = self._stage("test", ds.test_in_batch, ds.test_out_batch)
+        idx, w = self._epoch_indices(ds.test_in_batch.shape[0], batch_size, shuffle=False)
+        losses = self._epoch_eval_fn(self.params, data_u, data_y, idx, w, key)
+        return float(jnp.mean(losses))
 
     # --- main loop -----------------------------------------------------
 
@@ -114,8 +168,10 @@ class Trainer:
     def train(self, ds, epochs: int, retrain: bool = False):
         print("\nTraining...\n")
         self.init_state(retrain)
+        self._device_data = {}
         batch_size = self.dp.round_up_batch(self.model.config.batch_size)
         base_key = jax.random.PRNGKey(self.seed + 1)
+        steps_per_epoch = -(-ds.train_in_batch.shape[0] // batch_size)
 
         lowest_train = float("inf")
         for epoch in range(epochs):
@@ -145,7 +201,7 @@ class Trainer:
                 train_loss=train_loss,
                 test_loss=test_loss,
                 seconds=dt,
-                steps_per_sec=self.step_timer.steps_per_sec,
+                steps_per_sec=steps_per_epoch / dt,
             )
 
             if train_loss < lowest_train:

@@ -1,0 +1,71 @@
+"""SpringNonlinear benchmark run.
+
+The reference ships the SpringNonlinear dataset class
+(cbfssm/datasets/dsmanager_ds.py:54-63) but no dedicated run script
+(BASELINE.md notes the template pattern is used); this driver applies the
+small-scale hyperparameter scheme to it. Generate the dataset first:
+
+    python create_datasets/create_spring_nonlinear.py \
+        --out cbfssm_tpu/data/data/spring_nonlinear.mat
+"""
+
+import math
+import sys
+
+import numpy as np
+
+from cbfssm_tpu.data import SpringNonlinear
+from cbfssm_tpu.models import CBFSSM
+from cbfssm_tpu.outputs import Outputs, OutputSummary
+from cbfssm_tpu.training import Trainer
+
+root_dir = "run_output/spring"
+iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+seq_len = 50
+seq_stride = 1
+dim_x = 4
+model_config = {
+    "ds": SpringNonlinear,
+    "batch_size": 10,
+    "shuffle": 10000,
+    "dim_x": dim_x,
+    "ind_pnt_num": 20,
+    "samples": 50,
+    "learning_rate": 0.1,
+    "loss_factors": np.asarray([0.5, 0.0]),
+    "k_factor": 50.0,
+    "recog_len": 16,
+    "zeta_pos": 2.0,
+    "zeta_mean": 0.05**2,
+    "zeta_var": 0.01**2,
+    "var_x": np.asarray([0.002**2] * dim_x),
+    "var_y": np.asarray([1.0**2] * dim_x),
+    "gp_var": 0.5**2,
+    "gp_len": 2.0,
+}
+train_iterations = 30000
+
+
+def main():
+    summary = OutputSummary(root_dir)
+    for it in range(iterations):
+        if iterations != 1:
+            print("\n=== Iteration %d ===\n" % it)
+        out_dir = root_dir if iterations == 1 else root_dir + "/run_%d" % it
+        outputs = Outputs(out_dir)
+        ds = SpringNonlinear(seq_len, seq_stride)
+        outputs.set_ds(ds)
+        model = CBFSSM(model_config)
+        outputs.set_model(model, out_dir)
+        epochs = math.ceil(train_iterations / ds.train_in_batch.shape[0])
+        trainer = Trainer(model, out_dir, seed=it,
+                          metrics_path=out_dir + "/metrics.jsonl")
+        trainer.train(ds, epochs)
+        outputs.set_trainer(trainer)
+        outputs.create_all()
+        summary.add_outputs(outputs)
+    summary.write_summary()
+
+
+if __name__ == "__main__":
+    main()
