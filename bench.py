@@ -80,36 +80,50 @@ def build_step():
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, key):
-        (loss, _), grads = jax.value_and_grad(model.loss, has_aux=True)(
-            params, u, y, key, True
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
+    def run_steps(params, opt_state, key, n_steps):
+        """n_steps full optimization steps as ONE device program
+        (lax.scan), mirroring the production Trainer's fused-epoch
+        execution — measures pure device throughput."""
 
-    return step, params, opt_state
+        def step(carry, i):
+            params, opt_state = carry
+            (loss, _), grads = jax.value_and_grad(model.loss, has_aux=True)(
+                params, u, y, jax.random.fold_in(key, i), True
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(n_steps)
+        )
+        return params, opt_state, losses
+
+    import jax.numpy as jnp
+
+    return run_steps, params, opt_state
 
 
 def measure(steps=STEPS, warmup=WARMUP):
-    """Steps/sec with async dispatch: device-to-device step chaining with
-    one block at the end, so host<->device roundtrip latency (large when
-    the chip sits behind a network tunnel) is not billed per step."""
+    """Steps/sec for the scanned multi-step program (one dispatch per
+    chunk, as the production Trainer executes epochs)."""
     import jax
 
-    step, params, opt_state = build_step()
+    del warmup  # same chunk length for warmup so there is ONE compile
+    run_steps, params, opt_state = build_step()
     key = jax.random.PRNGKey(1)
-    for i in range(warmup):
-        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, i))
-    loss.block_until_ready()
+    params, opt_state, losses = run_steps(params, opt_state, key, steps)
+    losses.block_until_ready()
     t0 = time.perf_counter()
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, 100 + i))
-    loss.block_until_ready()
+    params, opt_state, losses = run_steps(
+        params, opt_state, jax.random.fold_in(key, 7), steps
+    )
+    losses.block_until_ready()
     elapsed = time.perf_counter() - t0
-    if not np.isfinite(float(loss)):
-        print(f"warning: non-finite loss {float(loss)}", file=sys.stderr)
+    final = float(losses[-1])
+    if not np.isfinite(final):
+        print(f"warning: non-finite loss {final}", file=sys.stderr)
     return steps / elapsed
 
 

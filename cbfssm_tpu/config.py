@@ -46,6 +46,16 @@ class ModelConfig:
     # Cholesky jitter)
     dtype: str = "float32"
     jitter: Optional[float] = None
+    # GP predict implementation in scan bodies: 'solve_free' (cached-K^-1
+    # jnp path, fastest in whole-epoch fused training) or 'pallas' (fused
+    # single-kernel TPU forward with analytic VJP; useful for per-step
+    # dispatch / inference workloads)
+    gp_impl: str = "solve_free"
+    # Backward-pass schedule: 'blocked' processes the independent
+    # 2*recog_len segments in parallel (sequential depth 2L instead of
+    # T); 'sequential' is the reference-shaped reverse scan; 'auto'
+    # picks blocked when it shortens the recursion.
+    backward_mode: str = "auto"
     # extra bag for forward-compat keys
     extra: dict = field(default_factory=dict)
 

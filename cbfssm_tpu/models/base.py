@@ -51,6 +51,17 @@ class BaseSSM:
         self.dim_y = int(self.config.dim_y)
         self.samples = int(self.config.samples)
         self.jitter = self.config.jitter
+        if self.config.gp_impl not in ("solve_free", "pallas"):
+            raise ValueError(f"unknown gp_impl: {self.config.gp_impl!r}")
+
+    def _gp_predict(self, cache, xnew):
+        """Scan-body GP predictive, implementation chosen by config
+        (see ModelConfig.gp_impl)."""
+        from cbfssm_tpu.ops import gp
+
+        if self.config.gp_impl == "pallas":
+            return gp.predict_fast(cache, xnew)
+        return gp.predict(cache, xnew)
 
     # --- parameter helpers --------------------------------------------
 

@@ -97,7 +97,23 @@ class CBFSSM(BaseSSM):
 
         u_tm: [T, B, du], y_tm: [T, B, dy] ->
         (y_tilde [T, B, S, dx], entropy [B])
+
+        Dispatches between the reference-shaped sequential scan and the
+        block-parallel schedule (see segmentation.blocked_layout).
         """
+        mode = self.config.backward_mode
+        t_len = u_tm.shape[0]
+        if mode == "auto":
+            mode = (
+                "blocked"
+                if t_len > 2 * self.config.recog_len and self.dim_h > 0
+                else "sequential"
+            )
+        if mode == "blocked":
+            return self._backward_blocked(cache_b, var_x, u_tm, y_tm, key)
+        return self._backward_sequential(cache_b, var_x, u_tm, y_tm, key)
+
+    def _backward_sequential(self, cache_b, var_x, u_tm, y_tm, key):
         t_len, b = u_tm.shape[0], u_tm.shape[1]
         s, dh = self.samples, self.dim_h
         dtype = self.dtype
@@ -118,7 +134,7 @@ class CBFSSM(BaseSSM):
                 (2, b, s, self.dim_u + self.dim_y),
             )
             gp_in = jnp.concatenate((h_in, uy), axis=-1).reshape(2 * b * s, -1)
-            fmean, fvar = gp.predict_fast(cache_b, gp_in)
+            fmean, fvar = self._gp_predict(cache_b, gp_in)
             fmean = fmean.reshape(2, b, s, dh) + h_in  # residual transition
             fvar = fvar.reshape(2, b, s, dh) + var_x[:dh]
             out = fmean + eps_t * jnp.sqrt(fvar)
@@ -144,6 +160,103 @@ class CBFSSM(BaseSSM):
         y_tilde = jnp.concatenate((y_obs, y2), axis=-1)  # [T, B, S, dx]
         return y_tilde, entropy
 
+    def _backward_blocked(self, cache_b, var_x, u_tm, y_tm, key):
+        """Block-parallel backward: all 2L-length segments of both runs
+        advance together (segments are independent — each begins with a
+        fresh resample; the t = T-1 entry state is the zero init, forced
+        by a reset mask). Sequential depth: 2L instead of T; the GP
+        batch per step widens to [2 * n_blocks * B * S, M].
+
+        Numerically identical to the sequential schedule (the noise
+        arrays are indexed by each run's shifted time t'' = t + shift_r;
+        validated against the literal per-timestep reimplementation)."""
+        t_len, b = u_tm.shape[0], u_tm.shape[1]
+        s, dh = self.samples, self.dim_h
+        dtype = self.dtype
+        recog_len = self.config.recog_len
+        two_l = 2 * recog_len
+        t_ext, n_blocks, shifts = segmentation.blocked_layout(t_len, recog_len)
+
+        k_noise, k_eps = jax.random.split(key)
+        noise = self._shared_eps(k_noise, (t_ext, 2, b, s), dtype)
+        eps = self._shared_eps(k_eps, (t_ext, 2, b, s), dtype)
+
+        def shift_stack(a):
+            """[T, ...] -> [2, t_ext, ...]: run r's view padded by its
+            shift at the bottom and to t_ext at the top (zeros)."""
+            pads = []
+            for s_r in shifts:
+                widths = [(s_r, t_ext - t_len - s_r)] + [(0, 0)] * (a.ndim - 1)
+                pads.append(jnp.pad(a, widths))
+            return jnp.stack(pads, axis=0)
+
+        u_sh = shift_stack(u_tm)  # [2, t_ext, B, du]
+        y_sh = shift_stack(y_tm)  # [2, t_ext, B, dy]
+
+        # reset-to-zero positions: run r enters absolute t = T-1 (shifted
+        # t'' = T-1+s_r) with the zero initial hidden state.
+        zero_idx = jnp.asarray([t_len - 1 + s_r for s_r in shifts])  # [2]
+        t_dd = jnp.arange(t_ext)
+        zmask = t_dd[None, :] == zero_idx[:, None]  # [2, t_ext]
+
+        def to_steps(a, lead_run_axis):
+            """[2, t_ext, ...] (or [t_ext, 2, ...]) -> [two_l, 2, K, ...]
+            with the step axis DESCENDING in t' (scan order)."""
+            if not lead_run_axis:
+                a = jnp.moveaxis(a, 1, 0)  # [2, t_ext, ...]
+            a = a.reshape((2, n_blocks, two_l) + a.shape[2:])
+            a = jnp.moveaxis(a, 2, 0)  # [two_l, 2, K, ...]
+            return jnp.flip(a, 0)
+
+        inputs = (
+            to_steps(u_sh, True),
+            to_steps(y_sh, True),
+            to_steps(zmask, True),
+            to_steps(noise, False),
+            to_steps(eps, False),
+            jnp.flip(jnp.arange(two_l) == two_l - 1),  # resample at block top
+        )
+
+        def step(h, inp):
+            u_t, y_t, z_t, noise_t, eps_t, res_t = inp
+            # u_t: [2, K, B, du], z_t: [2, K], noise_t/eps_t: [2, K, B, S, 1]
+            h_carry = jnp.where(z_t[:, :, None, None, None], 0.0, h)
+            h_in = jnp.where(res_t, noise_t, h_carry)  # broadcast to [2,K,B,S,dh]
+            uy = jnp.broadcast_to(
+                jnp.concatenate((u_t, y_t), axis=-1)[:, :, :, None, :],
+                (2, n_blocks, b, s, self.dim_u + self.dim_y),
+            )
+            gp_in = jnp.concatenate(
+                (jnp.broadcast_to(h_in, (2, n_blocks, b, s, dh)), uy), axis=-1
+            ).reshape(2 * n_blocks * b * s, -1)
+            fmean, fvar = self._gp_predict(cache_b, gp_in)
+            fmean = fmean.reshape(2, n_blocks, b, s, dh) + h_in
+            fvar = fvar.reshape(2, n_blocks, b, s, dh) + var_x[:dh]
+            out = fmean + eps_t * jnp.sqrt(fvar)
+            ent_t = 0.5 * jnp.sum(LOG_2PI_E + jnp.log(fvar), axis=(3, 4))  # [2, K, B]
+            return out, (out, ent_t)
+
+        h0 = jnp.zeros((2, n_blocks, b, s, dh), dtype=dtype)
+        _, (outs_rev, ent_rev) = jax.lax.scan(step, h0, inputs)
+        # [two_l, 2, K, ...] (descending t') -> [2, t_ext, ...]
+        outs = jnp.flip(outs_rev, 0)
+        ents = jnp.flip(ent_rev, 0)
+        outs = jnp.moveaxis(outs, 0, 2).reshape((2, t_ext, b, s, dh))
+        ents = jnp.moveaxis(ents, 0, 2).reshape((2, t_ext, b))
+
+        # un-shift each run and select the writing run per absolute t
+        _, write0_np = segmentation.backward_masks(t_len, recog_len)
+        write0 = jnp.asarray(write0_np)[:, None, None, None]  # [T,1,1,1]
+        y2_runs = [outs[r, s_r : s_r + t_len] for r, s_r in enumerate(shifts)]
+        ent_runs = [ents[r, s_r : s_r + t_len] for r, s_r in enumerate(shifts)]
+        y2 = jnp.where(write0, y2_runs[0], y2_runs[1])  # [T, B, S, dh]
+        entropy = jnp.sum(
+            jnp.where(write0[:, :, 0, 0], ent_runs[0], ent_runs[1]), axis=0
+        )  # [B]
+
+        y_obs = jnp.broadcast_to(y_tm[:, :, None, :], (t_len, b, s, self.dim_y))
+        return jnp.concatenate((y_obs, y2), axis=-1), entropy
+
     # --- forward (generative) pass --------------------------------------
 
     def _forward(self, cache_f, var_x, var_y, y_tilde, u_tm, key, condition: bool):
@@ -167,7 +280,7 @@ class CBFSSM(BaseSSM):
             u_t, y_next, eps_t, cond_t = inp
             u_bs = jnp.broadcast_to(u_t[:, None, :], (b, s, self.dim_u))
             gp_in = jnp.concatenate((x, u_bs), axis=-1).reshape(b * s, -1)
-            fmean, fvar = gp.predict_fast(cache_f, gp_in)
+            fmean, fvar = self._gp_predict(cache_f, gp_in)
             fmean = fmean.reshape(b, s, dx) + x  # residual transition
             fvar = fvar.reshape(b, s, dx) + var_x
 

@@ -119,7 +119,7 @@ class CBFSSMHALF(BaseSSM):
             u_t, y_next, eps_t, cond_t = inp
             u_bs = jnp.broadcast_to(u_t[:, None, :], (b, s, self.dim_u))
             gp_in = jnp.concatenate((x, u_bs), axis=-1).reshape(b * s, -1)
-            fmean, fvar = gp.predict_fast(cache_f, gp_in)
+            fmean, fvar = self._gp_predict(cache_f, gp_in)
             fmean = fmean.reshape(b, s, dx) + x
             fvar = fvar.reshape(b, s, dx) + var_x
 

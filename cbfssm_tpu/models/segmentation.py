@@ -39,6 +39,26 @@ def backward_masks(seq_len: int, recog_len: int):
     return resample, write_run0
 
 
+def blocked_layout(seq_len: int, recog_len: int):
+    """Geometry of the block-parallel backward decomposition.
+
+    In a per-run frame shifted by that run's offset (run 0: 0, run 1:
+    recog_len), BOTH runs resample exactly at shifted times
+    t'' = 2L-1 (mod 2L) and write at t'' mod 2L < L. Because every
+    segment starts from a fresh N(0,1) resample (and the t = T-1 entry
+    state is the zero init), consecutive 2L-blocks exchange NO
+    information — so all blocks can be processed in parallel as a batch
+    dimension, cutting the reverse recursion's sequential depth from T
+    to 2L.
+
+    Returns (t_ext, n_blocks, shifts) where t_ext = n_blocks * 2L covers
+    the longer (shifted) run with top padding, and shifts = (0, L).
+    """
+    two_l = 2 * recog_len
+    t_ext = -(-(seq_len + recog_len) // two_l) * two_l
+    return t_ext, t_ext // two_l, (0, recog_len)
+
+
 def forward_condition_mask(seq_len: int, recog_len: int):
     """Per-step mask for the forward pass: during free-running prediction
     the Kalman-style conditioning update stays active for the first

@@ -214,7 +214,7 @@ class Voliro(BaseSSM):
             ft_t, y_t, eps_t = inp
             y_bs = jnp.broadcast_to(y_t[:, None, :], (b, s, self.DIM_Y))
             gp_in = jnp.concatenate((h, ft_t, y_bs), axis=-1).reshape(b * s, -1)
-            fmean, fvar = gp.predict_fast(cache_b, gp_in)
+            fmean, fvar = self._gp_predict(cache_b, gp_in)
             fmean = fmean.reshape(b, s, dh) + h
             fvar = fvar.reshape(b, s, dh)
             out = fmean + eps_t * jnp.sqrt(fvar)

@@ -23,7 +23,8 @@ class TinyDS:
     dim_y = 1
 
 
-def make_model(seq_len=8, recog_len=2, samples=3, dim_x=3, k_factor=10.0):
+def make_model(seq_len=8, recog_len=2, samples=3, dim_x=3, k_factor=10.0,
+               backward_mode="sequential"):
     config = {
         "ds": TinyDS,
         "batch_size": 2,
@@ -44,6 +45,7 @@ def make_model(seq_len=8, recog_len=2, samples=3, dim_x=3, k_factor=10.0):
         "gp_len": 1.5,
         "dtype": "float64",
         "jitter": 1e-8,
+        "backward_mode": backward_mode,
     }
     return CBFSSM(config)
 
@@ -71,8 +73,14 @@ def reference_loss(model, params, u, y, key, condition):
 
     kb, kf = jax.random.split(key)
     kn, ke = jax.random.split(kb)
-    noise = np.asarray(jax.random.normal(kn, (t_len, 2, b, s, 1), dtype=jnp.float64))
-    eps_b = np.asarray(jax.random.normal(ke, (t_len, 2, b, s, 1), dtype=jnp.float64))
+    # Noise indexing depends on the backward schedule: the blocked
+    # implementation draws arrays over each run's SHIFTED time axis.
+    if cfg.backward_mode == "blocked":
+        t_ext, _, shifts = segmentation.blocked_layout(t_len, recog_len)
+    else:
+        t_ext, shifts = t_len, (0, 0)
+    noise = np.asarray(jax.random.normal(kn, (t_ext, 2, b, s, 1), dtype=jnp.float64))
+    eps_b = np.asarray(jax.random.normal(ke, (t_ext, 2, b, s, 1), dtype=jnp.float64))
     eps_f = np.asarray(jax.random.normal(kf, (t_len - 1, b, s, 1), dtype=jnp.float64))
 
     def predict_b(xin):
@@ -97,7 +105,11 @@ def reference_loss(model, params, u, y, key, condition):
                     t % (2 * recog_len) >= recog_len,
                 )
             )
-            h_in = np.broadcast_to(noise[t, run], (b, s, dh)) if resample else h
+            h_in = (
+                np.broadcast_to(noise[t + shifts[run], run], (b, s, dh))
+                if resample
+                else h
+            )
             uy = np.broadcast_to(
                 np.concatenate((u_tm[t], y_tm[t]), axis=-1)[:, None, :], (b, s, 3)
             )
@@ -105,7 +117,7 @@ def reference_loss(model, params, u, y, key, condition):
             fmean, fvar = predict_b(gp_in)
             fmean = fmean.reshape(b, s, dh) + h_in
             fvar = fvar.reshape(b, s, dh) + var_x[:dh]
-            out = fmean + eps_b[t, run] * np.sqrt(fvar)
+            out = fmean + eps_b[t + shifts[run], run] * np.sqrt(fvar)
             if write:
                 y2[t] = out
                 ent[t] = 0.5 * np.sum(LOG_2PI_E + np.log(fvar), axis=(1, 2))
@@ -159,14 +171,30 @@ def reference_loss(model, params, u, y, key, condition):
     return -elbo
 
 
+@pytest.mark.parametrize("mode", ["sequential", "blocked"])
 @pytest.mark.parametrize("condition", [True, False])
-def test_loss_matches_literal_reimplementation(batch, condition):
-    model = make_model()
+def test_loss_matches_literal_reimplementation(batch, condition, mode):
+    model = make_model(backward_mode=mode)
     params = model.init(jax.random.PRNGKey(0))
     u, y = batch
     key = jax.random.PRNGKey(42)
     got, _ = model.loss(params, u, y, key, condition=condition)
     want = reference_loss(model, params, u, y, key, condition=condition)
+    np.testing.assert_allclose(float(got), want, rtol=1e-7)
+
+
+@pytest.mark.parametrize(
+    "seq_len,recog_len", [(8, 2), (7, 2), (16, 4), (10, 4), (9, 3), (12, 16)]
+)
+def test_blocked_matches_literal_across_shapes(rng, seq_len, recog_len):
+    """Odd lengths, partial top blocks, and T < 2L (single-block) cases."""
+    model = make_model(seq_len=seq_len, recog_len=recog_len, backward_mode="blocked")
+    params = model.init(jax.random.PRNGKey(1))
+    u = rng.normal(size=(2, seq_len, 2))
+    y = rng.normal(size=(2, seq_len, 1))
+    key = jax.random.PRNGKey(5)
+    got, _ = model.loss(params, u, y, key)
+    want = reference_loss(model, params, u, y, key, condition=True)
     np.testing.assert_allclose(float(got), want, rtol=1e-7)
 
 
