@@ -110,18 +110,23 @@ def measure(steps=STEPS, warmup=WARMUP):
     chunk, as the production Trainer executes epochs)."""
     import jax
 
-    del warmup  # same chunk length for warmup so there is ONE compile
     run_steps, params, opt_state = build_step()
     key = jax.random.PRNGKey(1)
-    params, opt_state, losses = run_steps(params, opt_state, key, steps)
-    losses.block_until_ready()
+    # Two warmup chunks: the first compiles, the second absorbs one-time
+    # program-load/staging costs (large behind a network tunnel). The
+    # host-side float() readback is the ONLY reliable synchronization on
+    # tunneled devices (block_until_ready can return early there).
+    for i in range(max(2, warmup)):
+        params, opt_state, losses = run_steps(
+            params, opt_state, jax.random.fold_in(key, i), steps
+        )
+        float(losses[-1])
     t0 = time.perf_counter()
     params, opt_state, losses = run_steps(
         params, opt_state, jax.random.fold_in(key, 7), steps
     )
-    losses.block_until_ready()
+    final = float(losses[-1])  # host readback: guarantees true completion
     elapsed = time.perf_counter() - t0
-    final = float(losses[-1])
     if not np.isfinite(final):
         print(f"warning: non-finite loss {final}", file=sys.stderr)
     return steps / elapsed

@@ -20,7 +20,12 @@ import math
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def jnp_asarray(a, dtype):
+    return jnp.asarray(np.asarray(a), dtype=dtype)
 
 import matplotlib
 
@@ -85,11 +90,20 @@ class Outputs:
         self.test_mse()
         self.var_dump()
 
+    @property
+    def _predict_fn(self):
+        """Jitted prediction (compiled once per sequence shape)."""
+        if not hasattr(self, "_predict_fn_cache"):
+            self._predict_fn_cache = jax.jit(
+                self.model.predict, static_argnames="condition"
+            )
+        return self._predict_fn_cache
+
     def _predict(self, u, y, condition=False):
-        out = self.model.predict(
+        out = self._predict_fn(
             self.params,
-            u,
-            y,
+            jnp_asarray(u, self.model.dtype),
+            jnp_asarray(y, self.model.dtype),
             jax.random.PRNGKey(self.seed),
             condition=condition,
         )

@@ -29,8 +29,14 @@ class OutputsVoliro(Outputs):
         self.var_dump()
 
     def _predict_voliro(self, u, y):
-        out = self.model.predict(
-            self.params, u, y, jax.random.PRNGKey(self.seed), condition=True
+        from cbfssm_tpu.outputs.outputs import jnp_asarray
+
+        out = self._predict_fn(
+            self.params,
+            jnp_asarray(u, self.model.dtype),
+            jnp_asarray(y, self.model.dtype),
+            jax.random.PRNGKey(self.seed),
+            condition=True,
         )
         return {k: np.asarray(v) for k, v in out.items()}
 

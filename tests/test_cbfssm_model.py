@@ -257,6 +257,22 @@ def test_predict_shapes(batch):
     assert np.isfinite(float(out.mse))
 
 
+def test_gp_impl_pallas_config_matches(batch):
+    """gp_impl='pallas' must produce the same loss (on CPU the fused
+    path falls back to identical jnp math through the custom VJP)."""
+    u, y = batch
+    key = jax.random.PRNGKey(11)
+    m1 = make_model()
+    p1 = m1.init(jax.random.PRNGKey(0))
+    l1, _ = m1.loss(p1, u, y, key)
+    import dataclasses
+
+    m2 = make_model()
+    m2.config = dataclasses.replace(m2.config, gp_impl="pallas")
+    l2, _ = m2.loss(p1, u, y, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-10)
+
+
 def test_var_dict_keys(batch):
     model = make_model()
     params = model.init(jax.random.PRNGKey(0))
