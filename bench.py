@@ -159,6 +159,9 @@ def cpu_baseline() -> float:
 
 
 def main():
+    from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if os.environ.get("CBFSSM_BENCH_CPU_CHILD"):
         sps = measure(steps=5, warmup=2)
         print(json.dumps({"metric": "cpu_child", "value": sps, "unit": "steps/sec"}))

@@ -42,6 +42,30 @@ def _as_2d(a: np.ndarray) -> np.ndarray:
     return a[:, None] if a.ndim == 1 else a
 
 
+def resample(data: np.ndarray, factor: float) -> np.ndarray:
+    """Cubic up/downsampling of a [N, D] series along time by ``factor``
+    (>1 upsamples). Capability parity with the vendored PR-SSM task
+    framework's resampling hook (reference
+    cbfssm/datasets/prssm/utils.py:40-56 via tasks.py:79-84)."""
+    from scipy import interpolate
+
+    n = data.shape[0]
+    x = np.linspace(1, n, n)
+    x_new = np.linspace(1, n, int(n * factor))
+    return interpolate.interp1d(x, data, kind="cubic", axis=0)(x_new)
+
+
+def resample_task(task: "TaskData", factor: float) -> "TaskData":
+    """Resample every experiment of a task."""
+    return TaskData(
+        train_in=[resample(a, factor) for a in task.train_in],
+        train_out=[resample(a, factor) for a in task.train_out],
+        test_in=[resample(a, factor) for a in task.test_in],
+        test_out=[resample(a, factor) for a in task.test_out],
+        dt=task.dt / factor,
+    )
+
+
 def _split_task(data_in, data_out, split_point, dt=1.0) -> TaskData:
     data_in = _as_2d(data_in)
     data_out = _as_2d(data_out)

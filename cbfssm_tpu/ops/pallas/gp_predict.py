@@ -31,7 +31,6 @@ zero-padded so padded input dims contribute nothing to d2.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

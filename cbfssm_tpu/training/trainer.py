@@ -38,11 +38,13 @@ from jax.sharding import PartitionSpec as P
 from cbfssm_tpu.parallel.sharding import DataParallel
 from cbfssm_tpu.training import checkpoint
 from cbfssm_tpu.utils.profiling import MetricsLogger, StepTimer, trace
+from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
 
 
 class Trainer:
     def __init__(self, model, model_dir, mesh=None, seed=0, metrics_path=None,
                  profile_dir=None):
+        enable_persistent_cache()
         self.model = model
         self.model_dir = model_dir
         self.train_all = []

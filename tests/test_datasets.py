@@ -187,6 +187,24 @@ def test_spring_nonlinear_y_crop(dsmanager_dir):
     assert ds.test_out.shape == (1, 5000, 1)
 
 
+def test_resample_cubic(rng):
+    from cbfssm_tpu.data.system_id_tasks import TaskData, resample, resample_task
+
+    t = np.linspace(0, 4 * np.pi, 100)
+    data = np.stack((np.sin(t), np.cos(t)), axis=1)
+    up = resample(data, 2.0)
+    assert up.shape == (200, 2)
+    t_up = np.linspace(0, 4 * np.pi, 200)
+    np.testing.assert_allclose(up[:, 0], np.sin(t_up), atol=1e-3)
+    down = resample(data, 0.5)
+    assert down.shape == (50, 2)
+
+    task = TaskData(train_in=[data], train_out=[data], test_in=[data], test_out=[data], dt=0.1)
+    task2 = resample_task(task, 2.0)
+    assert task2.train_in[0].shape == (200, 2)
+    np.testing.assert_allclose(task2.dt, 0.05)
+
+
 # --- generators -----------------------------------------------------------
 
 
