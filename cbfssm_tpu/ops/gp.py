@@ -145,7 +145,10 @@ def predict(cache: GPCache, xnew):
     w = jnp.matmul(knm, cache.kinv, precision=kernels.HIGHEST)  # [N, M]
     qf = jnp.sum(knm * w, axis=-1)  # [N] = diag(K_nm K^-1 K_mn)
     fmean = jnp.matmul(knm, cache.alpha, precision=kernels.HIGHEST)  # [N, D]
-    fvar = (cache.kern_var - qf)[:, None] + jnp.matmul(
+    # kvar - qf >= 0 mathematically; clamp the f32 cancellation noise
+    # that otherwise drives sqrt/log of a negative variance to NaN once
+    # lengthscales sharpen during training.
+    fvar = jnp.maximum(cache.kern_var - qf, 0.0)[:, None] + jnp.matmul(
         jnp.square(w), cache.var_q, precision=kernels.HIGHEST
     )  # [N, D]
     return fmean, fvar
@@ -175,7 +178,7 @@ def predict_reference(params: SparseGPParams, xnew, jitter: float | None = None)
     chol = linalg.jittered_cholesky(gram, jitter)
     kmn = kernels.rbf_cross(params.z, xnew, kern_var, kern_len)  # [M, N]
     a = jax.scipy.linalg.solve_triangular(chol, kmn, lower=True)  # [M, N]
-    fvar_base = kern_var - jnp.sum(jnp.square(a), axis=0)  # [N]
+    fvar_base = jnp.maximum(kern_var - jnp.sum(jnp.square(a), axis=0), 0.0)  # [N]
     a = jax.scipy.linalg.solve_triangular(chol.T, a, lower=False)  # [M, N]
     fmean = a.T @ params.mean  # [N, D]
     fvar = fvar_base[:, None] + jnp.square(a.T) @ params.var  # [N, D]

@@ -67,7 +67,8 @@ def _kernel_body(kvar_ref, x_ref, zs_ref, inv_ls_ref, kinv_ref, alpha_ref, varq_
     mean_ref[:] = jnp.dot(
         kmn, alpha_ref[:], preferred_element_type=jnp.float32, precision=hp
     )
-    var_ref[:] = (kvar - qf) + jnp.dot(
+    # kvar - qf >= 0 mathematically; clamp f32 cancellation noise.
+    var_ref[:] = jnp.maximum(kvar - qf, 0.0) + jnp.dot(
         jnp.square(w), varq_ref[:], preferred_element_type=jnp.float32, precision=hp
     )
     if kmn_ref is not None:
@@ -165,7 +166,7 @@ def _reference_forward(x, zs, inv_ls, kvar, kinv, alpha, var_q):
     w = jnp.matmul(kmn, kinv, precision=hp)
     qf = jnp.sum(kmn * w, axis=-1, keepdims=True)
     mean = jnp.matmul(kmn, alpha, precision=hp)
-    var = (kvar - qf) + jnp.matmul(jnp.square(w), var_q, precision=hp)
+    var = jnp.maximum(kvar - qf, 0.0) + jnp.matmul(jnp.square(w), var_q, precision=hp)
     return mean, var, (xs, kmn, w)
 
 
@@ -211,7 +212,11 @@ def _bwd(res, cotangents):
     gm, gv = cotangents
     hp = jax.lax.Precision.HIGHEST
 
-    s = jnp.sum(gv, axis=-1, keepdims=True)  # [N, 1] (rowsum of var cotangent)
+    # The (kvar - qf) base term is clamped at 0 in the forward; its
+    # cotangent only flows where the clamp is inactive.
+    qf = jnp.sum(kmn * w, axis=-1, keepdims=True)
+    active = (kvar - qf > 0.0).astype(gv.dtype)  # [N, 1]
+    s = jnp.sum(gv, axis=-1, keepdims=True) * active  # [N, 1]
     d_var_q = jnp.matmul(jnp.square(w).T, gv, precision=hp)  # [M, D]
     d_alpha = jnp.matmul(kmn.T, gm, precision=hp)  # [M, D]
     # w enters var through -qf (w * kmn) and through (w*w) @ var_q.
@@ -223,7 +228,7 @@ def _bwd(res, cotangents):
         + jnp.matmul(d_w, kinv, precision=hp)
         - s * w
     )  # [N, M]
-    d_kvar = jnp.sum(gv) + jnp.sum(d_kmn * kmn) / kvar
+    d_kvar = jnp.sum(gv * active) + jnp.sum(d_kmn * kmn) / kvar
     d_d2 = -0.5 * kmn * d_kmn  # [N, M]
     d_xs = 2.0 * (
         jnp.sum(d_d2, axis=-1, keepdims=True) * xs
