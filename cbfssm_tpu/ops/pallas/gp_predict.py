@@ -170,8 +170,12 @@ def _reference_forward(x, zs, inv_ls, kvar, kinv, alpha, var_q):
     return mean, var, (xs, kmn, w)
 
 
-def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+def _use_pallas(dtype=None) -> bool:
+    """The fused kernel targets f32 on TPU; f64 (XLA-emulated on TPU)
+    and all other backends use the identical jnp math."""
+    if jax.default_backend() != "tpu":
+        return False
+    return dtype is None or jnp.dtype(dtype) == jnp.float32
 
 
 @jax.custom_vjp
@@ -186,14 +190,14 @@ def fused_predict(x, zs, inv_ls, kvar, kinv, alpha, var_q):
     alpha: [M, D] kinv @ variational mean
     var_q: [M, D] variational variances
     """
-    if _use_pallas():
+    if _use_pallas(x.dtype):
         return _pallas_forward(x, zs, inv_ls, kvar, kinv, alpha, var_q)
     mean, var, _ = _reference_forward(x, zs, inv_ls, kvar, kinv, alpha, var_q)
     return mean, var
 
 
 def _fwd(x, zs, inv_ls, kvar, kinv, alpha, var_q):
-    if _use_pallas():
+    if _use_pallas(x.dtype):
         mean, var, kmn, w = _pallas_forward(
             x, zs, inv_ls, kvar, kinv, alpha, var_q, with_residuals=True
         )

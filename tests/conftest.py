@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The env var alone can be overridden by site-customized accelerator
+# plugins registered before this file runs; the config update wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Some execution environments lower default-precision f32 matmuls to
 # bf16 passes; the GP numerics in these tests require true f32/f64

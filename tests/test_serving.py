@@ -1,0 +1,75 @@
+import jax
+import numpy as np
+import pytest
+
+from cbfssm_tpu.serving import CompiledPredictor
+from tests.test_cbfssm_model import make_model
+
+
+def test_compiled_predictor(rng):
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = CompiledPredictor(model, params, batch=1, seq_len=8)
+    u = rng.normal(size=(1, 8, 2))
+    y = rng.normal(size=(1, 8, 1))
+    out = pred(u, y)
+    assert out.pred_mean.shape == (1, 8, 1)
+    assert np.isfinite(np.asarray(out.pred_mean)).all()
+    # matches the uncompiled path exactly (same key)
+    ref = model.predict(params, u, y, pred.key, condition=False)
+    np.testing.assert_allclose(
+        np.asarray(out.pred_mean), np.asarray(ref.pred_mean), rtol=1e-12
+    )
+
+
+def test_compiled_predictor_shape_guard(rng):
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = CompiledPredictor(model, params, batch=1, seq_len=8)
+    with pytest.raises(ValueError):
+        pred(rng.normal(size=(2, 8, 2)), rng.normal(size=(2, 8, 1)))
+
+
+def test_dim_h_zero_full_observation(rng):
+    """dim_x == dim_y (RoboMoveSimple-style): the backward GP has a
+    zero-width output; the whole pipeline must still work."""
+
+    class DS:
+        dim_u = 2
+        dim_y = 3
+
+    from cbfssm_tpu.models import CBFSSM
+
+    cfg = {
+        "ds": DS,
+        "batch_size": 2,
+        "shuffle": 10,
+        "dim_x": 3,
+        "ind_pnt_num": 4,
+        "samples": 3,
+        "learning_rate": 0.01,
+        "loss_factors": np.asarray([1.0, 0.5]),
+        "k_factor": 10.0,
+        "recog_len": 2,
+        "zeta_pos": 2.0,
+        "zeta_mean": 0.01,
+        "zeta_var": 1e-4,
+        "var_x": np.asarray([0.01] * 3),
+        "var_y": np.asarray([0.5] * 3),
+        "gp_var": 0.25,
+        "gp_len": 1.5,
+        "dtype": "float64",
+    }
+    model = CBFSSM(cfg)
+    assert model.dim_h == 0
+    params = model.init(jax.random.PRNGKey(0))
+    u = rng.normal(size=(2, 6, 2))
+    y = rng.normal(size=(2, 6, 3))
+    loss, aux = model.loss(params, u, y, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # entropy over a zero-width hidden state is exactly zero
+    np.testing.assert_allclose(float(aux["entropy"]), 0.0)
+    grads = jax.grad(lambda p: model.loss(p, u, y, jax.random.PRNGKey(1))[0])(params)
+    assert np.abs(np.asarray(grads.gp_f.mean)).max() > 0
+    out = model.predict(params, u, y, jax.random.PRNGKey(2))
+    assert out.pred_mean.shape == (2, 6, 3)
