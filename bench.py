@@ -121,15 +121,17 @@ def measure(steps=STEPS, warmup=WARMUP):
             params, opt_state, jax.random.fold_in(key, i), steps
         )
         float(losses[-1])
-    t0 = time.perf_counter()
-    params, opt_state, losses = run_steps(
-        params, opt_state, jax.random.fold_in(key, 7), steps
-    )
-    final = float(losses[-1])  # host readback: guarantees true completion
-    elapsed = time.perf_counter() - t0
+    rates = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, losses = run_steps(
+            params, opt_state, jax.random.fold_in(key, 7 + rep), steps
+        )
+        final = float(losses[-1])  # host readback: guarantees true completion
+        rates.append(steps / (time.perf_counter() - t0))
     if not np.isfinite(final):
         print(f"warning: non-finite loss {final}", file=sys.stderr)
-    return steps / elapsed
+    return float(np.median(rates))
 
 
 def cpu_baseline() -> float:

@@ -155,6 +155,33 @@ def test_outputs_artifacts(tmp_path):
         assert "Mean:" in f.read()
 
 
+def test_metrics_and_profile_trace(tmp_path):
+    """JSONL metrics stream + jax.profiler trace artifacts."""
+    import json
+
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    profile_dir = str(tmp_path / "trace")
+    trainer = Trainer(
+        model,
+        str(tmp_path / "m"),
+        metrics_path=metrics_path,
+        profile_dir=profile_dir,
+    )
+    trainer.train(ds, epochs=2)
+
+    lines = [json.loads(l) for l in open(metrics_path)]
+    epochs = [l for l in lines if l["event"] == "epoch"]
+    assert len(epochs) == 2
+    assert all(np.isfinite(e["train_loss"]) for e in epochs)
+    assert epochs[0]["steps_per_sec"] > 0
+    assert lines[-1]["event"] == "done"
+    # profiler trace written during epoch 1
+    assert os.path.isdir(profile_dir)
+    assert any(os.scandir(profile_dir)), "empty profiler trace dir"
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_data_parallel_training(tmp_path):
     """Full train step over an 8-device CPU mesh: batch axis sharded,
