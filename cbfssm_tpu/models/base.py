@@ -54,6 +54,20 @@ class BaseSSM:
         if self.config.gp_impl not in ("solve_free", "pallas"):
             raise ValueError(f"unknown gp_impl: {self.config.gp_impl!r}")
 
+    def _check_noise_lengths(self, **expected):
+        """Validate config noise-vector lengths early with a clear error
+        (shape mismatches otherwise surface as cryptic trace errors).
+        Usage: self._check_noise_lengths(var_x=dim_x, var_y=dim_y)."""
+        import numpy as np
+
+        for name, want in expected.items():
+            value = np.asarray(getattr(self.config, name))
+            if value.ndim != 1 or value.shape[0] != want:
+                raise ValueError(
+                    f"config['{name}'] must be a length-{want} vector for "
+                    f"{type(self).__name__}, got shape {value.shape}"
+                )
+
     def _gp_predict(self, cache, xnew):
         """Scan-body GP predictive, implementation chosen by config
         (see ModelConfig.gp_impl)."""

@@ -50,6 +50,7 @@ class CBFSSM(BaseSSM):
         self.dim_h = self.dim_x - self.dim_y  # unobserved latent dims
         if self.dim_h < 0:
             raise ValueError("dim_x must be >= dim_y")
+        self._check_noise_lengths(var_x=self.dim_x, var_y=self.dim_x)
 
     # --- parameters ----------------------------------------------------
 

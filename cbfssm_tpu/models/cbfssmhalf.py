@@ -33,6 +33,7 @@ class CBFSSMHALF(BaseSSM):
     def __init__(self, config):
         super().__init__(config)
         self.dim_x = int(self.config.dim_x)
+        self._check_noise_lengths(var_x=self.dim_x, var_y=self.dim_y)
         kind = self.config.recog_model if self.config.recog_model else "rnn"
         if kind == "conv":
             raise ValueError("CBFSSMHALF supports 'output' and 'rnn' recognition")

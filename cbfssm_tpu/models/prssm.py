@@ -36,6 +36,7 @@ class PRSSM(BaseSSM):
     def __init__(self, config):
         super().__init__(config)
         self.dim_x = int(self.config.dim_x)
+        self._check_noise_lengths(var_x=self.dim_x, var_y=self.dim_y)
         self.recog_kind = self.config.recog_model
         self.recog_module = recognition.make_recognition(
             self.recog_kind, self.dim_x, self.dtype

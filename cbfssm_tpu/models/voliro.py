@@ -88,6 +88,7 @@ class Voliro(BaseSSM):
         self.mass_inv = 1.0 / self.MASS
         self.inertia_inv = jnp.asarray([1.0 / i for i in self.INERTIA], dtype=self.dtype)
         self.gravity = jnp.asarray(self.GRAVITY, dtype=self.dtype)
+        self._check_noise_lengths(var_x=self.DIM_X, var_y=self.DIM_X, var_z=6)
 
     def init(self, key) -> VoliroParams:
         cfg = self.config
