@@ -336,13 +336,20 @@ class CBFSSM(BaseSSM):
         kl_zf = gp.prior_kl(params.gp_f, cache_f)
         kl_zb = gp.prior_kl(params.gp_b, cache_b)
         per_seq = lam1 * (loglik - kl_x) + lam2 * entropy
-        elbo = jnp.dot(per_seq, weights) / self.samples - kl_zf - kl_zb
+        particle_sum = jnp.dot(per_seq, weights)
+        global_term = -kl_zf - kl_zb
+        elbo = particle_sum / self.samples + global_term
         aux = {
             "loglik": jnp.dot(loglik, weights),
             "kl_x": jnp.dot(kl_x, weights),
             "entropy": jnp.dot(entropy, weights),
             "kl_z_f": kl_zf,
             "kl_z_b": kl_zb,
+            # ELBO decomposition for particle-parallel recombination:
+            # elbo = psum(particle_sum) / S_total + global_term
+            "particle_sum": particle_sum,
+            "particle_divisor": jnp.asarray(float(self.samples), dtype=self.dtype),
+            "global_term": global_term,
         }
         return -elbo, aux
 

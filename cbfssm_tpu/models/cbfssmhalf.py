@@ -38,9 +38,7 @@ class CBFSSMHALF(BaseSSM):
         if kind == "conv":
             raise ValueError("CBFSSMHALF supports 'output' and 'rnn' recognition")
         self.recog_kind = kind
-        self.recog_module = recognition.make_recognition(
-            kind if kind != "conv" else "rnn", self.dim_x, self.dtype
-        )
+        self.recog_module = recognition.make_recognition(kind, self.dim_x, self.dtype)
 
     def init(self, key) -> CBFSSMHALFParams:
         cfg = self.config
@@ -158,11 +156,16 @@ class CBFSSMHALF(BaseSSM):
             weights = jnp.ones(y_tm.shape[1], dtype=self.dtype)
         lam1 = jnp.asarray(cfg.loss_factors[0], dtype=self.dtype)
         kl_zf = gp.prior_kl(params.gp_f, cache_f)
-        elbo = lam1 * jnp.dot(loglik - kl_x, weights) / self.samples - kl_zf
+        particle_sum = lam1 * jnp.dot(loglik - kl_x, weights)
+        global_term = -kl_zf
+        elbo = particle_sum / self.samples + global_term
         aux = {
             "loglik": jnp.dot(loglik, weights),
             "kl_x": jnp.dot(kl_x, weights),
             "kl_z_f": kl_zf,
+            "particle_sum": particle_sum,
+            "particle_divisor": jnp.asarray(float(self.samples), dtype=self.dtype),
+            "global_term": global_term,
         }
         return -elbo, aux
 

@@ -128,8 +128,18 @@ class PRSSM(BaseSSM):
             weights = jnp.ones(y_tm.shape[1], dtype=self.dtype)
         lam1 = jnp.asarray(self.config.loss_factors[0], dtype=self.dtype)
         kl_z = gp.prior_kl(params.gp_f, cache_f)
-        elbo = lam1 * jnp.dot(loglik, weights) - kl_z
-        aux = {"loglik": jnp.dot(loglik, weights), "kl_z": kl_z}
+        particle_sum = lam1 * jnp.dot(loglik, weights)
+        global_term = -kl_z
+        # faithful to the reference: the particle sum is NOT divided by
+        # the particle count (prssm.py:96-97)
+        elbo = particle_sum + global_term
+        aux = {
+            "loglik": jnp.dot(loglik, weights),
+            "kl_z": kl_z,
+            "particle_sum": particle_sum,
+            "particle_divisor": jnp.asarray(1.0, dtype=self.dtype),
+            "global_term": global_term,
+        }
         return -elbo, aux
 
     def predict(self, params, u, y, key, condition: bool = False):

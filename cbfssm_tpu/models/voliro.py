@@ -311,12 +311,9 @@ class Voliro(BaseSSM):
 
         lam = [jnp.asarray(f, dtype=self.dtype) for f in cfg.loglik_factor[:3]]
         per_seq = lam[0] * (loglik - kl_x) + lam[1] * entropy
-        elbo = (
-            jnp.dot(per_seq, weights) / self.samples
-            + lam[2] * (n_reg + l_reg)
-            - kl_zf
-            - kl_zb
-        )
+        particle_sum = jnp.dot(per_seq, weights)
+        global_term = lam[2] * (n_reg + l_reg) - kl_zf - kl_zb
+        elbo = particle_sum / self.samples + global_term
         aux = {
             "loglik": jnp.dot(loglik, weights),
             "kl_x": jnp.dot(kl_x, weights),
@@ -325,6 +322,9 @@ class Voliro(BaseSSM):
             "kl_z_b": kl_zb,
             "n_reg": n_reg,
             "l_reg": l_reg,
+            "particle_sum": particle_sum,
+            "particle_divisor": jnp.asarray(float(self.samples), dtype=self.dtype),
+            "global_term": global_term,
         }
         return -elbo, aux
 

@@ -1,0 +1,105 @@
+"""Particle (sample-axis) parallelism.
+
+Particles are conditionally iid given a sequence, and every model's ELBO
+decomposes as
+
+    elbo = sum_over_particles(per-sequence terms) / divisor + global
+
+(the models expose ``particle_sum`` / ``particle_divisor`` /
+``global_term`` in their aux dict; for PR-SSM the divisor is faithfully
+1). That makes the particle axis a second data-parallel axis: each mesh
+shard runs the SAME model with ``samples / n`` particles and a
+shard-unique RNG fold, the particle sums are ``psum``-ed over ICI, and
+the parameter-only global terms are computed redundantly (they are
+identical on every shard).
+
+Use when the window batch alone is too small to fill a mesh (e.g. the
+Sarcos config: batch 5, 20 particles -> a ('data', 'particle') mesh of
+5 x 4 keeps 20 devices busy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+class ParticleParallel:
+    """Wraps a model class so ``loss`` shards the particle axis over
+    ``axis_name`` of ``mesh`` (and optionally the batch axis over
+    ``data_axis``)."""
+
+    def __init__(self, model_cls, config, mesh: Mesh, axis_name: str = "particle",
+                 data_axis: str | None = None):
+        from cbfssm_tpu.config import as_config
+
+        cfg = as_config(config)
+        self.n = mesh.shape[axis_name]
+        if cfg.samples % self.n != 0:
+            raise ValueError(
+                f"samples ({cfg.samples}) must divide by the particle axis "
+                f"size ({self.n})"
+            )
+        self.total_samples = cfg.samples
+        # Each shard runs an identical model with samples/n particles.
+        self.local_model = model_cls(
+            dataclasses.replace(cfg, samples=cfg.samples // self.n)
+        )
+        # Reference model (full particle count) for init/predict/var_dict.
+        self.model = model_cls(cfg)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.data_axis = data_axis
+        self.dtype = self.model.dtype
+        self.config = self.model.config
+
+    def init(self, key):
+        return self.model.init(key)
+
+    def var_dict(self, params):
+        return self.model.var_dict(params)
+
+    def predict(self, params, u, y, key, condition: bool = False):
+        return self.model.predict(params, u, y, key, condition)
+
+    def loss(self, params, u, y, key, condition: bool = True, weights=None):
+        """Sharded negative ELBO. Statistically equivalent to the
+        unsharded model (same particle count in total; shard-unique RNG
+        folds make the draws a different sample path)."""
+        local = self.local_model
+        axis = self.axis_name
+        data_spec = P(self.data_axis) if self.data_axis else P()
+
+        def shard_fn(params, u, y, key, weights):
+            idx = jax.lax.axis_index(axis)
+            skey = jax.random.fold_in(key, idx)
+            _, aux = local.loss(params, u, y, skey, condition, weights)
+            psum_particles = jax.lax.psum(aux["particle_sum"], axis)
+            if self.data_axis:
+                psum_particles = jax.lax.psum(psum_particles, self.data_axis)
+            # local divisor is S/n; the total divisor is S (or 1 for
+            # models that faithfully do not normalize by particles).
+            divisor = jnp.where(
+                aux["particle_divisor"] == 1.0,
+                1.0,
+                aux["particle_divisor"] * self.n,
+            )
+            elbo = psum_particles / divisor + aux["global_term"]
+            return -elbo
+
+        in_specs = (P(), data_spec, data_spec, P(), data_spec)
+        if weights is None:
+            weights = jnp.ones(jnp.shape(u)[0], dtype=self.dtype)
+        fn = jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=P(),
+            check_vma=False,
+        )
+        u = jnp.asarray(u, dtype=self.dtype)
+        y = jnp.asarray(y, dtype=self.dtype)
+        return fn(params, u, y, key, weights), {}

@@ -1,0 +1,92 @@
+"""Particle-axis parallelism: shard_map'd loss matches an exact serial
+emulation of the shard math, and trains."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cbfssm_tpu.models import CBFSSM, PRSSM
+from cbfssm_tpu.parallel import make_mesh
+from cbfssm_tpu.parallel.particle import ParticleParallel
+from tests.test_cbfssm_model import TinyDS, make_model
+from tests.test_other_models import prssm_config
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def cbfssm_cfg(samples=8):
+    m = make_model(samples=samples)
+    return m.config
+
+
+def serial_emulation(model_cls, cfg, n, params, u, y, key, condition=True):
+    """Exact reference for the sharded computation: run the S/n-particle
+    model once per shard index with the same RNG folds and recombine."""
+    import dataclasses
+
+    local = model_cls(dataclasses.replace(cfg, samples=cfg.samples // n))
+    psum = 0.0
+    for idx in range(n):
+        skey = jax.random.fold_in(key, idx)
+        _, aux = local.loss(params, u, y, skey, condition)
+        psum += float(aux["particle_sum"])
+        global_term = float(aux["global_term"])
+        divisor = float(aux["particle_divisor"])
+    divisor_total = 1.0 if divisor == 1.0 else divisor * n
+    return -(psum / divisor_total + global_term)
+
+
+@pytest.mark.parametrize("model_cls,cfg_fn", [
+    (CBFSSM, cbfssm_cfg),
+    (PRSSM, lambda: PRSSM({**prssm_config("output"), "samples": 8}).config),
+])
+def test_sharded_loss_matches_serial_emulation(rng, model_cls, cfg_fn):
+    cfg = cfg_fn()
+    mesh = make_mesh(4, axis_name="particle")
+    pp = ParticleParallel(model_cls, cfg, mesh)
+    params = pp.init(jax.random.PRNGKey(0))
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    key = jax.random.PRNGKey(7)
+    got, _ = pp.loss(params, u, y, key)
+    want = serial_emulation(model_cls, cfg, 4, params, u, y, key)
+    np.testing.assert_allclose(float(got), want, rtol=1e-8)
+
+
+def test_sharded_loss_grads(rng):
+    cfg = cbfssm_cfg()
+    mesh = make_mesh(4, axis_name="particle")
+    pp = ParticleParallel(CBFSSM, cfg, mesh)
+    params = pp.init(jax.random.PRNGKey(0))
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    grads = jax.grad(lambda p: pp.loss(p, u, y, jax.random.PRNGKey(1))[0])(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert np.abs(np.asarray(grads.gp_f.mean)).max() > 0
+
+
+def test_two_axis_mesh(rng):
+    """('data', 'particle') 2x4 mesh: batch sharded AND particles
+    sharded."""
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    from jax.sharding import Mesh
+
+    mesh = Mesh(devices, ("data", "particle"))
+    cfg = cbfssm_cfg()
+    pp = ParticleParallel(CBFSSM, cfg, mesh, data_axis="data")
+    params = pp.init(jax.random.PRNGKey(0))
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    loss, _ = pp.loss(params, u, y, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+
+
+def test_invalid_particle_count():
+    cfg = cbfssm_cfg(samples=6)  # not divisible by 4
+    mesh = make_mesh(4, axis_name="particle")
+    with pytest.raises(ValueError, match="divide"):
+        ParticleParallel(CBFSSM, cfg, mesh)
