@@ -33,6 +33,11 @@ class PRSSMParams:
 
 
 class PRSSM(BaseSSM):
+    # The PR-SSM ELBO is faithfully NOT divided by the particle count
+    # (prssm.py:96-97); particle-parallel recombination must not
+    # normalize either.
+    PARTICLE_NORMALIZED = False
+
     def __init__(self, config):
         super().__init__(config)
         self.dim_x = int(self.config.dim_x)

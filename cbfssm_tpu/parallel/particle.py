@@ -73,6 +73,13 @@ class ParticleParallel:
         axis = self.axis_name
         data_spec = P(self.data_axis) if self.data_axis else P()
 
+        # Whether the model normalizes by the particle count is a static
+        # property of the model class (PR-SSM faithfully does not) — it
+        # must NOT be inferred from the local divisor's value, which is
+        # coincidentally 1 whenever S/n == 1.
+        normalized = getattr(type(self.model), "PARTICLE_NORMALIZED", True)
+        divisor_total = float(self.total_samples) if normalized else 1.0
+
         def shard_fn(params, u, y, key, weights):
             idx = jax.lax.axis_index(axis)
             skey = jax.random.fold_in(key, idx)
@@ -80,14 +87,7 @@ class ParticleParallel:
             psum_particles = jax.lax.psum(aux["particle_sum"], axis)
             if self.data_axis:
                 psum_particles = jax.lax.psum(psum_particles, self.data_axis)
-            # local divisor is S/n; the total divisor is S (or 1 for
-            # models that faithfully do not normalize by particles).
-            divisor = jnp.where(
-                aux["particle_divisor"] == 1.0,
-                1.0,
-                aux["particle_divisor"] * self.n,
-            )
-            elbo = psum_particles / divisor + aux["global_term"]
+            elbo = psum_particles / divisor_total + aux["global_term"]
             return -elbo
 
         in_specs = (P(), data_spec, data_spec, P(), data_spec)

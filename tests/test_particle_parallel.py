@@ -34,8 +34,8 @@ def serial_emulation(model_cls, cfg, n, params, u, y, key, condition=True):
         _, aux = local.loss(params, u, y, skey, condition)
         psum += float(aux["particle_sum"])
         global_term = float(aux["global_term"])
-        divisor = float(aux["particle_divisor"])
-    divisor_total = 1.0 if divisor == 1.0 else divisor * n
+    normalized = getattr(model_cls, "PARTICLE_NORMALIZED", True)
+    divisor_total = float(cfg.samples) if normalized else 1.0
     return -(psum / divisor_total + global_term)
 
 
@@ -53,6 +53,22 @@ def test_sharded_loss_matches_serial_emulation(rng, model_cls, cfg_fn):
     key = jax.random.PRNGKey(7)
     got, _ = pp.loss(params, u, y, key)
     want = serial_emulation(model_cls, cfg, 4, params, u, y, key)
+    np.testing.assert_allclose(float(got), want, rtol=1e-8)
+
+
+def test_one_particle_per_shard_normalization(rng):
+    """Regression: with S == n the local divisor is coincidentally 1;
+    the recombination must still normalize by S for particle-normalized
+    models."""
+    cfg = cbfssm_cfg(samples=8)
+    mesh = make_mesh(8, axis_name="particle")
+    pp = ParticleParallel(CBFSSM, cfg, mesh)
+    params = pp.init(jax.random.PRNGKey(0))
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    key = jax.random.PRNGKey(7)
+    got, _ = pp.loss(params, u, y, key)
+    want = serial_emulation(CBFSSM, cfg, 8, params, u, y, key)
     np.testing.assert_allclose(float(got), want, rtol=1e-8)
 
 
