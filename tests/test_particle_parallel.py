@@ -101,6 +101,23 @@ def test_two_axis_mesh(rng):
     assert np.isfinite(float(loss))
 
 
+def test_trainer_accepts_particle_parallel(tmp_path):
+    """ParticleParallel satisfies the Trainer's model interface: a full
+    train() pass (whole-epoch scan with shard_map inside) works."""
+    from cbfssm_tpu.training import Trainer
+    from tests.test_trainer import SmokeDS, smoke_config
+
+    cfg = smoke_config()
+    cfg["samples"] = 4
+    mesh = make_mesh(4, axis_name="particle")
+    pp = ParticleParallel(CBFSSM, cfg, mesh)
+    ds = SmokeDS()
+    trainer = Trainer(pp, str(tmp_path / "pp"))
+    trainer.train(ds, epochs=2)
+    assert all(np.isfinite(trainer.train_all))
+    assert trainer.train_all[-1] < trainer.train_all[0]
+
+
 def test_invalid_particle_count():
     cfg = cbfssm_cfg(samples=6)  # not divisible by 4
     mesh = make_mesh(4, axis_name="particle")
