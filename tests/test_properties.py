@@ -1,0 +1,106 @@
+"""Property-style invariants of the math core and models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cbfssm_tpu.ops import gp
+from tests.test_cbfssm_model import make_model
+from tests.test_gp import make_gp
+
+
+def test_posterior_variance_bounded_by_prior(rng):
+    """0 <= var(x) <= kvar + max variational contribution, everywhere."""
+    params = make_gp()
+    cache = gp.precompute(params, jitter=1e-8)
+    x = jnp.asarray(rng.normal(size=(200, 3)) * 3)
+    _, var = gp.predict(cache, x)
+    var = np.asarray(var)
+    assert (var >= 0).all()
+    # base term can't exceed the prior variance
+    kvar = float(params.kern_var)
+    qmax = float(jnp.max(jnp.sum(cache.var_q, axis=0)))
+    assert var.max() <= kvar + qmax + 1e-9
+
+
+def test_far_from_inducing_points_reverts_to_prior(rng):
+    """k(x, Z) -> 0 far away: mean -> 0, var -> kernel variance."""
+    params = make_gp()
+    cache = gp.precompute(params, jitter=1e-8)
+    x_far = jnp.asarray(rng.normal(size=(10, 3)) + 100.0)
+    mean, var = gp.predict(cache, x_far)
+    np.testing.assert_allclose(np.asarray(mean), 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(var), float(params.kern_var), rtol=1e-8)
+
+
+def test_prior_kl_zero_for_prior_matched_q(rng):
+    """If q equals the prior marginals... KL is small; and KL >= 0 for
+    random perturbations (50 trials)."""
+    params = make_gp(in_dim=2, out_dim=2, m=6)
+    for i in range(50):
+        p = params.replace(
+            mean=params.mean + jnp.asarray(rng.normal(size=(6, 2)) * rng.uniform(0, 2)),
+            var_unc=params.var_unc + jnp.asarray(rng.normal(size=(6, 2))),
+        )
+        cache = gp.precompute(p, jitter=1e-8)
+        kl = float(gp.prior_kl(p, cache))
+        assert kl >= -1e-8, (i, kl)
+
+
+def test_large_k_factor_disables_conditioning(rng):
+    """As k -> inf the conditioning gain -> 0, so kl_x -> 0 and the
+    conditioned rollout converges to the unconditioned one."""
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    key = jax.random.PRNGKey(0)
+
+    model_inf = make_model(k_factor=1e12)
+    params = model_inf.init(jax.random.PRNGKey(1))
+    _, aux = model_inf.loss(params, u, y, key, condition=True)
+    assert abs(float(aux["kl_x"])) < 1e-6
+
+    # the sampled trajectory matches the condition=False rollout beyond
+    # the recognition prefix (same eps draws)
+    out_inf = model_inf.predict(params, u, y, key, condition=True)
+    out_off = model_inf.predict(params, u, y, key, condition=False)
+    np.testing.assert_allclose(
+        np.asarray(out_inf.pred_mean),
+        np.asarray(out_off.pred_mean),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+
+
+def test_entropy_increases_with_process_noise(rng):
+    """Scaling var_x up must increase the backward entropy term."""
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    key = jax.random.PRNGKey(0)
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(1))
+    _, aux_small = model.loss(params, u, y, key)
+    bigger = params.replace(var_x_unc=params.var_x_unc + 3.0)
+    _, aux_big = model.loss(bigger, u, y, key)
+    assert float(aux_big["entropy"]) > float(aux_small["entropy"])
+
+
+def test_loss_scale_equivariance_in_lambda(rng):
+    """Doubling lambda_1 doubles the per-sequence part of the ELBO
+    exactly (global KL terms unchanged)."""
+    import dataclasses
+
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    key = jax.random.PRNGKey(2)
+    m1 = make_model()
+    params = m1.init(jax.random.PRNGKey(1))
+    l1, a1 = m1.loss(params, u, y, key)
+    m2 = make_model()
+    m2.config = dataclasses.replace(m2.config, loss_factors=np.asarray([1.4, 0.6]))
+    l2, a2 = m2.loss(params, u, y, key)
+    np.testing.assert_allclose(
+        float(a2["particle_sum"]), 2 * float(a1["particle_sum"]), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(a2["global_term"]), float(a1["global_term"]), rtol=1e-12
+    )
