@@ -100,7 +100,17 @@ def test_pallas_kernel_interpret_mode(rng):
         try:
             pl.pallas_call = functools.partial(orig, interpret=True)
             got_mean, got_var = gp_predict._pallas_forward(*inputs, tile_n=8)
+            rm, rv, rkmn, rw = gp_predict._pallas_forward(
+                *inputs, tile_n=8, with_residuals=True
+            )
         finally:
             pl.pallas_call = orig
     np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_var), np.asarray(want_var), rtol=2e-5, atol=1e-5)
+    # residual-emitting variant returns the same stats plus kmn/w that
+    # match the jnp forward's intermediates
+    _, _, (want_xs, want_kmn, want_w) = gp_predict._reference_forward(*inputs)
+    np.testing.assert_allclose(np.asarray(rm), np.asarray(want_mean), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rv), np.asarray(want_var), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rkmn), np.asarray(want_kmn), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rw), np.asarray(want_w), rtol=2e-5, atol=1e-5)
