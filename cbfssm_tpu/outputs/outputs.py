@@ -69,13 +69,25 @@ class Outputs:
     # --- driver --------------------------------------------------------
 
     def _restore_params(self):
-        if self.trainer is not None and checkpoint.exists(
-            os.path.join(self.model_dir, checkpoint.BEST)
-        ):
-            return self.trainer.restore(checkpoint.BEST)
-        if self.trainer is not None and self.trainer.params is not None:
-            return self.trainer.params
-        raise RuntimeError("no trained parameters available; train first")
+        """Best-checkpoint parameters; works with or without a trainer
+        (the reference's train=False re-evaluation path restores straight
+        from disk, template.py:42,59-64)."""
+        best = os.path.join(self.model_dir, checkpoint.BEST)
+        if self.trainer is not None:
+            if checkpoint.exists(best):
+                return self.trainer.restore(checkpoint.BEST)
+            if self.trainer.params is not None:
+                return self.trainer.params
+        if checkpoint.exists(best):
+            import optax
+
+            params_t = self.model.init(jax.random.PRNGKey(self.seed))
+            opt_t = optax.adam(self.model.config.learning_rate).init(params_t)
+            tree = checkpoint.restore(best, {"params": params_t, "opt_state": opt_t})
+            return tree["params"]
+        raise RuntimeError(
+            f"no trained parameters: neither a trainer nor {best} available"
+        )
 
     def create_all(self):
         assert self.model is not None

@@ -155,6 +155,24 @@ def test_outputs_artifacts(tmp_path):
         assert "Mean:" in f.read()
 
 
+def test_outputs_without_trainer(tmp_path):
+    """train=False re-evaluation (reference template.py:42): a fresh
+    Outputs with no trainer restores best.ckpt straight from disk."""
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    out_dir = str(tmp_path / "out")
+    Trainer(model, out_dir).train(ds, epochs=1)
+
+    outputs = Outputs(out_dir)   # NO set_trainer
+    outputs.set_ds(ds)
+    outputs.set_model(model, out_dir)
+    outputs.create_all()
+    assert outputs.get_last_rmse() is not None
+    assert os.path.isfile(os.path.join(out_dir, "mse.txt"))
+    # training_stats is skipped gracefully without a trainer
+    assert not os.path.isfile(os.path.join(out_dir, "training_loss.pdf"))
+
+
 def test_metrics_and_profile_trace(tmp_path):
     """JSONL metrics stream + jax.profiler trace artifacts."""
     import json
