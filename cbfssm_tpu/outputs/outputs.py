@@ -23,10 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def jnp_asarray(a, dtype):
-    return jnp.asarray(np.asarray(a), dtype=dtype)
-
 import matplotlib
 
 matplotlib.use("Agg")
@@ -37,6 +33,10 @@ import scipy.io  # noqa: E402
 from cbfssm_tpu.training import checkpoint  # noqa: E402
 
 _BAND_COLOR = (255.0 / 255.0, 178.0 / 255.0, 110.0 / 255.0)
+
+
+def jnp_asarray(a, dtype):
+    return jnp.asarray(np.asarray(a), dtype=dtype)
 
 
 class Outputs:
