@@ -184,7 +184,8 @@ def test_loss_matches_literal_reimplementation(batch, condition, mode):
 
 
 @pytest.mark.parametrize(
-    "seq_len,recog_len", [(8, 2), (7, 2), (16, 4), (10, 4), (9, 3), (12, 16)]
+    "seq_len,recog_len",
+    [(8, 2), (7, 2), (16, 4), (10, 4), (9, 3), (12, 16), (34, 16)],
 )
 def test_blocked_matches_literal_across_shapes(rng, seq_len, recog_len):
     """Odd lengths, partial top blocks, and T < 2L (single-block) cases."""
