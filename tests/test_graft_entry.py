@@ -1,0 +1,59 @@
+"""The driver entry points (__graft_entry__) must work in ANY ambient
+environment — in particular `dryrun_multichip` must bootstrap its own
+virtual CPU mesh when the process is pinned to a single-chip accelerator
+platform (the round-1 failure mode)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __graft_entry__ as ge  # noqa: E402
+
+
+class TestCpuMeshAvailable:
+    def test_inline_when_jax_has_enough_cpu_devices(self):
+        # The test process runs with JAX_PLATFORMS=cpu and 8 virtual
+        # devices (conftest.py), so the inline path must be chosen.
+        assert ge._cpu_mesh_available(8)
+
+    def test_reexec_when_too_few_devices(self):
+        assert not ge._cpu_mesh_available(9)
+
+    def test_env_only_detection(self, monkeypatch):
+        # Simulate a fresh process (jax not imported) with various envs.
+        monkeypatch.delitem(sys.modules, "jax", raising=False)
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setenv("XLA_FLAGS", "")
+        assert not ge._cpu_mesh_available(8)
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        assert not ge._cpu_mesh_available(8)  # no device-count flag
+        monkeypatch.setenv(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        assert ge._cpu_mesh_available(8)
+        assert not ge._cpu_mesh_available(16)
+
+    def test_single_device_needs_no_flag(self, monkeypatch):
+        monkeypatch.delitem(sys.modules, "jax", raising=False)
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        monkeypatch.setenv("XLA_FLAGS", "")
+        assert ge._cpu_mesh_available(1)
+
+
+def test_dryrun_inline(capsys):
+    # In the test env the inline path runs the real sharded step.
+    ge.dryrun_multichip(2)
+    out = capsys.readouterr().out
+    assert "one sharded train step OK" in out
+    assert "2-D (data x particle) mesh" in out
+
+
+@pytest.mark.slow
+def test_dryrun_reexec_subprocess():
+    # Exercise the subprocess bootstrap itself (the driver-gate path):
+    # even from a process whose backend is already initialized, the
+    # re-exec must produce a green run.
+    ge._reexec_dryrun(2)
