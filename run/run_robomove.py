@@ -10,11 +10,18 @@ from cbfssm_tpu.outputs import OutputsRoboMove
 from cbfssm_tpu.training import Trainer
 
 
-def main():
+def main(
+    root="run_output/robomove",
+    epochs=100,
+    data_dir=None,
+    config_overrides=None,
+    seq_len=300,
+    seq_stride=50,
+):
+    """Defaults reproduce the reference two-phase curriculum exactly;
+    the keyword overrides let CI execute the full flow on fixtures."""
     for phase in range(2):
-        root_dir = "run_output/robomove"
-        seq_len = 300
-        seq_stride = 50
+        root_dir = root
         dim_x = 4
         model_config = {
             "ds": RoboMove,
@@ -35,11 +42,11 @@ def main():
             "gp_var": 0.1**2,
             "gp_len": 1.0,
         }
+        model_config.update(config_overrides or {})
         retrain = phase == 1
-        epochs = 100
 
         outputs = OutputsRoboMove(root_dir)
-        ds = RoboMove(seq_len, seq_stride)
+        ds = RoboMove(seq_len, seq_stride, data_dir=data_dir)
         outputs.set_ds(ds)
         model = CBFSSM(model_config)
         outputs.set_model(model, root_dir)

@@ -35,16 +35,27 @@ model_config = {
 epochs = 8
 
 
-def main():
-    summary = OutputSummary(root_dir)
+def main(
+    root=root_dir,
+    iterations=iterations,
+    epochs=epochs,
+    data_dir=None,
+    config_overrides=None,
+    seq_len=seq_len,
+    seq_stride=seq_stride,
+):
+    """Defaults reproduce the reference experiment exactly; the keyword
+    overrides let CI execute the full driver flow on fixtures."""
+    config = dict(model_config, **(config_overrides or {}))
+    summary = OutputSummary(root)
     for it in range(iterations):
         if iterations != 1:
             print("\n=== Iteration %d ===\n" % it)
-        out_dir = root_dir if iterations == 1 else root_dir + "/run_%d" % it
+        out_dir = root if iterations == 1 else root + "/run_%d" % it
         outputs = Outputs(out_dir)
-        ds = Sarcos(seq_len, seq_stride)
+        ds = Sarcos(seq_len, seq_stride, data_dir=data_dir)
         outputs.set_ds(ds)
-        model = CBFSSM(model_config)
+        model = CBFSSM(config)
         outputs.set_model(model, out_dir)
         trainer = Trainer(model, out_dir, seed=it)
         trainer.train(ds, epochs)
@@ -52,6 +63,7 @@ def main():
         outputs.create_all()
         summary.add_outputs(outputs)
     summary.write_summary()
+    return summary
 
 
 if __name__ == "__main__":

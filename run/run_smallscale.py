@@ -23,13 +23,22 @@ datasets = [
 tasks = [int(sys.argv[1])] if len(sys.argv) > 1 else range(len(datasets))
 
 
-def main():
-    for task_nr in tasks:
-        root_dir = "run_output/smallscale/" + datasets[task_nr][1]
-        iterations = 5
+def main(
+    task_list=None,
+    root="run_output/smallscale",
+    iterations=5,
+    train_iterations=30000,
+    data_dir=None,
+    config_overrides=None,
+    seq_len=50,
+    seq_stride=1,
+):
+    """Defaults reproduce the reference experiment exactly; the keyword
+    overrides exist so CI can execute the full driver flow (config →
+    dataset → train → outputs → summary) on fixtures at 1 epoch."""
+    for task_nr in task_list if task_list is not None else tasks:
+        root_dir = root + "/" + datasets[task_nr][1]
         ds_sel = datasets[task_nr][0]
-        seq_len = 50
-        seq_stride = 1
         dim_x = 4
         model_config = {
             "ds": ds_sel,
@@ -50,7 +59,7 @@ def main():
             "gp_var": 0.5**2,
             "gp_len": 2.0,
         }
-        train_iterations = 30000
+        model_config.update(config_overrides or {})
 
         summary = OutputSummary(root_dir)
         for it in range(iterations):
@@ -58,7 +67,7 @@ def main():
                 print("\n=== Iteration %d ===\n" % it)
             out_dir = root_dir if iterations == 1 else root_dir + "/run_%d" % it
             outputs = Outputs(out_dir)
-            ds = ds_sel(seq_len, seq_stride)
+            ds = ds_sel(seq_len, seq_stride, data_dir=data_dir)
             outputs.set_ds(ds)
             model = CBFSSM(model_config)
             outputs.set_model(model, out_dir)

@@ -46,16 +46,27 @@ model_config = {
 train_iterations = 30000
 
 
-def main():
-    summary = OutputSummary(root_dir)
+def main(
+    root=root_dir,
+    iterations=None,
+    train_iterations=train_iterations,
+    data_dir=None,
+    config_overrides=None,
+    seq_len=seq_len,
+    seq_stride=seq_stride,
+):
+    if iterations is None:
+        iterations = globals()["iterations"]
+    config = dict(model_config, **(config_overrides or {}))
+    summary = OutputSummary(root)
     for it in range(iterations):
         if iterations != 1:
             print("\n=== Iteration %d ===\n" % it)
-        out_dir = root_dir if iterations == 1 else root_dir + "/run_%d" % it
+        out_dir = root if iterations == 1 else root + "/run_%d" % it
         outputs = Outputs(out_dir)
-        ds = SpringNonlinear(seq_len, seq_stride)
+        ds = SpringNonlinear(seq_len, seq_stride, data_dir=data_dir)
         outputs.set_ds(ds)
-        model = CBFSSM(model_config)
+        model = CBFSSM(config)
         outputs.set_model(model, out_dir)
         epochs = math.ceil(train_iterations / ds.train_in_batch.shape[0])
         trainer = Trainer(model, out_dir, seed=it,

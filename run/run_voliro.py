@@ -38,16 +38,27 @@ model_config = {
 epochs = 2000
 
 
-def main():
-    outputs = OutputsVoliro(root_dir)
-    ds = VoliroFlipDS(seq_len, seq_stride)
+def main(
+    root=root_dir,
+    epochs=epochs,
+    data_dir=None,
+    config_overrides=None,
+    seq_len=seq_len,
+    seq_stride=seq_stride,
+):
+    """Defaults reproduce the reference experiment exactly; the keyword
+    overrides let CI execute the full flow on synthetic flight logs."""
+    config = dict(model_config, **(config_overrides or {}))
+    outputs = OutputsVoliro(root)
+    ds = VoliroFlipDS(seq_len, seq_stride, data_dir=data_dir)
     outputs.set_ds(ds)
-    model = Voliro(model_config)
-    outputs.set_model(model, root_dir)
-    trainer = Trainer(model, root_dir)
+    model = Voliro(config)
+    outputs.set_model(model, root)
+    trainer = Trainer(model, root)
     trainer.train(ds, epochs)
     outputs.set_trainer(trainer)
     outputs.create_all()
+    return outputs
 
 
 if __name__ == "__main__":
