@@ -31,7 +31,7 @@ from flax import struct
 
 from cbfssm_tpu.models import segmentation
 from cbfssm_tpu.models.base import LOG_2PI_E, BaseSSM
-from cbfssm_tpu.ops import gp, transforms
+from cbfssm_tpu.ops import gp, transforms, vma
 from cbfssm_tpu.ops.distributions import kl_diag_gaussians
 
 
@@ -144,7 +144,7 @@ class CBFSSM(BaseSSM):
             ent_t = jnp.where(w0_t, ent_run[0], ent_run[1])  # [B]
             return out, (y2_t, ent_t)
 
-        h0 = jnp.zeros((2, b, s, dh), dtype=dtype)
+        h0 = vma.zeros_matching((2, b, s, dh), dtype, noise, u_tm, y_tm)
         inputs = (
             jnp.flip(u_tm, 0),
             jnp.flip(y_tm, 0),
@@ -237,7 +237,7 @@ class CBFSSM(BaseSSM):
             ent_t = 0.5 * jnp.sum(LOG_2PI_E + jnp.log(fvar), axis=(3, 4))  # [2, K, B]
             return out, (out, ent_t)
 
-        h0 = jnp.zeros((2, n_blocks, b, s, dh), dtype=dtype)
+        h0 = vma.zeros_matching((2, n_blocks, b, s, dh), dtype, noise, u_tm, y_tm)
         _, (outs_rev, ent_rev) = jax.lax.scan(step, h0, inputs)
         # [two_l, 2, K, ...] (descending t') -> [2, t_ext, ...]
         outs = jnp.flip(outs_rev, 0)

@@ -17,7 +17,7 @@ from flax import struct
 
 from cbfssm_tpu.models import recognition, segmentation
 from cbfssm_tpu.models.base import BaseSSM
-from cbfssm_tpu.ops import gp, transforms
+from cbfssm_tpu.ops import gp, transforms, vma
 from cbfssm_tpu.ops.distributions import kl_diag_gaussians
 
 
@@ -139,7 +139,7 @@ class CBFSSMHALF(BaseSSM):
             kl_t = jnp.where(cond_t, kl_t, 0.0)
             return x_next, (x_next, kl_t)
 
-        x0 = self._initial_state(params, u, y)
+        x0 = vma.match_vma(self._initial_state(params, u, y), eps, u_tm, y_tm)
         inputs = (u_tm[:-1], y_tm[1:], eps, cond_mask)
         _, (x_rest, kl_steps) = jax.lax.scan(step, x0, inputs)
         x_final = jnp.concatenate((x0[None], x_rest), axis=0)

@@ -21,7 +21,7 @@ from flax import struct
 
 from cbfssm_tpu.models import recognition
 from cbfssm_tpu.models.base import BaseSSM
-from cbfssm_tpu.ops import gp, transforms
+from cbfssm_tpu.ops import gp, transforms, vma
 
 
 @struct.dataclass
@@ -116,7 +116,7 @@ class PRSSM(BaseSSM):
             x_next = fmean + eps_t * jnp.sqrt(fvar)
             return x_next, x_next
 
-        x0 = self._initial_state(params, u, y)
+        x0 = vma.match_vma(self._initial_state(params, u, y), eps, u_tm)
         _, x_rest = jax.lax.scan(step, x0, (u_tm[:-1], eps))
         x_final = jnp.concatenate((x0[None], x_rest), axis=0)
         return x_final, (var_y, cache_f, y_tm)

@@ -32,7 +32,7 @@ import numpy as np
 from flax import struct
 
 from cbfssm_tpu.models.base import LOG_2PI_E, BaseSSM
-from cbfssm_tpu.ops import gp, quaternion, transforms
+from cbfssm_tpu.ops import gp, quaternion, transforms, vma
 from cbfssm_tpu.ops.distributions import beta_logpdf, kl_diag_gaussians
 
 
@@ -222,7 +222,7 @@ class Voliro(BaseSSM):
             ent_t = 0.5 * jnp.sum(LOG_2PI_E + jnp.log(fvar), axis=(1, 2))  # [B]
             return out, (out, ent_t)
 
-        h0 = jnp.zeros((b, s, dh), dtype=self.dtype)
+        h0 = vma.zeros_matching((b, s, dh), self.dtype, eps, ft_gp_tm, yh_tm)
         inputs = (jnp.flip(ft_gp_tm, 0), jnp.flip(yh_tm, 0), jnp.flip(eps, 0))
         _, (y2_rev, ent_rev) = jax.lax.scan(step, h0, inputs)
         y2 = jnp.flip(y2_rev, 0)

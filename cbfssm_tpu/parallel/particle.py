@@ -65,10 +65,20 @@ class ParticleParallel:
     def predict(self, params, u, y, key, condition: bool = False):
         return self.model.predict(params, u, y, key, condition)
 
+    # Aux entries that are functions of the (replicated) parameters only
+    # — identical on every shard, so they must NOT be psum-ed.
+    _REPLICATED_AUX = frozenset(
+        {"kl_z", "kl_z_f", "kl_z_b", "n_reg", "l_reg", "global_term",
+         "particle_divisor"}
+    )
+
     def loss(self, params, u, y, key, condition: bool = True, weights=None):
-        """Sharded negative ELBO. Statistically equivalent to the
-        unsharded model (same particle count in total; shard-unique RNG
-        folds make the draws a different sample path)."""
+        """Sharded negative ELBO + full aux parity. Statistically
+        equivalent to the unsharded model (same particle count in total;
+        shard-unique RNG folds make the draws a different sample path).
+        Per-particle aux terms (loglik, kl_x, entropy, particle_sum) are
+        psum-ed alongside the loss so the ELBO decomposition and metric
+        logging survive sharding."""
         local = self.local_model
         axis = self.axis_name
         data_spec = P(self.data_axis) if self.data_axis else P()
@@ -84,11 +94,20 @@ class ParticleParallel:
             idx = jax.lax.axis_index(axis)
             skey = jax.random.fold_in(key, idx)
             _, aux = local.loss(params, u, y, skey, condition, weights)
-            psum_particles = jax.lax.psum(aux["particle_sum"], axis)
-            if self.data_axis:
-                psum_particles = jax.lax.psum(psum_particles, self.data_axis)
-            elbo = psum_particles / divisor_total + aux["global_term"]
-            return -elbo
+
+            def total(v):
+                v = jax.lax.psum(v, axis)
+                return jax.lax.psum(v, self.data_axis) if self.data_axis else v
+
+            out_aux = {
+                k: (v if k in self._REPLICATED_AUX else total(v))
+                for k, v in aux.items()
+            }
+            out_aux["particle_divisor"] = jnp.asarray(
+                divisor_total, dtype=self.dtype
+            )
+            elbo = out_aux["particle_sum"] / divisor_total + aux["global_term"]
+            return -elbo, out_aux
 
         in_specs = (P(), data_spec, data_spec, P(), data_spec)
         if weights is None:
@@ -97,9 +116,8 @@ class ParticleParallel:
             shard_fn,
             mesh=self.mesh,
             in_specs=in_specs,
-            out_specs=P(),
-            check_vma=False,
+            out_specs=(P(), P()),
         )
         u = jnp.asarray(u, dtype=self.dtype)
         y = jnp.asarray(y, dtype=self.dtype)
-        return fn(params, u, y, key, weights), {}
+        return fn(params, u, y, key, weights)

@@ -72,6 +72,38 @@ def test_one_particle_per_shard_normalization(rng):
     np.testing.assert_allclose(float(got), want, rtol=1e-8)
 
 
+def test_sharded_aux_parity(rng):
+    """The ELBO decomposition must survive sharding: every aux entry of
+    the sharded loss equals the serially-emulated total (per-particle
+    terms psum-ed over the mesh, parameter-only terms replicated)."""
+    import dataclasses
+
+    cfg = cbfssm_cfg()
+    n = 4
+    mesh = make_mesh(n, axis_name="particle")
+    pp = ParticleParallel(CBFSSM, cfg, mesh)
+    params = pp.init(jax.random.PRNGKey(0))
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    key = jax.random.PRNGKey(7)
+    _, aux = pp.loss(params, u, y, key)
+
+    local = CBFSSM(dataclasses.replace(cfg, samples=cfg.samples // n))
+    want = {}
+    for idx in range(n):
+        _, la = local.loss(params, u, y, jax.random.fold_in(key, idx))
+        for k, v in la.items():
+            if k in ParticleParallel._REPLICATED_AUX:
+                want[k] = float(v)
+            else:
+                want[k] = want.get(k, 0.0) + float(v)
+    want["particle_divisor"] = float(cfg.samples)
+
+    assert set(aux) == set(want)
+    for k in want:
+        np.testing.assert_allclose(float(aux[k]), want[k], rtol=1e-8, err_msg=k)
+
+
 def test_sharded_loss_grads(rng):
     cfg = cbfssm_cfg()
     mesh = make_mesh(4, axis_name="particle")
