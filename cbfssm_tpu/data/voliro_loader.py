@@ -53,10 +53,15 @@ _LOG_KEYS = [
 
 def unwrap_euler_angles(vec: np.ndarray, threshold: float = 2.0 / 3.0 * np.pi) -> np.ndarray:
     """Jump filter for euler-angle time series (reference
-    voliro_loader.py:141-158): when consecutive samples jump by more than
-    the threshold, shift by 2*pi (or pi as intermediate) to keep the
-    series continuous. Carried-dependency loop -> native C++ when
-    available, python fallback below."""
+    voliro_loader.py:141-158): an above-threshold positive jump between
+    consecutive samples subtracts 2*pi; a negative jump first tries
+    +pi, then +2*pi if still below -threshold. (The reference's
+    positive branch contains a dead second assignment of the same
+    value, voliro_loader.py:150-151 — the behavior is a single -2*pi
+    correction; both implementations here follow that one spec.)
+    Carried-dependency loop -> native C++ when available, python
+    fallback below; the two paths are equivalence-tested against each
+    other in tests/test_native.py."""
     vec = np.atleast_2d(vec)
     from cbfssm_tpu import native
 
@@ -73,8 +78,6 @@ def unwrap_euler_angles(vec: np.ndarray, threshold: float = 2.0 / 3.0 * np.pi) -
             v = col[i]
             if v - prev > threshold:
                 cand = v - 2 * np.pi
-                if cand - prev > threshold:
-                    cand = v - 2 * np.pi
             elif v - prev < -threshold:
                 cand = v + np.pi
                 if cand - prev < -threshold:

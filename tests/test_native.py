@@ -67,6 +67,21 @@ def test_unwrap_matches_python_reference(rng):
     np.testing.assert_allclose(got, want, atol=1e-12)
 
 
+def test_unwrap_python_fallback_matches_cpp(monkeypatch, rng):
+    """The Python fallback and the C++ path implement ONE spec: force
+    the fallback (lib unavailable) and compare element-for-element
+    against the native result on the same inputs, including sequences
+    with consecutive wrap crossings in both directions."""
+    if not native.available():
+        pytest.skip("native library unavailable; nothing to compare")
+    base = np.cumsum(rng.normal(0, 0.8, size=(300, 4)), axis=0)
+    vec = ((base + np.pi) % (2 * np.pi)) - np.pi
+    want = voliro_loader.unwrap_euler_angles(vec)  # native path
+    monkeypatch.setattr(native, "unwrap_angles", lambda v, t: None)
+    got = voliro_loader.unwrap_euler_angles(vec)  # python fallback
+    np.testing.assert_array_equal(got, want)
+
+
 def test_unwrap_continuity(rng):
     # The reference filter corrects individual +-2*pi jumps (it is not a
     # cumulative unwrapper), so test a ramp crossing ONE wrap boundary.
