@@ -58,11 +58,17 @@ class DataParallel:
 
     @property
     def n(self) -> int:
-        return 1 if self.mesh is None else self.mesh.devices.size
+        """Size of the data axis (1 when the mesh lacks one — e.g. a
+        pure-particle mesh where batches stay replicated)."""
+        if self.mesh is None or self.axis_name not in self.mesh.axis_names:
+            return 1
+        return self.mesh.shape[self.axis_name]
 
     def batch_sharding(self, ndim: int):
         if self.mesh is None:
             return None
+        if self.axis_name not in self.mesh.axis_names:
+            return NamedSharding(self.mesh, P())
         return NamedSharding(self.mesh, P(self.axis_name, *([None] * (ndim - 1))))
 
     def replicated(self):

@@ -33,7 +33,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import PartitionSpec as P
 
 from cbfssm_tpu.parallel.sharding import DataParallel
 from cbfssm_tpu.training import checkpoint
@@ -61,12 +60,14 @@ class Trainer:
         os.makedirs(model_dir, exist_ok=True)
 
         def constrain_batch(tree):
+            # Pin each batch's leading axis to the mesh's data axis (a
+            # multi-axis mesh shards batches over 'data' only; a mesh
+            # without a data axis replicates them — see DataParallel).
             if self.dp.mesh is None:
                 return tree
-            spec = P("data")
             return jax.tree_util.tree_map(
                 lambda a: jax.lax.with_sharding_constraint(
-                    a, jax.sharding.NamedSharding(self.dp.mesh, spec)
+                    a, self.dp.batch_sharding(a.ndim)
                 ),
                 tree,
             )
