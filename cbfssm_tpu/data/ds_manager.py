@@ -54,10 +54,22 @@ class DSManager:
             sim.propagate(u)
         return np.asarray(u_all), np.asarray(x_all), np.asarray(y_all)
 
-    # Alias kept for interface parity (reference distinguishes a
-    # matrix-argument variant, ds_manager.py:37-58; the generic sampler
-    # above handles both since it flattens states/controls).
-    sample_ds_matrix = sample_ds
+    @staticmethod
+    def sample_ds_matrix(sim, ds_size, u_fn):
+        """Rollout sampler for simulators that speak matrices / column
+        vectors (reference ds_manager.py:37-58): states, measurements
+        and controls are ``[d, 1]`` columns; rows are extracted via the
+        transpose (``x.T[0, :]``) and the column objects themselves flow
+        to ``u_fn`` / ``propagate`` untouched."""
+        u_all, x_all, y_all = [], [], []
+        for i in range(ds_size):
+            x = sim.get_state()
+            x_all.append(np.asarray(x.T)[0, :])
+            y_all.append(np.asarray(sim.measure().T)[0, :])
+            u = u_fn(i, x)
+            u_all.append(np.asarray(u.T)[0, :])
+            sim.propagate(u)
+        return np.asarray(u_all), np.asarray(x_all), np.asarray(y_all)
 
     @staticmethod
     def normalize_ds(data):

@@ -66,41 +66,89 @@ def resample_task(task: "TaskData", factor: float) -> "TaskData":
     )
 
 
-def _split_task(data_in, data_out, split_point, dt=1.0) -> TaskData:
+def validate_task(task: "TaskData", name: str = "task") -> "TaskData":
+    """Data-consistency checks reproducing the reference framework's
+    assertions (tasks.py:113-128 channel checks;
+    data_management.py:54-68 shape/length checks) so a malformed raw
+    file fails HERE with a clear message instead of deep inside
+    windowing or a jit trace."""
+    for split in ("train", "test"):
+        ins = getattr(task, split + "_in")
+        outs = getattr(task, split + "_out")
+        if len(ins) != len(outs):
+            raise ValueError(
+                f"{name}: {split} has {len(ins)} input but {len(outs)} "
+                "output experiments"
+            )
+        if not ins:
+            raise ValueError(f"{name}: {split} split is empty")
+        for i, (u, y) in enumerate(zip(ins, outs)):
+            if u.ndim != 2 or y.ndim != 2:
+                raise ValueError(
+                    f"{name}: {split} experiment {i} must be 2-D "
+                    f"[time, dim], got {u.shape} / {y.shape}"
+                )
+            if u.shape[0] != y.shape[0]:
+                raise ValueError(
+                    f"{name}: {split} experiment {i}: input length "
+                    f"{u.shape[0]} != output length {y.shape[0]}"
+                )
+            if u.shape[1] != ins[0].shape[1] or y.shape[1] != outs[0].shape[1]:
+                raise ValueError(
+                    f"{name}: {split} experiment {i} channel count differs "
+                    f"from experiment 0 ({u.shape[1]} vs {ins[0].shape[1]} in, "
+                    f"{y.shape[1]} vs {outs[0].shape[1]} out)"
+                )
+            if not (np.isfinite(u).all() and np.isfinite(y).all()):
+                raise ValueError(
+                    f"{name}: {split} experiment {i} contains non-finite values"
+                )
+    du = task.train_in[0].shape[1]
+    dy = task.train_out[0].shape[1]
+    if task.test_in[0].shape[1] != du or task.test_out[0].shape[1] != dy:
+        raise ValueError(
+            f"{name}: test channel counts ({task.test_in[0].shape[1]}, "
+            f"{task.test_out[0].shape[1]}) differ from train ({du}, {dy})"
+        )
+    return task
+
+
+def _split_task(data_in, data_out, split_point, dt=1.0, name="task") -> TaskData:
     data_in = _as_2d(data_in)
     data_out = _as_2d(data_out)
-    return TaskData(
+    task = TaskData(
         train_in=[data_in[:split_point]],
         train_out=[data_out[:split_point]],
         test_in=[data_in[split_point:]],
         test_out=[data_out[split_point:]],
         dt=dt,
     )
+    return validate_task(task, name)
 
 
 def load_actuator(data_dir=_DATA_DIR) -> TaskData:
     data = scipy.io.loadmat(os.path.join(data_dir, "actuator.mat"))
-    return _split_task(data["u"], data["p"], 512)
+    return _split_task(data["u"], data["p"], 512, name="actuator")
 
 
 def load_ballbeam(data_dir=_DATA_DIR) -> TaskData:
     data = np.loadtxt(os.path.join(data_dir, "ballbeam.dat"))
-    return _split_task(data[:, 0], data[:, 1], 500, dt=0.1)
+    return _split_task(data[:, 0], data[:, 1], 500, dt=0.1, name="ballbeam")
 
 
 def load_drive(data_dir=_DATA_DIR) -> TaskData:
     data = scipy.io.loadmat(os.path.join(data_dir, "drive.mat"))
-    return _split_task(data["u1"], data["z1"], 250)
+    return _split_task(data["u1"], data["z1"], 250, name="drive")
 
 
 def load_furnace(data_dir=_DATA_DIR) -> TaskData:
     data = np.loadtxt(os.path.join(data_dir, "gas_furnace.csv"), skiprows=1, delimiter=",")
-    return _split_task(data[:, 0], data[:, 1], 148)
+    return _split_task(data[:, 0], data[:, 1], 148, name="furnace")
 
 
 def load_dryer(data_dir=_DATA_DIR) -> TaskData:
     data = np.loadtxt(os.path.join(data_dir, "dryer.dat"))
-    return _split_task(data[:, 0], data[:, 1], 500)
+    return _split_task(data[:, 0], data[:, 1], 500, name="dryer")
 
 
 def load_sarcos(data_dir=_DATA_DIR) -> TaskData:
@@ -123,7 +171,7 @@ def load_sarcos(data_dir=_DATA_DIR) -> TaskData:
         elif i < 66:
             task.test_in.append(e[:, input_ind])
             task.test_out.append(e[:, output_ind])
-    return task
+    return validate_task(task, "sarcos")
 
 
 TASK_LOADERS = {

@@ -90,6 +90,83 @@ def test_ds_manager_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(y2, y)
 
 
+def test_sample_ds_matrix_column_vector_contract(rng):
+    """The matrix-argument sampler (reference ds_manager.py:37-58):
+    states/measurements/controls are [d, 1] column vectors; the column
+    objects flow to the policy and propagate untouched."""
+
+    class ColumnSim:
+        def __init__(self):
+            self.x = np.zeros((3, 1))
+
+        def get_state(self):
+            return self.x.copy()
+
+        def measure(self):
+            return 2.0 * self.x[:2]  # [2, 1]
+
+        def propagate(self, u):
+            assert u.shape == (1, 1)  # the column arrives untouched
+            self.x = self.x + np.vstack([u, u, u])
+
+    def policy(i, x):
+        assert x.shape == (3, 1)  # policy sees the column too
+        return np.asarray([[float(i)]])
+
+    u, x, y = DSManager.sample_ds_matrix(ColumnSim(), 4, policy)
+    assert u.shape == (4, 1) and x.shape == (4, 3) and y.shape == (4, 2)
+    np.testing.assert_allclose(u[:, 0], [0, 1, 2, 3])
+    np.testing.assert_allclose(x[:, 0], [0, 0, 1, 3])  # cumsum of u
+    np.testing.assert_allclose(y, 2.0 * x[:, :2])
+
+
+def test_task_consistency_validation():
+    """Malformed raw data fails in the loader with a clear message
+    (reference tasks.py:113-128 / data_management.py:54-68 checks)."""
+    from cbfssm_tpu.data.system_id_tasks import TaskData, validate_task
+
+    ok = TaskData(
+        train_in=[np.zeros((10, 2))],
+        train_out=[np.zeros((10, 1))],
+        test_in=[np.zeros((5, 2))],
+        test_out=[np.zeros((5, 1))],
+    )
+    validate_task(ok)
+
+    bad_len = TaskData(
+        train_in=[np.zeros((10, 2))],
+        train_out=[np.zeros((9, 1))],
+        test_in=[np.zeros((5, 2))],
+        test_out=[np.zeros((5, 1))],
+    )
+    with pytest.raises(ValueError, match="length"):
+        validate_task(bad_len)
+
+    bad_chan = TaskData(
+        train_in=[np.zeros((10, 2))],
+        train_out=[np.zeros((10, 1))],
+        test_in=[np.zeros((5, 3))],
+        test_out=[np.zeros((5, 1))],
+    )
+    with pytest.raises(ValueError, match="channel"):
+        validate_task(bad_chan)
+
+    nan = np.zeros((10, 1))
+    nan[3] = np.nan
+    bad_nan = TaskData(
+        train_in=[np.zeros((10, 2))],
+        train_out=[nan],
+        test_in=[np.zeros((5, 2))],
+        test_out=[np.zeros((5, 1))],
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        validate_task(bad_nan)
+
+    empty = TaskData(train_in=[], train_out=[], test_in=[], test_out=[])
+    with pytest.raises(ValueError, match="empty"):
+        validate_task(empty)
+
+
 # --- system-id dataset classes (synthetic fixtures) -----------------------
 
 
