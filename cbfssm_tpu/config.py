@@ -51,6 +51,11 @@ class ModelConfig:
     # single-kernel TPU forward with analytic VJP; useful for per-step
     # dispatch / inference workloads)
     gp_impl: str = "solve_free"
+    # lax.scan unroll factor for the time recursions (pure perf knob:
+    # >1 emits several steps per loop iteration, amortizing loop
+    # overhead at the cost of code size/compile time; numerics
+    # unchanged)
+    scan_unroll: int = 1
     # Backward-pass schedule: 'blocked' processes the independent
     # 2*recog_len segments in parallel (sequential depth 2L instead of
     # T); 'sequential' is the reference-shaped reverse scan; 'auto'

@@ -153,7 +153,9 @@ class CBFSSM(BaseSSM):
             jnp.flip(noise, 0),
             jnp.flip(eps, 0),
         )
-        _, (y2_rev, ent_rev) = jax.lax.scan(step, h0, inputs)
+        _, (y2_rev, ent_rev) = jax.lax.scan(
+            step, h0, inputs, unroll=self.config.scan_unroll
+        )
         y2 = jnp.flip(y2_rev, 0)  # [T, B, S, dh]
         entropy = jnp.sum(ent_rev, axis=0)  # [B]
 
@@ -238,7 +240,9 @@ class CBFSSM(BaseSSM):
             return out, (out, ent_t)
 
         h0 = vma.zeros_matching((2, n_blocks, b, s, dh), dtype, noise, u_tm, y_tm)
-        _, (outs_rev, ent_rev) = jax.lax.scan(step, h0, inputs)
+        _, (outs_rev, ent_rev) = jax.lax.scan(
+            step, h0, inputs, unroll=self.config.scan_unroll
+        )
         # [two_l, 2, K, ...] (descending t') -> [2, t_ext, ...]
         outs = jnp.flip(outs_rev, 0)
         ents = jnp.flip(ent_rev, 0)
@@ -302,7 +306,9 @@ class CBFSSM(BaseSSM):
 
         x0 = y_tilde[0]
         inputs = (u_tm[:-1], y_tilde[1:], eps, cond_mask)
-        _, (x_rest, kl_steps) = jax.lax.scan(step, x0, inputs)
+        _, (x_rest, kl_steps) = jax.lax.scan(
+            step, x0, inputs, unroll=self.config.scan_unroll
+        )
         x_final = jnp.concatenate((x0[None], x_rest), axis=0)  # [T, B, S, dx]
         return x_final, jnp.sum(kl_steps, axis=0)
 

@@ -141,7 +141,9 @@ class CBFSSMHALF(BaseSSM):
 
         x0 = vma.match_vma(self._initial_state(params, u, y), eps, u_tm, y_tm)
         inputs = (u_tm[:-1], y_tm[1:], eps, cond_mask)
-        _, (x_rest, kl_steps) = jax.lax.scan(step, x0, inputs)
+        _, (x_rest, kl_steps) = jax.lax.scan(
+            step, x0, inputs, unroll=self.config.scan_unroll
+        )
         x_final = jnp.concatenate((x0[None], x_rest), axis=0)
         return x_final, jnp.sum(kl_steps, axis=0), (var_y, cache_f, y_tm)
 

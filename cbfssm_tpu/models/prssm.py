@@ -117,7 +117,9 @@ class PRSSM(BaseSSM):
             return x_next, x_next
 
         x0 = vma.match_vma(self._initial_state(params, u, y), eps, u_tm)
-        _, x_rest = jax.lax.scan(step, x0, (u_tm[:-1], eps))
+        _, x_rest = jax.lax.scan(
+            step, x0, (u_tm[:-1], eps), unroll=self.config.scan_unroll
+        )
         x_final = jnp.concatenate((x0[None], x_rest), axis=0)
         return x_final, (var_y, cache_f, y_tm)
 

@@ -224,7 +224,9 @@ class Voliro(BaseSSM):
 
         h0 = vma.zeros_matching((b, s, dh), self.dtype, eps, ft_gp_tm, yh_tm)
         inputs = (jnp.flip(ft_gp_tm, 0), jnp.flip(yh_tm, 0), jnp.flip(eps, 0))
-        _, (y2_rev, ent_rev) = jax.lax.scan(step, h0, inputs)
+        _, (y2_rev, ent_rev) = jax.lax.scan(
+            step, h0, inputs, unroll=self.config.scan_unroll
+        )
         y2 = jnp.flip(y2_rev, 0)
         y_obs = jnp.broadcast_to(yh_tm[:, :, None, :], (t_len, b, s, self.DIM_Y))
         return jnp.concatenate((y_obs, y2), axis=-1), jnp.sum(ent_rev, axis=0)
@@ -252,7 +254,9 @@ class Voliro(BaseSSM):
 
         x0 = y_tilde[0]
         inputs = (ft_gp_tm[:-1], y_tilde[1:], eps)
-        _, (x_rest, kl_steps) = jax.lax.scan(step, x0, inputs)
+        _, (x_rest, kl_steps) = jax.lax.scan(
+            step, x0, inputs, unroll=self.config.scan_unroll
+        )
         x_final = jnp.concatenate((x0[None], x_rest), axis=0)
         return x_final, jnp.sum(kl_steps, axis=0)
 

@@ -54,7 +54,7 @@ def main(
     outputs.set_ds(ds)
     model = Voliro(config)
     outputs.set_model(model, root)
-    trainer = Trainer(model, root)
+    trainer = Trainer(model, root, metrics_path=root + "/metrics.jsonl")
     trainer.train(ds, epochs)
     outputs.set_trainer(trainer)
     outputs.create_all()
