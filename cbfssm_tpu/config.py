@@ -51,6 +51,12 @@ class ModelConfig:
     # single-kernel TPU forward with analytic VJP; useful for per-step
     # dispatch / inference workloads)
     gp_impl: str = "solve_free"
+    # Matmul precision for the GP predict path inside scan bodies:
+    # 'highest' (6-pass f32, default — exact), 'high' (3-pass, rel err
+    # ~2e-7, ~+5% steps/sec on compute-bound shapes), 'default'
+    # (1 bf16 pass, rel err ~4e-6, ~+12%). The Gram/Cholesky precompute
+    # always runs at HIGHEST regardless.
+    gp_matmul_precision: str = "highest"
     # lax.scan unroll factor for the time recursions (pure perf knob:
     # >1 emits several steps per loop iteration, amortizing loop
     # overhead at the cost of code size/compile time; numerics

@@ -53,6 +53,17 @@ class BaseSSM:
         self.jitter = self.config.jitter
         if self.config.gp_impl not in ("solve_free", "pallas"):
             raise ValueError(f"unknown gp_impl: {self.config.gp_impl!r}")
+        try:
+            self._gp_precision = {
+                "highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT,
+            }[self.config.gp_matmul_precision]
+        except KeyError:
+            raise ValueError(
+                "gp_matmul_precision must be 'highest', 'high', or "
+                f"'default', got {self.config.gp_matmul_precision!r}"
+            ) from None
 
     def _check_noise_lengths(self, **expected):
         """Validate config noise-vector lengths early with a clear error
@@ -75,7 +86,7 @@ class BaseSSM:
 
         if self.config.gp_impl == "pallas":
             return gp.predict_fast(cache, xnew)
-        return gp.predict(cache, xnew)
+        return gp.predict(cache, xnew, precision=self._gp_precision)
 
     # --- parameter helpers --------------------------------------------
 

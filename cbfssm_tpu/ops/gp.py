@@ -72,6 +72,7 @@ class GPCache:
     z: Any  # [M, in_dim]
     inv_ls: Any  # [in_dim] 1 / lengthscales
     zs: Any  # [M, in_dim] z * inv_ls (pre-scaled inducing inputs)
+    kinv_alpha: Any  # [M, M + out_dim] concat(K^-1, alpha): one predict matmul
 
 
 def init_sparse_gp(
@@ -132,24 +133,36 @@ def precompute(params: SparseGPParams, jitter: float | None = None) -> GPCache:
         z=params.z,
         inv_ls=inv_ls,
         zs=params.z * inv_ls,
+        kinv_alpha=jnp.concatenate((kinv, alpha), axis=1),
     )
 
 
-def predict(cache: GPCache, xnew):
+def predict(cache: GPCache, xnew, precision=None):
     """Predictive mean/variance at ``xnew`` [N, in_dim] -> ([N, D], [N, D]).
 
     Solve-free path (see module docstring); numerically equivalent to
-    :func:`predict_reference` (tested to tight tolerance).
+    :func:`predict_reference` (tested to tight tolerance). The w and
+    mean products are ONE matmul against the cached concat(K^-1, alpha)
+    — bitwise identical to two separate matmuls (each output element is
+    the same dot product) and measurably faster inside scan bodies.
+
+    ``precision`` overrides the matmul precision (default HIGHEST; see
+    ModelConfig.gp_matmul_precision for the measured accuracy/speed
+    trade-off on compute-bound shapes).
     """
-    knm = kernels.rbf_cross(xnew, cache.z, cache.kern_var, cache.kern_len)  # [N, M]
-    w = jnp.matmul(knm, cache.kinv, precision=kernels.HIGHEST)  # [N, M]
+    precision = kernels.HIGHEST if precision is None else precision
+    m = cache.kinv.shape[0]
+    knm = kernels.rbf_cross(
+        xnew, cache.z, cache.kern_var, cache.kern_len, precision=precision
+    )  # [N, M]
+    wm = jnp.matmul(knm, cache.kinv_alpha, precision=precision)  # [N, M + D]
+    w, fmean = wm[:, :m], wm[:, m:]
     qf = jnp.sum(knm * w, axis=-1)  # [N] = diag(K_nm K^-1 K_mn)
-    fmean = jnp.matmul(knm, cache.alpha, precision=kernels.HIGHEST)  # [N, D]
     # kvar - qf >= 0 mathematically; clamp the f32 cancellation noise
     # that otherwise drives sqrt/log of a negative variance to NaN once
     # lengthscales sharpen during training.
     fvar = jnp.maximum(cache.kern_var - qf, 0.0)[:, None] + jnp.matmul(
-        jnp.square(w), cache.var_q, precision=kernels.HIGHEST
+        jnp.square(w), cache.var_q, precision=precision
     )  # [N, D]
     return fmean, fvar
 

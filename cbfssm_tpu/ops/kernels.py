@@ -22,7 +22,7 @@ import jax.numpy as jnp
 HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def scaled_square_dist(x, z, lengthscales):
+def scaled_square_dist(x, z, lengthscales, precision=HIGHEST):
     """Pairwise squared distances of rows of ``x`` and ``z`` after
     dividing each input dimension by its lengthscale.
 
@@ -32,15 +32,17 @@ def scaled_square_dist(x, z, lengthscales):
     zs = z / lengthscales
     xn = jnp.sum(jnp.square(xs), axis=-1)  # [N]
     zn = jnp.sum(jnp.square(zs), axis=-1)  # [M]
-    cross = jnp.matmul(xs, zs.T, precision=HIGHEST)  # MXU matmul [N, M]
+    cross = jnp.matmul(xs, zs.T, precision=precision)  # MXU matmul [N, M]
     d2 = xn[:, None] - 2.0 * cross + zn[None, :]
     # Guard tiny negative values from cancellation; keeps sqrt/exp clean.
     return jnp.maximum(d2, 0.0)
 
 
-def rbf_cross(x, z, variance, lengthscales):
+def rbf_cross(x, z, variance, lengthscales, precision=HIGHEST):
     """K(X, Z) for the ARD-RBF kernel. x: [N, D], z: [M, D] -> [N, M]."""
-    return variance * jnp.exp(-0.5 * scaled_square_dist(x, z, lengthscales))
+    return variance * jnp.exp(
+        -0.5 * scaled_square_dist(x, z, lengthscales, precision=precision)
+    )
 
 
 def rbf_gram(z, variance, lengthscales):
