@@ -1,2 +1,3 @@
 from cbfssm_tpu.training.trainer import Trainer  # noqa: F401
+from cbfssm_tpu.training.multiseed import MultiSeedTrainer  # noqa: F401
 from cbfssm_tpu.training import checkpoint  # noqa: F401

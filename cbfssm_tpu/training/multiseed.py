@@ -1,0 +1,236 @@
+"""Multi-seed training: N independent replicates as ONE device program.
+
+The reference reproduces results by looping ``for it in range(5)`` and
+training serially (run/run_smallscale.py:27,67-92; run_sarcos.py:13).
+The models here are pure functions, so the TPU-native formulation is a
+``jax.vmap`` over a leading seed axis: parameters, optimizer states,
+RNG streams, and shuffle orders all carry an ``[n_seeds]`` axis, and
+one jitted whole-epoch program advances every replicate at once. The
+per-step GP matmuls widen from [B*S, M] to effectively n_seeds times
+the work with no extra sequential depth — exactly the trade a TPU
+wants (see BENCHMARKS.md "Multi-seed vmapped training").
+
+With a mesh, the seed axis is sharded: replicates are embarrassingly
+parallel, so n_seeds devices train n_seeds replicates with zero
+cross-device traffic inside the epoch.
+
+Semantics parity with Trainer: per-seed shuffled batch order, weighted
+sum losses, best-by-train-loss tracking per seed, final checkpoint of
+the stacked pytrees.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cbfssm_tpu.training import checkpoint
+from cbfssm_tpu.utils.profiling import MetricsLogger
+from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
+
+
+class MultiSeedTrainer:
+    """Trains ``n_seeds`` independent replicates of ``model`` in one
+    vmapped program. Interface mirrors Trainer where it makes sense;
+    per-seed results are exposed via ``train_all`` (list of [n_seeds]
+    arrays), ``best_seed()``, and ``params_for(i)``."""
+
+    def __init__(self, model, model_dir, n_seeds: int, seed: int = 0,
+                 mesh=None, seed_axis: str = "data", metrics_path=None):
+        enable_persistent_cache()
+        self.model = model
+        self.model_dir = model_dir
+        self.n_seeds = int(n_seeds)
+        self.seed = seed
+        self.mesh = mesh
+        self.seed_axis = seed_axis
+        self.tx = optax.adam(model.config.learning_rate)
+        self.params = None  # stacked [n_seeds, ...] pytree
+        self.opt_state = None
+        self.best_params = None
+        self.best_loss = None  # [n_seeds]
+        self.train_all = []  # list of [n_seeds] arrays
+        self.test_all = []
+        self._rng = np.random.default_rng(seed)
+        self.metrics = MetricsLogger(metrics_path)
+        os.makedirs(model_dir, exist_ok=True)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _epoch_update(params_s, opt_s, data_u, data_y, idx_s, w_s, keys):
+            """idx_s/w_s: [n_seeds, n_batches, B] per-seed shuffled
+            gather indices + pad weights; keys: [n_seeds]."""
+
+            def one_seed(params, opt_state, idx, w, key):
+                def step(carry, inp):
+                    params, opt_state = carry
+                    idx_b, w_b, i = inp
+                    u = jnp.take(data_u, idx_b, axis=0)
+                    y = jnp.take(data_y, idx_b, axis=0)
+                    (loss, _), grads = jax.value_and_grad(
+                        model.loss, has_aux=True
+                    )(params, u, y, jax.random.fold_in(key, i), True, w_b)
+                    updates, opt_state = self.tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+
+                n_batches = idx.shape[0]
+                (params, opt_state), losses = jax.lax.scan(
+                    step, (params, opt_state), (idx, w, jnp.arange(n_batches))
+                )
+                return params, opt_state, jnp.mean(losses)
+
+            return jax.vmap(one_seed)(params_s, opt_s, idx_s, w_s, keys)
+
+        @jax.jit
+        def _epoch_eval(params_s, data_u, data_y, idx, w, keys):
+            def one_seed(params, key):
+                def step(_, inp):
+                    idx_b, w_b, i = inp
+                    u = jnp.take(data_u, idx_b, axis=0)
+                    y = jnp.take(data_y, idx_b, axis=0)
+                    loss, _ = model.loss(
+                        params, u, y, jax.random.fold_in(key, i), True, w_b
+                    )
+                    return None, loss
+
+                n_batches = idx.shape[0]
+                _, losses = jax.lax.scan(step, None, (idx, w, jnp.arange(n_batches)))
+                return jnp.mean(losses)
+
+            return jax.vmap(one_seed, in_axes=(0, 0))(params_s, keys)
+
+        @jax.jit
+        def _update_best(best_params, best_loss, params, loss):
+            improved = loss < best_loss  # [n_seeds]
+            new_best = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(
+                    improved.reshape((-1,) + (1,) * (p.ndim - 1)), p, b
+                ),
+                best_params,
+                params,
+            )
+            return new_best, jnp.where(improved, loss, best_loss)
+
+        self._epoch_update = _epoch_update
+        self._epoch_eval_fn = _epoch_eval
+        self._update_best = _update_best
+
+    # --- state -----------------------------------------------------------
+
+    def init_state(self, retrain: bool = False):
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), self.n_seeds)
+        params = jax.vmap(self.model.init)(keys)
+        opt_state = jax.vmap(self.tx.init)(params)
+        if retrain:
+            tree = checkpoint.restore(
+                os.path.join(self.model_dir, checkpoint.LAST),
+                {"params": params, "opt_state": opt_state},
+            )
+            params, opt_state = tree["params"], tree["opt_state"]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ax = self.seed_axis
+            shard = lambda a: jax.device_put(  # noqa: E731
+                a, NamedSharding(self.mesh, P(ax, *([None] * (a.ndim - 1))))
+            )
+            params = jax.tree_util.tree_map(shard, params)
+            opt_state = jax.tree_util.tree_map(shard, opt_state)
+        self.params, self.opt_state = params, opt_state
+        # real copies: the epoch update DONATES self.params' buffers, so
+        # best_params must not alias them
+        self.best_params = jax.tree_util.tree_map(jnp.copy, params)
+        self.best_loss = jnp.full((self.n_seeds,), jnp.inf, dtype=self.model.dtype)
+
+    def _epoch_indices(self, n, batch_size, shuffle: bool):
+        """Per-seed [n_batches, B] gather indices + pad weights."""
+        n_batches = -(-n // batch_size)
+        idx_s, w_s = [], []
+        for _ in range(self.n_seeds):
+            idx = self._rng.permutation(n) if shuffle else np.arange(n)
+            padded = np.zeros(n_batches * batch_size, dtype=np.int32)
+            padded[:n] = idx
+            weights = np.zeros(n_batches * batch_size, dtype=np.float32)
+            weights[:n] = 1.0
+            idx_s.append(padded.reshape(n_batches, batch_size))
+            w_s.append(weights.reshape(n_batches, batch_size))
+        return (
+            np.stack(idx_s),
+            np.stack(w_s).astype(self.model.dtype),
+        )
+
+    # --- main loop ---------------------------------------------------------
+
+    def train(self, ds, epochs: int, retrain: bool = False):
+        print(f"\nTraining {self.n_seeds} seeds (vmapped)...\n")
+        self.init_state(retrain)
+        dtype = self.model.dtype
+        data_u = jax.device_put(np.asarray(ds.train_in_batch, dtype=dtype))
+        data_y = jax.device_put(np.asarray(ds.train_out_batch, dtype=dtype))
+        test_u = jax.device_put(np.asarray(ds.test_in_batch, dtype=dtype))
+        test_y = jax.device_put(np.asarray(ds.test_out_batch, dtype=dtype))
+        batch_size = self.model.config.batch_size
+        base_key = jax.random.PRNGKey(self.seed + 1)
+
+        for epoch in range(epochs):
+            t0 = time.perf_counter()
+            ekey = jax.random.fold_in(base_key, epoch)
+            keys = jax.random.split(jax.random.fold_in(ekey, 0), self.n_seeds)
+            idx_s, w_s = self._epoch_indices(
+                ds.train_in_batch.shape[0], batch_size, shuffle=True
+            )
+            self.params, self.opt_state, train_losses = self._epoch_update(
+                self.params, self.opt_state, data_u, data_y, idx_s, w_s, keys
+            )
+            tidx, tw = self._epoch_indices(
+                ds.test_in_batch.shape[0], batch_size, shuffle=False
+            )
+            tkeys = jax.random.split(jax.random.fold_in(ekey, 1), self.n_seeds)
+            test_losses = self._epoch_eval_fn(
+                self.params, test_u, test_y, tidx[0], tw[0], tkeys
+            )
+            self.best_params, self.best_loss = self._update_best(
+                self.best_params, self.best_loss, self.params, train_losses
+            )
+            train_np = np.asarray(train_losses)  # host readback = sync
+            test_np = np.asarray(test_losses)
+            dt = time.perf_counter() - t0
+            print(
+                f"[{epoch:04}]: Train {train_np.mean():.4f} "
+                f"(per-seed {np.array2string(train_np, precision=2)}), "
+                f"Test {test_np.mean():.4f}  ({dt:.2f}s)"
+            )
+            self.train_all.append(train_np)
+            self.test_all.append(test_np)
+            self.metrics.log(
+                event="epoch",
+                epoch=epoch,
+                train_loss=train_np.tolist(),
+                test_loss=test_np.tolist(),
+                seconds=dt,
+            )
+
+        checkpoint.save(
+            os.path.join(self.model_dir, checkpoint.BEST),
+            {"params": self.best_params, "opt_state": self.opt_state},
+        )
+        checkpoint.save(
+            os.path.join(self.model_dir, checkpoint.LAST),
+            {"params": self.params, "opt_state": self.opt_state},
+        )
+
+    # --- results -------------------------------------------------------
+
+    def best_seed(self) -> int:
+        return int(np.argmin(np.asarray(self.best_loss)))
+
+    def params_for(self, i: int, best: bool = True):
+        """Unstacked parameter pytree of seed ``i``."""
+        tree = self.best_params if best else self.params
+        return jax.tree_util.tree_map(lambda a: a[i], tree)

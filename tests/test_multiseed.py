@@ -1,0 +1,91 @@
+"""MultiSeedTrainer: N replicates as one vmapped program.
+
+Correctness contract: every seed trains (finite, decreasing losses),
+seeds are genuinely independent (different inits/draws -> different
+losses), best-by-train tracking matches a manual replay, per-seed
+params round-trip through the stacked checkpoint, and the seed axis
+shards over a mesh.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cbfssm_tpu.models import CBFSSM
+from cbfssm_tpu.training import MultiSeedTrainer, checkpoint
+from tests.test_trainer import SmokeDS, smoke_config
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    out = str(tmp_path_factory.mktemp("ms"))
+    trainer = MultiSeedTrainer(model, out, n_seeds=3)
+    trainer.train(ds, epochs=3)
+    return trainer, model, ds, out
+
+
+def test_all_seeds_train(trained):
+    trainer, _, _, _ = trained
+    losses = np.stack(trainer.train_all)  # [epochs, n_seeds]
+    assert losses.shape == (3, 3)
+    assert np.isfinite(losses).all()
+    # every seed improves over training
+    assert (losses[-1] < losses[0]).all()
+
+
+def test_seeds_are_independent(trained):
+    trainer, _, _, _ = trained
+    final = np.stack(trainer.train_all)[-1]
+    assert len(np.unique(final)) == trainer.n_seeds
+
+
+def test_best_tracking_matches_replay(trained):
+    trainer, _, _, _ = trained
+    losses = np.stack(trainer.train_all)  # [epochs, n_seeds]
+    np.testing.assert_allclose(
+        np.asarray(trainer.best_loss), losses.min(axis=0), rtol=1e-12
+    )
+    assert trainer.best_seed() == int(np.argmin(losses.min(axis=0)))
+
+
+def test_params_for_slices_and_evaluates(trained):
+    trainer, model, ds, _ = trained
+    p0 = trainer.params_for(0)
+    # an unstacked tree drives the plain single-model loss
+    u = ds.test_in_batch[:4]
+    y = ds.test_out_batch[:4]
+    loss, _ = model.loss(p0, u, y, jax.random.PRNGKey(0), True)
+    assert np.isfinite(float(loss))
+    # slices of different seeds differ
+    p1 = trainer.params_for(1)
+    assert np.abs(np.asarray(p0.gp_f.z) - np.asarray(p1.gp_f.z)).max() > 0
+
+
+def test_checkpoint_roundtrip(trained):
+    trainer, model, ds, out = trained
+    import os
+
+    tree = checkpoint.restore(
+        os.path.join(out, checkpoint.BEST),
+        {"params": trainer.best_params, "opt_state": trainer.opt_state},
+    )
+    a = np.asarray(tree["params"].gp_f.z)
+    np.testing.assert_array_equal(a, np.asarray(trainer.best_params.gp_f.z))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_seed_axis_sharded_over_mesh(tmp_path):
+    from cbfssm_tpu.parallel import make_mesh
+
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    mesh = make_mesh(4, axis_name="data")
+    trainer = MultiSeedTrainer(model, str(tmp_path / "ms4"), n_seeds=4, mesh=mesh)
+    trainer.train(ds, epochs=2)
+    losses = np.stack(trainer.train_all)
+    assert np.isfinite(losses).all()
+    assert (losses[-1] < losses[0]).all()
+    # the stacked params really live sharded across the mesh
+    assert len(trainer.params.gp_f.z.sharding.device_set) == 4
