@@ -234,3 +234,28 @@ class MultiSeedTrainer:
         """Unstacked parameter pytree of seed ``i``."""
         tree = self.best_params if best else self.params
         return jax.tree_util.tree_map(lambda a: a[i], tree)
+
+    def seed_view(self, i: int) -> "SeedView":
+        """Trainer-shaped view of seed ``i`` for the Outputs layer."""
+        return SeedView(self, i)
+
+
+class SeedView:
+    """Adapter exposing one seed of a MultiSeedTrainer through the
+    Trainer interface the Outputs layer consumes (.train_all/.test_all
+    loss histories, .params, .restore(name))."""
+
+    def __init__(self, ms: MultiSeedTrainer, i: int):
+        if not 0 <= i < ms.n_seeds:
+            raise IndexError(f"seed {i} out of range (n_seeds={ms.n_seeds})")
+        self._ms = ms
+        self._i = i
+        self.train_all = [float(losses[i]) for losses in ms.train_all]
+        self.test_all = [float(losses[i]) for losses in ms.test_all]
+
+    @property
+    def params(self):
+        return self._ms.params_for(self._i, best=False)
+
+    def restore(self, name: str = checkpoint.BEST):
+        return self._ms.params_for(self._i, best=(name == checkpoint.BEST))

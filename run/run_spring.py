@@ -17,7 +17,7 @@ import numpy as np
 from cbfssm_tpu.data import SpringNonlinear
 from cbfssm_tpu.models import CBFSSM
 from cbfssm_tpu.outputs import Outputs, OutputSummary
-from cbfssm_tpu.training import Trainer
+from cbfssm_tpu.training import MultiSeedTrainer, Trainer
 
 root_dir = "run_output/spring"
 iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 5
@@ -54,11 +54,34 @@ def main(
     config_overrides=None,
     seq_len=seq_len,
     seq_stride=seq_stride,
+    vmap_seeds=False,
 ):
+    """``vmap_seeds=True`` trains all iterations as ONE vmapped device
+    program (MultiSeedTrainer, ~8x faster than the serial loop — see
+    BENCHMARKS.md); artifacts/summary are identical in layout."""
     if iterations is None:
         iterations = globals()["iterations"]
     config = dict(model_config, **(config_overrides or {}))
     summary = OutputSummary(root)
+
+    if vmap_seeds:
+        ds = SpringNonlinear(seq_len, seq_stride, data_dir=data_dir)
+        model = CBFSSM(config)
+        epochs = math.ceil(train_iterations / ds.train_in_batch.shape[0])
+        trainer = MultiSeedTrainer(model, root, n_seeds=iterations,
+                                   metrics_path=root + "/metrics.jsonl")
+        trainer.train(ds, epochs)
+        for it in range(iterations):
+            out_dir = root if iterations == 1 else root + "/run_%d" % it
+            outputs = Outputs(out_dir)
+            outputs.set_ds(ds)
+            outputs.set_model(model, root)
+            outputs.set_trainer(trainer.seed_view(it))
+            outputs.create_all()
+            summary.add_outputs(outputs)
+        summary.write_summary()
+        return
+
     for it in range(iterations):
         if iterations != 1:
             print("\n=== Iteration %d ===\n" % it)

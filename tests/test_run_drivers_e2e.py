@@ -138,6 +138,29 @@ def test_run_spring_e2e(sysid_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_run_spring_vmap_seeds_e2e(sysid_dir, tmp_path):
+    """The vmapped multi-seed path produces the same artifact layout as
+    the serial loop (per-run dirs + summary)."""
+    mod = load_driver("run_spring.py")
+    root = str(tmp_path / "out")
+    mod.main(
+        root=root,
+        iterations=2,
+        train_iterations=1,
+        data_dir=sysid_dir,
+        config_overrides=FAST,
+        seq_len=20,
+        seq_stride=100,
+        vmap_seeds=True,
+    )
+    for it in range(2):
+        assert os.path.exists(root + f"/run_{it}/mse.txt")
+        assert os.path.exists(root + f"/run_{it}/training_loss.pdf")
+    summary = open(root + "/summary.txt").read()
+    assert "RMSE" in summary
+
+
+@pytest.mark.slow
 def test_run_voliro_e2e(tmp_path):
     from tests.test_voliro_dataset import make_log
 
