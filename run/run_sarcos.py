@@ -43,11 +43,31 @@ def main(
     config_overrides=None,
     seq_len=seq_len,
     seq_stride=seq_stride,
+    vmap_seeds=False,
 ):
     """Defaults reproduce the reference experiment exactly; the keyword
-    overrides let CI execute the full driver flow on fixtures."""
+    overrides let CI execute the full driver flow on fixtures.
+    ``vmap_seeds=True`` trains the ``iterations`` seeds as one vmapped
+    device program (MultiSeedTrainer; identical artifact layout)."""
     config = dict(model_config, **(config_overrides or {}))
     summary = OutputSummary(root)
+    if vmap_seeds:
+        from cbfssm_tpu.training import MultiSeedTrainer
+
+        ds = Sarcos(seq_len, seq_stride, data_dir=data_dir)
+        model = CBFSSM(config)
+        trainer = MultiSeedTrainer(model, root, n_seeds=iterations)
+        trainer.train(ds, epochs)
+        for it in range(iterations):
+            out_dir = root if iterations == 1 else root + "/run_%d" % it
+            outputs = Outputs(out_dir)
+            outputs.set_ds(ds)
+            outputs.set_model(model, root)
+            outputs.set_trainer(trainer.seed_view(it))
+            outputs.create_all()
+            summary.add_outputs(outputs)
+        summary.write_summary()
+        return summary
     for it in range(iterations):
         if iterations != 1:
             print("\n=== Iteration %d ===\n" % it)

@@ -10,7 +10,7 @@ import numpy as np
 from cbfssm_tpu.data import Actuator, Ballbeam, Drive, Dryer, Furnace
 from cbfssm_tpu.models import CBFSSM
 from cbfssm_tpu.outputs import Outputs, OutputSummary
-from cbfssm_tpu.training import Trainer
+from cbfssm_tpu.training import MultiSeedTrainer, Trainer
 
 # Choose Tasks: (dataset, name, lambda_1, k_factor)
 datasets = [
@@ -32,10 +32,13 @@ def main(
     config_overrides=None,
     seq_len=50,
     seq_stride=1,
+    vmap_seeds=False,
 ):
     """Defaults reproduce the reference experiment exactly; the keyword
     overrides exist so CI can execute the full driver flow (config →
-    dataset → train → outputs → summary) on fixtures at 1 epoch."""
+    dataset → train → outputs → summary) on fixtures at 1 epoch.
+    ``vmap_seeds=True`` trains the ``iterations`` seeds as one vmapped
+    device program (MultiSeedTrainer; identical artifact layout)."""
     for task_nr in task_list if task_list is not None else tasks:
         root_dir = root + "/" + datasets[task_nr][1]
         ds_sel = datasets[task_nr][0]
@@ -62,6 +65,22 @@ def main(
         model_config.update(config_overrides or {})
 
         summary = OutputSummary(root_dir)
+        if vmap_seeds:
+            ds = ds_sel(seq_len, seq_stride, data_dir=data_dir)
+            model = CBFSSM(model_config)
+            epochs = math.ceil(train_iterations / ds.train_in_batch.shape[0])
+            trainer = MultiSeedTrainer(model, root_dir, n_seeds=iterations)
+            trainer.train(ds, epochs)
+            for it in range(iterations):
+                out_dir = root_dir if iterations == 1 else root_dir + "/run_%d" % it
+                outputs = Outputs(out_dir)
+                outputs.set_ds(ds)
+                outputs.set_model(model, root_dir)
+                outputs.set_trainer(trainer.seed_view(it))
+                outputs.create_all()
+                summary.add_outputs(outputs)
+            summary.write_summary()
+            continue
         for it in range(iterations):
             if iterations != 1:
                 print("\n=== Iteration %d ===\n" % it)
