@@ -75,6 +75,45 @@ def test_checkpoint_roundtrip(trained):
     np.testing.assert_array_equal(a, np.asarray(trainer.best_params.gp_f.z))
 
 
+def test_multiseed_with_flax_recognition(tmp_path):
+    """Param trees with flax module dicts (GRU recognition) vmap and
+    slice correctly through the seed axis."""
+    from cbfssm_tpu.models import CBFSSMHALF
+
+    cfg = smoke_config()
+    cfg["recog_model"] = "rnn"
+    cfg["recog_len"] = 4
+    cfg["var_y"] = np.asarray([1.0])  # CBFSSMHALF: var_y has dim_y entries
+    model = CBFSSMHALF(cfg)
+    trainer = MultiSeedTrainer(model, str(tmp_path / "half"), n_seeds=2)
+    ds = SmokeDS()
+    trainer.train(ds, epochs=2)
+    losses = np.stack(trainer.train_all)
+    assert np.isfinite(losses).all()
+    p0 = trainer.params_for(0)
+    loss, _ = model.loss(
+        p0, ds.test_in_batch[:4], ds.test_out_batch[:4], jax.random.PRNGKey(0), True
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_multiseed_retrain_resumes(tmp_path):
+    """retrain=True restores the stacked last checkpoint (curriculum
+    semantics, per Trainer parity)."""
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    out = str(tmp_path / "msr")
+    t1 = MultiSeedTrainer(model, out, n_seeds=2)
+    t1.train(ds, epochs=2)
+    final = np.asarray(t1.params.gp_f.z)
+    t2 = MultiSeedTrainer(model, out, n_seeds=2)
+    t2.init_state(retrain=True)
+    np.testing.assert_array_equal(np.asarray(t2.params.gp_f.z), final)
+    # and training continues from there
+    t2.train(ds, epochs=1, retrain=True)
+    assert np.isfinite(np.stack(t2.train_all)).all()
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_seed_axis_sharded_over_mesh(tmp_path):
     from cbfssm_tpu.parallel import make_mesh
