@@ -53,6 +53,10 @@ class BaseSSM:
         self.jitter = self.config.jitter
         if self.config.gp_impl not in ("solve_free", "pallas"):
             raise ValueError(f"unknown gp_impl: {self.config.gp_impl!r}")
+        if int(self.config.scan_unroll) < 1:
+            raise ValueError(
+                f"scan_unroll must be a positive int, got {self.config.scan_unroll!r}"
+            )
         try:
             self._gp_precision = {
                 "highest": jax.lax.Precision.HIGHEST,

@@ -70,32 +70,69 @@ def process_mesh(axis_sizes: tuple[int, ...], axis_names: tuple[str, ...]) -> Me
     return Mesh(devices, axis_names)
 
 
-def host_local_batch(mesh: Mesh, array: np.ndarray, axis_name: str = "data"):
-    """Assemble a global, batch-sharded ``jax.Array`` from this
-    process's local slice of the batch.
-
-    Every process passes its own ``[local_B, ...]`` rows (the host data
-    pipeline shards the window batch across processes); the result
-    behaves as one ``[global_B, ...]`` array sharded along ``axis_name``
-    — exactly what the jitted training step consumes. Single-process
-    meshes reduce to a plain ``device_put`` with the same sharding.
-    """
-    spec = P(axis_name, *([None] * (np.ndim(array) - 1)))
+def _addressable_batch_shards(mesh: Mesh, global_shape, axis_name: str):
+    """This process's (device, global-first-dim-slice) pairs under the
+    batch sharding, ordered by global offset. Derived from the actual
+    sharding index map, so it is correct for ANY device order
+    ``mesh_utils.create_device_mesh`` picks (hosts may be interleaved
+    along the axis on ICI-optimized meshes)."""
+    spec = P(axis_name, *([None] * (len(global_shape) - 1)))
     sharding = NamedSharding(mesh, spec)
-    if jax.process_count() == 1:
-        return jax.device_put(np.asarray(array), sharding)
-    return jax.make_array_from_process_local_data(sharding, np.asarray(array))
+    imap = sharding.addressable_devices_indices_map(tuple(global_shape))
+    pairs = [(dev, idx[0]) for dev, idx in imap.items()]
+    pairs.sort(key=lambda kv: kv[1].start or 0)
+    return sharding, pairs
 
 
-def process_batch_slice(global_batch: int, axis_size: int | None = None) -> slice:
-    """The rows of a ``[global_batch, ...]`` dataset this process should
-    load. Processes own contiguous equal slices; ``global_batch`` must
-    divide evenly (pad upstream with zero-weight rows otherwise)."""
-    n_proc = jax.process_count()
-    if global_batch % n_proc != 0:
-        raise ValueError(
-            f"global batch {global_batch} must divide across {n_proc} processes"
+def process_rows(mesh: Mesh, global_batch: int, axis_name: str = "data") -> np.ndarray:
+    """The global row indices of a ``[global_batch, ...]`` dataset this
+    process must load, in the exact order :func:`host_local_batch`
+    consumes them. NOT necessarily one contiguous slice — ownership
+    follows the mesh's device placement."""
+    _, pairs = _addressable_batch_shards(mesh, (global_batch,), axis_name)
+    rows = [
+        np.arange(
+            s.start or 0, global_batch if s.stop is None else s.stop, dtype=np.int64
         )
-    per = global_batch // n_proc
-    start = jax.process_index() * per
-    return slice(start, start + per)
+        for _, s in pairs
+    ]
+    return np.concatenate(rows)
+
+
+def host_local_batch(
+    mesh: Mesh, array: np.ndarray, axis_name: str = "data",
+    global_batch: int | None = None,
+):
+    """Assemble a global, batch-sharded ``jax.Array`` from this
+    process's local rows.
+
+    ``array`` holds the rows returned by
+    ``process_rows(mesh, global_batch)`` IN THAT ORDER; the pairing is
+    exact by construction because both functions walk the same sharding
+    index map. The result behaves as one ``[global_batch, ...]`` array
+    sharded along ``axis_name`` — exactly what the jitted training step
+    consumes. Works unchanged on single-process meshes.
+    """
+    array = np.asarray(array)
+    if global_batch is None:
+        local = array.shape[0]
+        total = local * jax.process_count()
+        global_batch = total
+    shape = (global_batch,) + array.shape[1:]
+    sharding, pairs = _addressable_batch_shards(mesh, shape, axis_name)
+    lengths = [
+        (global_batch if s.stop is None else s.stop) - (s.start or 0)
+        for _, s in pairs
+    ]
+    if sum(lengths) != array.shape[0]:
+        raise ValueError(
+            f"local array has {array.shape[0]} rows but this process owns "
+            f"{sum(lengths)} of the global batch {global_batch} — load "
+            "exactly process_rows(mesh, global_batch)"
+        )
+    shards = []
+    offset = 0
+    for (dev, _), n in zip(pairs, lengths):
+        shards.append(jax.device_put(array[offset : offset + n], dev))
+        offset += n
+    return jax.make_array_from_single_device_arrays(shape, sharding, shards)

@@ -35,11 +35,31 @@ from cbfssm_tpu.utils.profiling import MetricsLogger
 from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
 
 
+# Stacked [n_seeds, ...] checkpoints get their own filenames so that
+# single-model consumers (Outputs' trainerless re-evaluation restores
+# best.ckpt with a single-model template and orbax silently returns
+# stored shapes) can never load a stacked tree by accident. best.ckpt /
+# model.ckpt are ALSO written, holding the overall-best seed's
+# unstacked tree.
+BEST_SEEDS = "best_seeds.ckpt"
+LAST_SEEDS = "model_seeds.ckpt"
+
+
 class MultiSeedTrainer:
     """Trains ``n_seeds`` independent replicates of ``model`` in one
     vmapped program. Interface mirrors Trainer where it makes sense;
     per-seed results are exposed via ``train_all`` (list of [n_seeds]
-    arrays), ``best_seed()``, and ``params_for(i)``."""
+    arrays), ``best_seed()``, and ``params_for(i)``.
+
+    Checkpoints (Trainer-parity cadence: best on every improvement,
+    last at end):
+
+      best_seeds.ckpt / model_seeds.ckpt   stacked [n_seeds, ...] trees
+                                           (resume via retrain=True)
+      best.ckpt / model.ckpt               the overall-best seed's
+                                           UNstacked tree, loadable by
+                                           any single-model consumer
+    """
 
     def __init__(self, model, model_dir, n_seeds: int, seed: int = 0,
                  mesh=None, seed_axis: str = "data", metrics_path=None):
@@ -106,16 +126,17 @@ class MultiSeedTrainer:
             return jax.vmap(one_seed, in_axes=(0, 0))(params_s, keys)
 
         @jax.jit
-        def _update_best(best_params, best_loss, params, loss):
+        def _update_best(best_params, best_opt, best_loss, params, opt_state, loss):
             improved = loss < best_loss  # [n_seeds]
-            new_best = jax.tree_util.tree_map(
-                lambda b, p: jnp.where(
+
+            def sel(b, p):
+                return jnp.where(
                     improved.reshape((-1,) + (1,) * (p.ndim - 1)), p, b
-                ),
-                best_params,
-                params,
-            )
-            return new_best, jnp.where(improved, loss, best_loss)
+                )
+
+            new_params = jax.tree_util.tree_map(sel, best_params, params)
+            new_opt = jax.tree_util.tree_map(sel, best_opt, opt_state)
+            return new_params, new_opt, jnp.where(improved, loss, best_loss)
 
         self._epoch_update = _epoch_update
         self._epoch_eval_fn = _epoch_eval
@@ -129,7 +150,7 @@ class MultiSeedTrainer:
         opt_state = jax.vmap(self.tx.init)(params)
         if retrain:
             tree = checkpoint.restore(
-                os.path.join(self.model_dir, checkpoint.LAST),
+                os.path.join(self.model_dir, LAST_SEEDS),
                 {"params": params, "opt_state": opt_state},
             )
             params, opt_state = tree["params"], tree["opt_state"]
@@ -144,26 +165,28 @@ class MultiSeedTrainer:
             opt_state = jax.tree_util.tree_map(shard, opt_state)
         self.params, self.opt_state = params, opt_state
         # real copies: the epoch update DONATES self.params' buffers, so
-        # best_params must not alias them
+        # the best trees must not alias them
         self.best_params = jax.tree_util.tree_map(jnp.copy, params)
+        self.best_opt = jax.tree_util.tree_map(jnp.copy, opt_state)
         self.best_loss = jnp.full((self.n_seeds,), jnp.inf, dtype=self.model.dtype)
 
-    def _epoch_indices(self, n, batch_size, shuffle: bool):
-        """Per-seed [n_batches, B] gather indices + pad weights."""
+    def _single_indices(self, n, batch_size, shuffle: bool):
+        """One [n_batches, B] index/weight pair (Trainer semantics)."""
         n_batches = -(-n // batch_size)
-        idx_s, w_s = [], []
-        for _ in range(self.n_seeds):
-            idx = self._rng.permutation(n) if shuffle else np.arange(n)
-            padded = np.zeros(n_batches * batch_size, dtype=np.int32)
-            padded[:n] = idx
-            weights = np.zeros(n_batches * batch_size, dtype=np.float32)
-            weights[:n] = 1.0
-            idx_s.append(padded.reshape(n_batches, batch_size))
-            w_s.append(weights.reshape(n_batches, batch_size))
+        idx = self._rng.permutation(n) if shuffle else np.arange(n)
+        padded = np.zeros(n_batches * batch_size, dtype=np.int32)
+        padded[:n] = idx
+        weights = np.zeros(n_batches * batch_size, dtype=np.float32)
+        weights[:n] = 1.0
         return (
-            np.stack(idx_s),
-            np.stack(w_s).astype(self.model.dtype),
+            padded.reshape(n_batches, batch_size),
+            weights.reshape(n_batches, batch_size).astype(self.model.dtype),
         )
+
+    def _epoch_indices(self, n, batch_size, shuffle: bool):
+        """Per-seed [n_seeds, n_batches, B] gather indices + weights."""
+        pairs = [self._single_indices(n, batch_size, shuffle) for _ in range(self.n_seeds)]
+        return np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs])
 
     # --- main loop ---------------------------------------------------------
 
@@ -178,6 +201,11 @@ class MultiSeedTrainer:
         batch_size = self.model.config.batch_size
         base_key = jax.random.PRNGKey(self.seed + 1)
 
+        # test indices are deterministic (unshuffled) — build once
+        tidx, tw = self._single_indices(
+            ds.test_in_batch.shape[0], batch_size, shuffle=False
+        )
+
         for epoch in range(epochs):
             t0 = time.perf_counter()
             ekey = jax.random.fold_in(base_key, epoch)
@@ -188,15 +216,14 @@ class MultiSeedTrainer:
             self.params, self.opt_state, train_losses = self._epoch_update(
                 self.params, self.opt_state, data_u, data_y, idx_s, w_s, keys
             )
-            tidx, tw = self._epoch_indices(
-                ds.test_in_batch.shape[0], batch_size, shuffle=False
-            )
             tkeys = jax.random.split(jax.random.fold_in(ekey, 1), self.n_seeds)
             test_losses = self._epoch_eval_fn(
-                self.params, test_u, test_y, tidx[0], tw[0], tkeys
+                self.params, test_u, test_y, tidx, tw, tkeys
             )
-            self.best_params, self.best_loss = self._update_best(
-                self.best_params, self.best_loss, self.params, train_losses
+            prev_best = np.asarray(self.best_loss)
+            self.best_params, self.best_opt, self.best_loss = self._update_best(
+                self.best_params, self.best_opt, self.best_loss,
+                self.params, self.opt_state, train_losses,
             )
             train_np = np.asarray(train_losses)  # host readback = sync
             test_np = np.asarray(test_losses)
@@ -215,15 +242,39 @@ class MultiSeedTrainer:
                 test_loss=test_np.tolist(),
                 seconds=dt,
             )
+            if (train_np < prev_best).any():
+                # Trainer-parity cadence: best saved on every
+                # improvement, so an interrupted run is resumable and
+                # never loses the best state.
+                self._save_best()
 
         checkpoint.save(
-            os.path.join(self.model_dir, checkpoint.BEST),
-            {"params": self.best_params, "opt_state": self.opt_state},
-        )
-        checkpoint.save(
-            os.path.join(self.model_dir, checkpoint.LAST),
+            os.path.join(self.model_dir, LAST_SEEDS),
             {"params": self.params, "opt_state": self.opt_state},
         )
+        i = self.best_seed()
+        checkpoint.save(
+            os.path.join(self.model_dir, checkpoint.LAST),
+            {
+                "params": self.params_for(i, best=False),
+                "opt_state": self._opt_for(i, best=False),
+            },
+        )
+
+    def _save_best(self):
+        checkpoint.save(
+            os.path.join(self.model_dir, BEST_SEEDS),
+            {"params": self.best_params, "opt_state": self.best_opt},
+        )
+        i = self.best_seed()
+        checkpoint.save(
+            os.path.join(self.model_dir, checkpoint.BEST),
+            {"params": self.params_for(i), "opt_state": self._opt_for(i)},
+        )
+
+    def _opt_for(self, i: int, best: bool = True):
+        tree = self.best_opt if best else self.opt_state
+        return jax.tree_util.tree_map(lambda a: a[i], tree)
 
     # --- results -------------------------------------------------------
 

@@ -45,49 +45,19 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from cbfssm_tpu.models import CBFSSM
     from cbfssm_tpu.ops import gp, transforms
     from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
+    from scripts.profile_mfu import build_cbfssm_parts
 
     enable_persistent_cache()
     shape = SHAPES[args.shape]
-
-    class _DS:
-        dim_u = shape["dim_u"]
-        dim_y = shape["dim_y"]
-
     dim_x = shape["dim_x"]
-    config = {
-        "ds": _DS,
-        "batch_size": shape["batch"],
-        "shuffle": 10000,
-        "dim_x": dim_x,
-        "ind_pnt_num": shape["m"],
-        "samples": shape["samples"],
-        "learning_rate": shape["lr"],
-        "loss_factors": np.asarray([20.0, 0.0]),
-        "k_factor": 1.0,
-        "recog_len": shape["recog_len"],
-        "zeta_pos": 2.0,
-        "zeta_mean": 0.1**2,
-        "zeta_var": 0.01**2,
-        "var_x": np.asarray([0.1**2] * dim_x),
-        "var_y": np.asarray([1.0**2] * dim_x),
-        "gp_var": 0.1**2,
-        "gp_len": 1.0,
-        "dtype": "float32",
-        "scan_unroll": args.unroll,
-        "gp_impl": args.gp_impl,
-        "backward_mode": args.backward_mode,
-    }
-    model = CBFSSM(config)
-    params = model.init(jax.random.PRNGKey(0))
-    tx = optax.adam(shape["lr"])
-    opt_state = tx.init(params)
-    rng = np.random.default_rng(0)
+    # the SAME config/model/data as the MFU harness — numbers comparable
+    model, params, tx, opt_state, u, y = build_cbfssm_parts(
+        shape, unroll=args.unroll, gp_impl=args.gp_impl,
+        backward_mode=args.backward_mode,
+    )
     b, t = shape["batch"], shape["seq_len"]
-    u = rng.normal(size=(b, t, shape["dim_u"])).astype(np.float32)
-    y = rng.normal(size=(b, t, shape["dim_y"])).astype(np.float32)
     n_steps = args.steps
 
     def scanned(body):

@@ -40,12 +40,12 @@ SHAPES = {
 }
 
 
-def build_cbfssm_steps(shape, unroll=1, gp_impl="solve_free",
+def build_cbfssm_parts(shape, unroll=1, gp_impl="solve_free",
                        backward_mode="auto"):
-    import functools
-
+    """Model + params + optimizer + synthetic batch for a benchmark
+    shape — THE config both benchmark harnesses (this script and
+    decompose_step.py) share, so their numbers stay comparable."""
     import jax
-    import jax.numpy as jnp
     import optax
 
     from cbfssm_tpu.models import CBFSSM
@@ -86,6 +86,19 @@ def build_cbfssm_steps(shape, unroll=1, gp_impl="solve_free",
     rng = np.random.default_rng(0)
     u = rng.normal(size=(shape["batch"], shape["seq_len"], shape["dim_u"])).astype(np.float32)
     y = rng.normal(size=(shape["batch"], shape["seq_len"], shape["dim_y"])).astype(np.float32)
+    return model, params, tx, opt_state, u, y
+
+
+def build_cbfssm_steps(shape, unroll=1, gp_impl="solve_free",
+                       backward_mode="auto"):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    model, params, tx, opt_state, u, y = build_cbfssm_parts(
+        shape, unroll=unroll, gp_impl=gp_impl, backward_mode=backward_mode
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(3,))
     def run_steps(params, opt_state, key, n_steps):

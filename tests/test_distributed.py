@@ -63,23 +63,34 @@ def test_process_mesh_shapes():
 def test_host_local_batch_single_process(rng):
     mesh = distributed.process_mesh((8,), ("data",))
     x = rng.normal(size=(16, 5, 3))
-    arr = distributed.host_local_batch(mesh, x)
+    rows = distributed.process_rows(mesh, 16)
+    # single process owns everything, ordered by global offset
+    np.testing.assert_array_equal(np.sort(rows), np.arange(16))
+    arr = distributed.host_local_batch(mesh, x[rows], global_batch=16)
     assert arr.shape == (16, 5, 3)
+    # the global array must equal the ORIGINAL global-order data —
+    # this is the row-placement contract (each global index i holds
+    # dataset row i, whatever the device order)
     np.testing.assert_allclose(np.asarray(arr), x)
-    # sharded along data: each device holds 2 rows
     assert len(arr.sharding.device_set) == 8
     shard = next(iter(arr.addressable_shards))
     assert shard.data.shape == (2, 5, 3)
 
 
-def test_process_batch_slice(monkeypatch):
-    assert distributed.process_batch_slice(32) == slice(0, 32)
-    # emulate process 2 of 4
-    monkeypatch.setattr(jax, "process_count", lambda: 4)
-    monkeypatch.setattr(jax, "process_index", lambda: 2)
-    assert distributed.process_batch_slice(32) == slice(16, 24)
-    with pytest.raises(ValueError, match="divide"):
-        distributed.process_batch_slice(33)
+def test_host_local_batch_2d_mesh_placement(rng):
+    """Row placement stays exact on a 2-D mesh where the batch axis is
+    one of two axes (devices reshaped, so axis order is non-trivial)."""
+    mesh = mesh_2d(data=4, particle=2)
+    x = rng.normal(size=(8, 3))
+    rows = distributed.process_rows(mesh, 8, axis_name="data")
+    arr = distributed.host_local_batch(mesh, x[rows], axis_name="data", global_batch=8)
+    np.testing.assert_allclose(np.asarray(arr), x)
+
+
+def test_host_local_batch_row_count_mismatch(rng):
+    mesh = distributed.process_mesh((8,), ("data",))
+    with pytest.raises(ValueError, match="process_rows"):
+        distributed.host_local_batch(mesh, rng.normal(size=(12, 3)), global_batch=16)
 
 
 def test_initialize_single_process_noop():

@@ -67,12 +67,53 @@ def test_checkpoint_roundtrip(trained):
     trainer, model, ds, out = trained
     import os
 
+    from cbfssm_tpu.training.multiseed import BEST_SEEDS
+
     tree = checkpoint.restore(
-        os.path.join(out, checkpoint.BEST),
-        {"params": trainer.best_params, "opt_state": trainer.opt_state},
+        os.path.join(out, BEST_SEEDS),
+        {"params": trainer.best_params, "opt_state": trainer.best_opt},
     )
     a = np.asarray(tree["params"].gp_f.z)
     np.testing.assert_array_equal(a, np.asarray(trainer.best_params.gp_f.z))
+
+
+def test_single_model_best_ckpt_is_best_seed(trained):
+    """best.ckpt must hold the overall-best seed's UNstacked tree so any
+    single-model consumer (e.g. Outputs' trainerless re-evaluation)
+    loads valid parameters."""
+    trainer, model, ds, out = trained
+    import os
+
+    import optax
+
+    params_t = model.init(jax.random.PRNGKey(0))
+    opt_t = optax.adam(model.config.learning_rate).init(params_t)
+    tree = checkpoint.restore(
+        os.path.join(out, checkpoint.BEST), {"params": params_t, "opt_state": opt_t}
+    )
+    want = trainer.params_for(trainer.best_seed())
+    np.testing.assert_array_equal(
+        np.asarray(tree["params"].gp_f.z), np.asarray(want.gp_f.z)
+    )
+    # and it is consumable without any trainer at all
+    loss, _ = model.loss(
+        tree["params"], ds.test_in_batch[:4], ds.test_out_batch[:4],
+        jax.random.PRNGKey(0), True,
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_trainerless_outputs_after_vmapped_run(trained, tmp_path):
+    """The reference's train=False re-evaluation path works on a
+    vmapped run's directory (Outputs restores best.ckpt directly)."""
+    trainer, model, ds, out = trained
+    from cbfssm_tpu.outputs import Outputs
+
+    o = Outputs(str(tmp_path / "reeval"))
+    o.set_ds(ds)
+    o.set_model(model, out)  # no set_trainer: restores from disk
+    o.create_all()
+    assert np.isfinite(o.get_last_rmse())
 
 
 def test_multiseed_with_flax_recognition(tmp_path):
