@@ -38,3 +38,29 @@ class OutputSummary:
                 f.write("  %f\n" % val)
             f.write("Mean: %f\n" % np.mean(rmse))
             f.write("Std:  %f\n" % np.std(rmse))
+
+
+def vmapped_reproduction(model, ds, root, iterations, epochs,
+                         outputs_cls=None, metrics_path=None):
+    """The multi-iteration reproduction flow with all seeds trained as
+    ONE vmapped device program: MultiSeedTrainer + per-seed Outputs into
+    run_i/ directories + summary.txt — the same artifact layout the
+    serial loop produces. Shared by the run drivers' vmap_seeds mode."""
+    from cbfssm_tpu.outputs.outputs import Outputs
+    from cbfssm_tpu.training import MultiSeedTrainer
+
+    outputs_cls = outputs_cls or Outputs
+    summary = OutputSummary(root)
+    trainer = MultiSeedTrainer(model, root, n_seeds=iterations,
+                               metrics_path=metrics_path)
+    trainer.train(ds, epochs)
+    for it in range(iterations):
+        out_dir = root if iterations == 1 else root + "/run_%d" % it
+        outputs = outputs_cls(out_dir)
+        outputs.set_ds(ds)
+        outputs.set_model(model, root)
+        outputs.set_trainer(trainer.seed_view(it))
+        outputs.create_all()
+        summary.add_outputs(outputs)
+    summary.write_summary()
+    return summary

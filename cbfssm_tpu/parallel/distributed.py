@@ -114,10 +114,8 @@ def host_local_batch(
     consumes. Works unchanged on single-process meshes.
     """
     array = np.asarray(array)
-    if global_batch is None:
-        local = array.shape[0]
-        total = local * jax.process_count()
-        global_batch = total
+    if global_batch is None:  # even split across processes
+        global_batch = array.shape[0] * jax.process_count()
     shape = (global_batch,) + array.shape[1:]
     sharding, pairs = _addressable_batch_shards(mesh, shape, axis_name)
     lengths = [

@@ -172,16 +172,9 @@ class MultiSeedTrainer:
 
     def _single_indices(self, n, batch_size, shuffle: bool):
         """One [n_batches, B] index/weight pair (Trainer semantics)."""
-        n_batches = -(-n // batch_size)
-        idx = self._rng.permutation(n) if shuffle else np.arange(n)
-        padded = np.zeros(n_batches * batch_size, dtype=np.int32)
-        padded[:n] = idx
-        weights = np.zeros(n_batches * batch_size, dtype=np.float32)
-        weights[:n] = 1.0
-        return (
-            padded.reshape(n_batches, batch_size),
-            weights.reshape(n_batches, batch_size).astype(self.model.dtype),
-        )
+        from cbfssm_tpu.training.trainer import epoch_indices
+
+        return epoch_indices(self._rng, n, batch_size, shuffle, self.model.dtype)
 
     def _epoch_indices(self, n, batch_size, shuffle: bool):
         """Per-seed [n_seeds, n_batches, B] gather indices + weights."""

@@ -40,6 +40,23 @@ from cbfssm_tpu.utils.profiling import MetricsLogger, StepTimer, trace
 from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
 
 
+def epoch_indices(rng, n, batch_size, shuffle: bool, dtype):
+    """[n_batches, B] gather indices + pad weights for one epoch: a
+    (shuffled) permutation of ``n`` window indices, zero-padded to full
+    batches with zero weights (the loss is a weighted sum, so padding
+    contributes nothing). Shared by Trainer and MultiSeedTrainer."""
+    idx = rng.permutation(n) if shuffle else np.arange(n)
+    n_batches = -(-n // batch_size)
+    padded = np.zeros(n_batches * batch_size, dtype=np.int32)
+    padded[:n] = idx
+    weights = np.zeros(n_batches * batch_size, dtype=np.float32)
+    weights[:n] = 1.0
+    return (
+        padded.reshape(n_batches, batch_size),
+        weights.reshape(n_batches, batch_size).astype(dtype),
+    )
+
+
 class Trainer:
     def __init__(self, model, model_dir, mesh=None, seed=0, metrics_path=None,
                  profile_dir=None):
@@ -127,16 +144,7 @@ class Trainer:
 
     def _epoch_indices(self, n, batch_size, shuffle: bool):
         """[n_batches, B] gather indices + [n_batches, B] pad weights."""
-        idx = self._rng.permutation(n) if shuffle else np.arange(n)
-        n_batches = -(-n // batch_size)
-        padded = np.zeros(n_batches * batch_size, dtype=np.int32)
-        padded[:n] = idx
-        weights = np.zeros(n_batches * batch_size, dtype=np.float32)
-        weights[:n] = 1.0
-        return (
-            padded.reshape(n_batches, batch_size),
-            weights.reshape(n_batches, batch_size).astype(self.model.dtype),
-        )
+        return epoch_indices(self._rng, n, batch_size, shuffle, self.model.dtype)
 
     def _epoch_train(self, ds, batch_size, key):
         data_u, data_y = self._stage("train", ds.train_in_batch, ds.train_out_batch)

@@ -5,7 +5,7 @@ import numpy as np
 
 from cbfssm_tpu.data import Sarcos
 from cbfssm_tpu.models import CBFSSM
-from cbfssm_tpu.outputs import Outputs, OutputSummary
+from cbfssm_tpu.outputs import Outputs, OutputSummary, vmapped_reproduction
 from cbfssm_tpu.training import Trainer
 
 root_dir = "run_output/sarcos"
@@ -50,24 +50,10 @@ def main(
     ``vmap_seeds=True`` trains the ``iterations`` seeds as one vmapped
     device program (MultiSeedTrainer; identical artifact layout)."""
     config = dict(model_config, **(config_overrides or {}))
-    summary = OutputSummary(root)
     if vmap_seeds:
-        from cbfssm_tpu.training import MultiSeedTrainer
-
         ds = Sarcos(seq_len, seq_stride, data_dir=data_dir)
-        model = CBFSSM(config)
-        trainer = MultiSeedTrainer(model, root, n_seeds=iterations)
-        trainer.train(ds, epochs)
-        for it in range(iterations):
-            out_dir = root if iterations == 1 else root + "/run_%d" % it
-            outputs = Outputs(out_dir)
-            outputs.set_ds(ds)
-            outputs.set_model(model, root)
-            outputs.set_trainer(trainer.seed_view(it))
-            outputs.create_all()
-            summary.add_outputs(outputs)
-        summary.write_summary()
-        return summary
+        return vmapped_reproduction(CBFSSM(config), ds, root, iterations, epochs)
+    summary = OutputSummary(root)
     for it in range(iterations):
         if iterations != 1:
             print("\n=== Iteration %d ===\n" % it)

@@ -9,8 +9,8 @@ import numpy as np
 
 from cbfssm_tpu.data import Actuator, Ballbeam, Drive, Dryer, Furnace
 from cbfssm_tpu.models import CBFSSM
-from cbfssm_tpu.outputs import Outputs, OutputSummary
-from cbfssm_tpu.training import MultiSeedTrainer, Trainer
+from cbfssm_tpu.outputs import Outputs, OutputSummary, vmapped_reproduction
+from cbfssm_tpu.training import Trainer
 
 # Choose Tasks: (dataset, name, lambda_1, k_factor)
 datasets = [
@@ -64,23 +64,14 @@ def main(
         }
         model_config.update(config_overrides or {})
 
-        summary = OutputSummary(root_dir)
         if vmap_seeds:
             ds = ds_sel(seq_len, seq_stride, data_dir=data_dir)
-            model = CBFSSM(model_config)
             epochs = math.ceil(train_iterations / ds.train_in_batch.shape[0])
-            trainer = MultiSeedTrainer(model, root_dir, n_seeds=iterations)
-            trainer.train(ds, epochs)
-            for it in range(iterations):
-                out_dir = root_dir if iterations == 1 else root_dir + "/run_%d" % it
-                outputs = Outputs(out_dir)
-                outputs.set_ds(ds)
-                outputs.set_model(model, root_dir)
-                outputs.set_trainer(trainer.seed_view(it))
-                outputs.create_all()
-                summary.add_outputs(outputs)
-            summary.write_summary()
+            vmapped_reproduction(
+                CBFSSM(model_config), ds, root_dir, iterations, epochs
+            )
             continue
+        summary = OutputSummary(root_dir)
         for it in range(iterations):
             if iterations != 1:
                 print("\n=== Iteration %d ===\n" % it)

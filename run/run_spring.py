@@ -16,8 +16,8 @@ import numpy as np
 
 from cbfssm_tpu.data import SpringNonlinear
 from cbfssm_tpu.models import CBFSSM
-from cbfssm_tpu.outputs import Outputs, OutputSummary
-from cbfssm_tpu.training import MultiSeedTrainer, Trainer
+from cbfssm_tpu.outputs import Outputs, OutputSummary, vmapped_reproduction
+from cbfssm_tpu.training import Trainer
 
 root_dir = "run_output/spring"
 iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 5
@@ -48,7 +48,7 @@ train_iterations = 30000
 
 def main(
     root=root_dir,
-    iterations=None,
+    iterations=iterations,
     train_iterations=train_iterations,
     data_dir=None,
     config_overrides=None,
@@ -59,29 +59,18 @@ def main(
     """``vmap_seeds=True`` trains all iterations as ONE vmapped device
     program (MultiSeedTrainer, ~8x faster than the serial loop — see
     BENCHMARKS.md); artifacts/summary are identical in layout."""
-    if iterations is None:
-        iterations = globals()["iterations"]
     config = dict(model_config, **(config_overrides or {}))
-    summary = OutputSummary(root)
 
     if vmap_seeds:
         ds = SpringNonlinear(seq_len, seq_stride, data_dir=data_dir)
-        model = CBFSSM(config)
         epochs = math.ceil(train_iterations / ds.train_in_batch.shape[0])
-        trainer = MultiSeedTrainer(model, root, n_seeds=iterations,
-                                   metrics_path=root + "/metrics.jsonl")
-        trainer.train(ds, epochs)
-        for it in range(iterations):
-            out_dir = root if iterations == 1 else root + "/run_%d" % it
-            outputs = Outputs(out_dir)
-            outputs.set_ds(ds)
-            outputs.set_model(model, root)
-            outputs.set_trainer(trainer.seed_view(it))
-            outputs.create_all()
-            summary.add_outputs(outputs)
-        summary.write_summary()
+        vmapped_reproduction(
+            CBFSSM(config), ds, root, iterations, epochs,
+            metrics_path=root + "/metrics.jsonl",
+        )
         return
 
+    summary = OutputSummary(root)
     for it in range(iterations):
         if iterations != 1:
             print("\n=== Iteration %d ===\n" % it)

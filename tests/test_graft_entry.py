@@ -23,8 +23,8 @@ class TestCpuMeshAvailable:
         assert not ge._cpu_mesh_available(9)
 
     def test_env_only_detection(self, monkeypatch):
-        # Simulate a fresh process (jax not imported) with various envs.
-        monkeypatch.delitem(sys.modules, "jax", raising=False)
+        # Simulate a fresh process (no live backend) with various envs.
+        monkeypatch.setattr(ge, "_backend_initialized", lambda: False)
         monkeypatch.setenv("JAX_PLATFORMS", "axon")
         monkeypatch.setenv("XLA_FLAGS", "")
         assert not ge._cpu_mesh_available(8)
@@ -37,7 +37,7 @@ class TestCpuMeshAvailable:
         assert not ge._cpu_mesh_available(16)
 
     def test_single_device_needs_no_flag(self, monkeypatch):
-        monkeypatch.delitem(sys.modules, "jax", raising=False)
+        monkeypatch.setattr(ge, "_backend_initialized", lambda: False)
         monkeypatch.setenv("JAX_PLATFORMS", "cpu")
         monkeypatch.setenv("XLA_FLAGS", "")
         assert ge._cpu_mesh_available(1)
