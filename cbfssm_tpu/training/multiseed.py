@@ -144,9 +144,13 @@ class MultiSeedTrainer:
 
     # --- state -----------------------------------------------------------
 
-    def init_state(self, retrain: bool = False):
+    def _stacked_init(self):
+        """Stacked [n_seeds, ...] parameter pytree (override hook)."""
         keys = jax.random.split(jax.random.PRNGKey(self.seed), self.n_seeds)
-        params = jax.vmap(self.model.init)(keys)
+        return jax.vmap(self.model.init)(keys)
+
+    def init_state(self, retrain: bool = False):
+        params = self._stacked_init()
         opt_state = jax.vmap(self.tx.init)(params)
         if retrain:
             tree = checkpoint.restore(

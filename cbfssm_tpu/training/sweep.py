@@ -1,0 +1,184 @@
+"""Hyperparameter sweeps as ONE vmapped device program.
+
+The reference found its per-dataset loss shaping by manual search — e.g.
+run/run_smallscale.py:12-16 hardcodes a different (lambda_1, k_factor)
+pair per dataset, each the product of serial trial runs. The models here
+are pure functions of (params, data, rng) whose loss-shaping
+hyperparameters enter the traced computation as scalars
+(models/cbfssm.py:275,341; voliro.py:311-316), so a grid of N settings
+can train exactly like N seeds do in
+:class:`~cbfssm_tpu.training.multiseed.MultiSeedTrainer`: stack the
+hypers on a leading axis, ``jax.vmap`` the epoch program, and let the
+MXU chew the N-fold-wider matmul batch with zero extra sequential depth
+(the training step is dependency-chain-bound, see BENCHMARKS.md — width
+is nearly free).
+
+Mechanics: :class:`SweptModel` stores the swept fields as
+**non-trainable leaves of the params pytree** ("hyper"), rebuilds the
+underlying model inside the traced loss with
+``dataclasses.replace(config, **hyper)`` (construction is trace-safe
+and free at runtime), and blocks gradient flow with ``stop_gradient``
+— Adam's moments for those leaves then stay zero and the values never
+drift (pinned by tests/test_sweep.py). ``learning_rate`` is swept
+through the optimizer instead (``optax.inject_hyperparams``).
+
+Only loss-time fields are sweepable. Fields consumed at ``init`` time
+(zeta_*, gp_var, var_x, ...) or structural fields (shapes, dtypes,
+recog_len masks) select different *programs*, not different scalars —
+sweep those the pedestrian way.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cbfssm_tpu.config import as_config
+from cbfssm_tpu.training.multiseed import MultiSeedTrainer
+
+# Loss-time continuous fields (read inside model.loss via jnp.asarray,
+# hence tracer-safe). learning_rate is handled via the optimizer.
+SWEEPABLE = {
+    "k_factor",
+    "loss_factors",
+    "loglik_factor",
+    "n_beta",
+    "l_beta",
+    "learning_rate",
+}
+
+
+class SweptModel:
+    """Model-like adapter reading swept config fields from the params
+    pytree, so hyperparameter settings vmap like seeds.
+
+    Params shape: ``{"model": <inner params>, "hyper": {field: value}}``.
+    ``loss``/``predict`` rebuild the inner model with the hyper values
+    substituted into the config; everything else delegates to a template
+    instance built from the base config.
+    """
+
+    def __init__(self, model_cls, config, fields):
+        self.model_cls = model_cls
+        self.base_config = as_config(config)
+        self.fields = tuple(fields)
+        self.template = model_cls(self.base_config)
+        self.config = self.template.config
+        self.dtype = self.template.dtype
+        self.samples = self.template.samples
+
+    def _rebuild(self, hyper):
+        hyper = {k: jax.lax.stop_gradient(v) for k, v in hyper.items()}
+        return self.model_cls(dataclasses.replace(self.base_config, **hyper))
+
+    def init(self, key):
+        hyper = {
+            f: jnp.asarray(getattr(self.base_config, f), dtype=self.dtype)
+            for f in self.fields
+        }
+        return {"model": self.template.init(key), "hyper": hyper}
+
+    def loss(self, params, u, y, key, condition: bool = True, weights=None):
+        model = self._rebuild(params["hyper"])
+        return model.loss(params["model"], u, y, key, condition, weights)
+
+    def predict(self, params, u, y, key, condition: bool = False):
+        model = self._rebuild(params["hyper"])
+        return model.predict(params["model"], u, y, key, condition)
+
+    def var_dict(self, params) -> dict:
+        out = dict(self.template.var_dict(params["model"]))
+        out.update({f"sweep {k}": v for k, v in params["hyper"].items()})
+        return out
+
+
+class SweepTrainer(MultiSeedTrainer):
+    """Trains every point of a hyperparameter grid as one vmapped
+    program.
+
+    ``sweep`` maps field name -> [n]-array (or [n, k] for vector fields
+    like ``loss_factors``); all entries must share the leading length n.
+    All points start from the same parameter init by default
+    (``vary_init=False``) so loss differences are attributable to the
+    hypers alone; set ``vary_init=True`` for per-point init seeds.
+
+    After ``train``, ``best_seed()`` is the winning grid point,
+    ``best_config()`` its concrete config values (also written to
+    ``sweep_best.json`` next to the checkpoints).
+    """
+
+    def __init__(self, model_cls, config, sweep: dict, model_dir,
+                 seed: int = 0, vary_init: bool = False, mesh=None,
+                 seed_axis: str = "data", metrics_path=None):
+        unknown = set(sweep) - SWEEPABLE
+        if unknown:
+            raise ValueError(
+                f"not sweepable (loss-time continuous fields only, "
+                f"{sorted(SWEEPABLE)}): {sorted(unknown)}"
+            )
+        sweep = {k: np.asarray(v) for k, v in sweep.items()}
+        lengths = {v.shape[0] for v in sweep.values()}
+        if len(lengths) != 1:
+            raise ValueError(f"sweep arrays must share length, got {lengths}")
+        self.sweep = sweep
+        self._lr = sweep.pop("learning_rate", None)
+        self._vary_init = vary_init
+        model = SweptModel(model_cls, config, tuple(sweep))
+        super().__init__(model, model_dir, n_seeds=lengths.pop(), seed=seed,
+                         mesh=mesh, seed_axis=seed_axis,
+                         metrics_path=metrics_path)
+        if self._lr is not None:
+            self.tx = optax.inject_hyperparams(optax.adam)(
+                learning_rate=float(model.config.learning_rate)
+            )
+
+    def _stacked_init(self):
+        if self._vary_init:
+            params = super()._stacked_init()
+        else:
+            # one shared init: loss differences are attributable to the
+            # grid alone
+            one = self.model.init(jax.random.PRNGKey(self.seed))
+            params = jax.tree_util.tree_map(
+                lambda a: jnp.stack([a] * self.n_seeds), one
+            )
+        # stamp the grid onto the stacked hyper leaves (idempotent on
+        # retrain: checkpoints already hold these exact values)
+        params = dict(params)
+        params["hyper"] = {
+            k: jnp.asarray(v, dtype=self.model.dtype)
+            for k, v in self.sweep.items()
+        }
+        return params
+
+    def init_state(self, retrain: bool = False):
+        super().init_state(retrain)
+        if self._lr is not None:
+            dtype = jnp.asarray(self.opt_state.hyperparams["learning_rate"]).dtype
+            for tree_name in ("opt_state", "best_opt"):
+                # one array PER tree: the epoch update donates opt_state's
+                # buffers, so best_opt must never alias them
+                lr = jnp.array(np.asarray(self._lr), dtype=dtype)
+                state = getattr(self, tree_name)
+                setattr(self, tree_name, state._replace(
+                    hyperparams={**state.hyperparams, "learning_rate": lr}
+                ))
+
+    def train(self, ds, epochs: int, retrain: bool = False):
+        super().train(ds, epochs, retrain)
+        with open(os.path.join(self.model_dir, "sweep_best.json"), "w") as f:
+            json.dump(self.best_config(), f, indent=2)
+
+    def best_config(self) -> dict:
+        """Concrete config values of the best grid point (by train loss)."""
+        i = self.best_seed()
+        out = {k: np.asarray(v)[i].tolist() for k, v in self.sweep.items()}
+        if self._lr is not None:
+            out["learning_rate"] = float(np.asarray(self._lr)[i])
+        return out

@@ -1,0 +1,201 @@
+"""SweepTrainer: a hyperparameter grid as one vmapped program.
+
+Contract: a constant grid reproduces MultiSeedTrainer exactly (the
+sweep machinery adds nothing numerically); swept values are pinned
+bitwise through training (non-trainable leaves); grid points genuinely
+differ; learning_rate sweeps through the optimizer; structural fields
+are rejected.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cbfssm_tpu.models import CBFSSM
+from cbfssm_tpu.training import MultiSeedTrainer, SweepTrainer
+from tests.test_trainer import SmokeDS, smoke_config
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SmokeDS()
+
+
+def test_constant_grid_matches_multiseed(ds, tmp_path_factory):
+    """Grid = the base config repeated -> losses identical to a plain
+    MultiSeedTrainer run (same seed, per-lane inits)."""
+    cfg = smoke_config()
+    n = 2
+    ms = MultiSeedTrainer(
+        CBFSSM(cfg), str(tmp_path_factory.mktemp("ms")), n_seeds=n
+    )
+    ms.train(ds, epochs=2)
+    sw = SweepTrainer(
+        CBFSSM,
+        cfg,
+        {"k_factor": np.full(n, cfg["k_factor"]),
+         "loss_factors": np.tile(np.asarray(cfg["loss_factors"]), (n, 1))},
+        str(tmp_path_factory.mktemp("sw")),
+        vary_init=True,
+    )
+    sw.train(ds, epochs=2)
+    np.testing.assert_allclose(
+        np.stack(sw.train_all), np.stack(ms.train_all), rtol=1e-6
+    )
+
+
+@pytest.fixture(scope="module")
+def swept(ds, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("grid"))
+    sweep = {
+        "k_factor": np.asarray([1.0, 50.0, 200.0]),
+        "loss_factors": np.asarray([[0.05, 0.0], [0.5, 0.0], [1.0, 0.1]]),
+    }
+    trainer = SweepTrainer(CBFSSM, smoke_config(), sweep, out)
+    trainer.train(ds, epochs=3)
+    return trainer, sweep, out
+
+
+def test_grid_points_differ_and_train(swept):
+    trainer, _, _ = swept
+    losses = np.stack(trainer.train_all)  # [epochs, n]
+    assert np.isfinite(losses).all()
+    assert len(np.unique(losses[-1])) == trainer.n_seeds
+
+
+def test_hypers_pinned_bitwise(swept):
+    """stop_gradient + zero Adam moments: swept leaves never drift."""
+    trainer, sweep, _ = swept
+    hyper = trainer.params["hyper"]
+    dt = np.dtype(trainer.model.dtype)
+    np.testing.assert_array_equal(
+        np.asarray(hyper["k_factor"]), sweep["k_factor"].astype(dt)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hyper["loss_factors"]), sweep["loss_factors"].astype(dt)
+    )
+
+
+def test_shared_init_attributes_differences_to_grid(swept):
+    """vary_init=False (default): all grid points started from the SAME
+    model init."""
+    trainer, _, _ = swept
+    # reconstruct the shared init and compare lane 0 vs lane 2 inits
+    fresh = SweepTrainer(
+        CBFSSM, smoke_config(),
+        {"k_factor": np.asarray([1.0, 50.0, 200.0])},
+        trainer.model_dir + "_fresh",
+    )
+    fresh.init_state()
+    z = np.asarray(fresh.params["model"].gp_f.z)
+    np.testing.assert_array_equal(z[0], z[1])
+    np.testing.assert_array_equal(z[0], z[2])
+
+
+def test_best_config_and_json(swept):
+    trainer, sweep, out = swept
+    best = trainer.best_config()
+    i = trainer.best_seed()
+    assert best["k_factor"] == pytest.approx(sweep["k_factor"][i])
+    assert np.asarray(best["loss_factors"]) == pytest.approx(sweep["loss_factors"][i])
+    with open(os.path.join(out, "sweep_best.json")) as f:
+        assert json.load(f) == best
+
+
+def test_seed_view_and_var_dump(swept, ds):
+    """Per-point evaluation plumbing: SeedView params drive the
+    SweptModel's predict, and var_dict includes the swept values."""
+    trainer, _, _ = swept
+    view = trainer.seed_view(1)
+    pred = trainer.model.predict(
+        view.params, ds.test_in_batch[:4], ds.test_out_batch[:4],
+        jax.random.PRNGKey(0),
+    )
+    assert np.isfinite(np.asarray(pred.pred_mean)).all()
+    vd = trainer.model.var_dict(view.params)
+    assert float(vd["sweep k_factor"]) == pytest.approx(50.0)
+
+
+def test_learning_rate_sweep(ds, tmp_path):
+    """lr enters via optax.inject_hyperparams: a 0-lr lane must not
+    move, a positive-lr lane must."""
+    sweep = {"learning_rate": np.asarray([0.0, 0.05])}
+    trainer = SweepTrainer(CBFSSM, smoke_config(), sweep, str(tmp_path / "lr"))
+    trainer.init_state()
+    z0 = np.asarray(trainer.params["model"].gp_f.z)
+    trainer.train(ds, epochs=2)
+    z1 = np.asarray(trainer.params["model"].gp_f.z)
+    np.testing.assert_array_equal(z1[0], z0[0])  # lr=0 lane frozen
+    assert np.abs(z1[1] - z0[1]).max() > 0  # lr>0 lane trained
+    assert trainer.best_config()["learning_rate"] in (0.0, 0.05)
+
+
+def test_voliro_loss_time_fields_sweep(tmp_path):
+    """The Voliro hypers (loglik_factor / Beta priors) unpack from
+    tracers — one vmapped loss call over a 2-point grid."""
+    from cbfssm_tpu.models import Voliro
+    from cbfssm_tpu.training.sweep import SweptModel
+
+    class _DS:
+        dim_u = 13
+        dim_y = 22
+
+    cfg = {
+        "ds": _DS,
+        "batch_size": 2,
+        "ind_pnt_num": 4,
+        "samples": 2,
+        "learning_rate": 0.01,
+        "loglik_factor": np.asarray([20.0, 0.0, 200.0]),
+        "n_beta": [10.0, 2.0, 10.0],
+        "l_beta": [1.0, 10.0, 10.0],
+        "zeta_pos": 2.0,
+        "zeta_mean": 0.0025,
+        "zeta_var": 0.0001,
+        "gp_var": 0.25,
+        "gp_len": 5.0,
+        "var_x": np.asarray([0.02] * 7 + [0.2] * 6) ** 2,
+        "var_y": np.asarray([0.02] * 7 + [0.2] * 6) ** 2,
+        "var_z": np.asarray([0.02] * 6),
+    }
+    model = SweptModel(Voliro, cfg, ("loglik_factor", "n_beta"))
+    params = jax.vmap(model.init)(jax.random.split(jax.random.PRNGKey(0), 2))
+    params["hyper"] = {
+        "loglik_factor": jnp.asarray([[20.0, 0.0, 200.0], [5.0, 0.0, 50.0]]),
+        "n_beta": jnp.asarray([[10.0, 2.0, 10.0], [5.0, 1.0, 5.0]]),
+    }
+    rng = np.random.default_rng(0)
+    pwm = rng.uniform(0.3, 0.9, size=(2, 8, 6))
+    tilt = rng.uniform(-0.5, 0.5, size=(2, 8, 6))
+    ts = np.broadcast_to(np.arange(8.0)[None, :, None] * 0.02, (2, 8, 1))
+    u = np.concatenate((pwm, tilt, ts), axis=-1).astype(np.float32)
+    y = (rng.normal(size=(2, 8, 22)) * 0.1).astype(np.float32)
+    q = rng.normal(size=(2, 8, 4))
+    y[..., 12:16] = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+
+    losses, _ = jax.vmap(
+        lambda p, k: model.loss(p, u, y, k, True)
+    )(params, jax.random.split(jax.random.PRNGKey(1), 2))
+    assert np.isfinite(np.asarray(losses)).all()
+    assert len(np.unique(np.asarray(losses))) == 2
+
+
+def test_structural_fields_rejected():
+    with pytest.raises(ValueError, match="not sweepable"):
+        SweepTrainer(
+            CBFSSM, smoke_config(), {"recog_len": np.asarray([4, 8])}, "/tmp/x"
+        )
+
+
+def test_mismatched_lengths_rejected():
+    with pytest.raises(ValueError, match="share length"):
+        SweepTrainer(
+            CBFSSM,
+            smoke_config(),
+            {"k_factor": np.asarray([1.0]), "learning_rate": np.asarray([0.1, 0.2])},
+            "/tmp/x",
+        )
