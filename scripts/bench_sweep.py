@@ -10,6 +10,7 @@ Timing per CLAUDE.md: first epoch discarded (compile + staging),
 host-value readbacks inside the trainers provide synchronization.
 
 Usage: python scripts/bench_sweep.py [grid_n] [epochs]
+       python scripts/bench_sweep.py --width-curve   (lane-scaling table)
 """
 
 import os
@@ -72,7 +73,30 @@ def config(dim_x=4):
     }
 
 
+def width_curve(epochs=6):
+    """s/epoch vs vmapped lane count (MultiSeedTrainer) — how free is
+    width on a dependency-chain-bound step?"""
+    from cbfssm_tpu.training import MultiSeedTrainer
+
+    ds = SynthDS()
+    print("lanes  total_s  s/epoch  s/epoch/lane")
+    for n in (1, 2, 5, 10, 20, 40):
+        tr = MultiSeedTrainer(CBFSSM(config()), f"/tmp/bench_width_{n}", n_seeds=n)
+        t0 = time.perf_counter()
+        tr.train(ds, epochs)
+        cold = time.perf_counter() - t0
+        tr2 = MultiSeedTrainer(CBFSSM(config()), f"/tmp/bench_width_{n}b", n_seeds=n)
+        t0 = time.perf_counter()
+        tr2.train(ds, epochs)
+        warm = time.perf_counter() - t0
+        print(f"{n:5d}  {warm:7.2f}  {warm/epochs:7.3f}  {warm/epochs/n:9.4f}"
+              f"   (cold {cold:.1f}s)")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--width-curve":
+        width_curve()
+        return
     grid_n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
 
