@@ -111,6 +111,14 @@ class SweepTrainer(MultiSeedTrainer):
     After ``train``, ``best_seed()`` is the winning grid point,
     ``best_config()`` its concrete config values (also written to
     ``sweep_best.json`` next to the checkpoints).
+
+    CAVEAT on selection: best_seed()/best_config() compare raw train
+    losses, which is only meaningful when the grid does NOT change the
+    loss's own scale. When sweeping ``loss_factors``/``loglik_factor``
+    (lambda multiplies the loglik), select by an evaluation metric
+    instead — run per-point Outputs via ``seed_view(i)`` and rank the
+    free-running RMSEs (scripts/make_sweep_artifact.py does exactly
+    this; see artifacts/sweep_actuator/grid_rmse.txt).
     """
 
     def __init__(self, model_cls, config, sweep: dict, model_dir,
