@@ -44,6 +44,10 @@ class CBFSSMParams:
 
 
 class CBFSSM(BaseSSM):
+    # loss-time continuous config fields this model actually reads
+    # (sweepable via training.sweep.SweepTrainer)
+    SWEEPABLE_HYPERS = frozenset({"loss_factors", "k_factor"})
+
     def __init__(self, config):
         super().__init__(config)
         self.dim_x = int(self.config.dim_x)

@@ -30,6 +30,10 @@ class CBFSSMHALFParams:
 
 
 class CBFSSMHALF(BaseSSM):
+    # loss-time fields this model reads (SweepTrainer whitelist); only
+    # loss_factors[0] enters the ELBO (no entropy term)
+    SWEEPABLE_HYPERS = frozenset({"loss_factors", "k_factor"})
+
     def __init__(self, config):
         super().__init__(config)
         self.dim_x = int(self.config.dim_x)

@@ -37,6 +37,9 @@ class PRSSM(BaseSSM):
     # (prssm.py:96-97); particle-parallel recombination must not
     # normalize either.
     PARTICLE_NORMALIZED = False
+    # loss-time fields this model reads (SweepTrainer whitelist): pure
+    # prior rollout — no conditioning, so no k_factor
+    SWEEPABLE_HYPERS = frozenset({"loss_factors"})
 
     def __init__(self, config):
         super().__init__(config)

@@ -63,6 +63,10 @@ class VoliroParams:
 
 
 class Voliro(BaseSSM):
+    # loss-time fields this model reads (SweepTrainer whitelist):
+    # Voliro uses loglik_factor + Beta priors, not loss_factors/k_factor
+    SWEEPABLE_HYPERS = frozenset({"loglik_factor", "n_beta", "l_beta"})
+
     # Fixed physical dimensions (voliro.py:13-18).
     GP_DIM_IN_F = 12
     GP_DIM_OUT_F = 3

@@ -149,6 +149,12 @@ class MultiSeedTrainer:
         keys = jax.random.split(jax.random.PRNGKey(self.seed), self.n_seeds)
         return jax.vmap(self.model.init)(keys)
 
+    def _lane_keys(self, key):
+        """Per-lane RNG keys for one epoch pass (override hook:
+        independent streams here; SweepTrainer shares one stream across
+        lanes so losses are attributable to the grid)."""
+        return jax.random.split(key, self.n_seeds)
+
     def init_state(self, retrain: bool = False):
         params = self._stacked_init()
         opt_state = jax.vmap(self.tx.init)(params)
@@ -206,14 +212,14 @@ class MultiSeedTrainer:
         for epoch in range(epochs):
             t0 = time.perf_counter()
             ekey = jax.random.fold_in(base_key, epoch)
-            keys = jax.random.split(jax.random.fold_in(ekey, 0), self.n_seeds)
+            keys = self._lane_keys(jax.random.fold_in(ekey, 0))
             idx_s, w_s = self._epoch_indices(
                 ds.train_in_batch.shape[0], batch_size, shuffle=True
             )
             self.params, self.opt_state, train_losses = self._epoch_update(
                 self.params, self.opt_state, data_u, data_y, idx_s, w_s, keys
             )
-            tkeys = jax.random.split(jax.random.fold_in(ekey, 1), self.n_seeds)
+            tkeys = self._lane_keys(jax.random.fold_in(ekey, 1))
             test_losses = self._epoch_eval_fn(
                 self.params, test_u, test_y, tidx, tw, tkeys
             )
@@ -249,13 +255,9 @@ class MultiSeedTrainer:
             os.path.join(self.model_dir, LAST_SEEDS),
             {"params": self.params, "opt_state": self.opt_state},
         )
-        i = self.best_seed()
         checkpoint.save(
             os.path.join(self.model_dir, checkpoint.LAST),
-            {
-                "params": self.params_for(i, best=False),
-                "opt_state": self._opt_for(i, best=False),
-            },
+            self._single_tree(self.best_seed(), best=False),
         )
 
     def _save_best(self):
@@ -263,11 +265,19 @@ class MultiSeedTrainer:
             os.path.join(self.model_dir, BEST_SEEDS),
             {"params": self.best_params, "opt_state": self.best_opt},
         )
-        i = self.best_seed()
         checkpoint.save(
             os.path.join(self.model_dir, checkpoint.BEST),
-            {"params": self.params_for(i), "opt_state": self._opt_for(i)},
+            self._single_tree(self.best_seed(), best=True),
         )
+
+    def _single_tree(self, i: int, best: bool) -> dict:
+        """The tree written to best.ckpt / model.ckpt: the overall-best
+        seed's UNstacked state, loadable by any single-model consumer
+        (override hook — SweepTrainer unwraps its params wrapper here)."""
+        return {
+            "params": self.params_for(i, best=best),
+            "opt_state": self._opt_for(i, best=best),
+        }
 
     def _opt_for(self, i: int, best: bool = True):
         tree = self.best_opt if best else self.opt_state

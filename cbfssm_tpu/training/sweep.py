@@ -104,9 +104,17 @@ class SweepTrainer(MultiSeedTrainer):
 
     ``sweep`` maps field name -> [n]-array (or [n, k] for vector fields
     like ``loss_factors``); all entries must share the leading length n.
-    All points start from the same parameter init by default
-    (``vary_init=False``) so loss differences are attributable to the
-    hypers alone; set ``vary_init=True`` for per-point init seeds.
+    Sweepable fields are validated against the model's
+    ``SWEEPABLE_HYPERS`` declaration (the loss-time fields it actually
+    reads), so a field the model ignores fails fast instead of training
+    a grid whose "best" value is noise.
+
+    By default (``vary_init=False``) every grid point shares ONE
+    parameter init, ONE shuffle order, and ONE Monte-Carlo RNG stream,
+    so loss differences are attributable to the grid alone (a constant
+    grid produces identical lanes — pinned by test). Set
+    ``vary_init=True`` for independent per-point seeds (MultiSeedTrainer
+    semantics, e.g. to combine a grid axis with seed replication).
 
     After ``train``, ``best_seed()`` is the winning grid point,
     ``best_config()`` its concrete config values (also written to
@@ -124,13 +132,27 @@ class SweepTrainer(MultiSeedTrainer):
     def __init__(self, model_cls, config, sweep: dict, model_dir,
                  seed: int = 0, vary_init: bool = False, mesh=None,
                  seed_axis: str = "data", metrics_path=None):
-        unknown = set(sweep) - SWEEPABLE
+        if not sweep:
+            raise ValueError("sweep must name at least one field")
+        # a field the target model never reads would silently train a
+        # full-budget grid whose 'best' value is pure noise
+        allowed = (
+            frozenset(getattr(model_cls, "SWEEPABLE_HYPERS", SWEEPABLE))
+            | {"learning_rate"}
+        )
+        unknown = set(sweep) - allowed
         if unknown:
             raise ValueError(
-                f"not sweepable (loss-time continuous fields only, "
-                f"{sorted(SWEEPABLE)}): {sorted(unknown)}"
+                f"not sweepable for {model_cls.__name__} (its loss reads "
+                f"{sorted(allowed)}): {sorted(unknown)}"
             )
-        sweep = {k: np.asarray(v) for k, v in sweep.items()}
+        sweep = {k: np.asarray(v, dtype=np.float64) for k, v in sweep.items()}
+        for k, v in sweep.items():
+            if v.ndim < 1:
+                raise ValueError(
+                    f"sweep['{k}'] must be a length-n array of grid values, "
+                    f"got a scalar ({v!r})"
+                )
         lengths = {v.shape[0] for v in sweep.values()}
         if len(lengths) != 1:
             raise ValueError(f"sweep arrays must share length, got {lengths}")
@@ -165,6 +187,21 @@ class SweepTrainer(MultiSeedTrainer):
         }
         return params
 
+    def _lane_keys(self, key):
+        """With the default shared init, all lanes also share ONE RNG
+        stream (same shuffles come from _epoch_indices below), so loss
+        differences are attributable to the grid alone."""
+        if self._vary_init:
+            return super()._lane_keys(key)
+        return jnp.broadcast_to(key, (self.n_seeds,) + key.shape)
+
+    def _epoch_indices(self, n, batch_size, shuffle: bool):
+        if self._vary_init:
+            return super()._epoch_indices(n, batch_size, shuffle)
+        idx, w = self._single_indices(n, batch_size, shuffle)
+        tile = lambda a: np.broadcast_to(a, (self.n_seeds,) + a.shape)  # noqa: E731
+        return tile(idx), tile(w)
+
     def init_state(self, retrain: bool = False):
         super().init_state(retrain)
         if self._lr is not None:
@@ -178,10 +215,47 @@ class SweepTrainer(MultiSeedTrainer):
                     hyperparams={**state.hyperparams, "learning_rate": lr}
                 ))
 
+    def _single_tree(self, i: int, best: bool) -> dict:
+        """best.ckpt / model.ckpt hold the winning point's UNWRAPPED
+        model tree so any single-model consumer (Outputs' trainerless
+        re-evaluation with the winning config from sweep_best.json) can
+        load it. The optimizer moments are fresh — exact resume uses the
+        stacked best_seeds.ckpt / model_seeds.ckpt."""
+        params = self.params_for(i, best=best)["model"]
+        tx = optax.adam(float(self.model.config.learning_rate))
+        return {"params": params, "opt_state": tx.init(params)}
+
     def train(self, ds, epochs: int, retrain: bool = False):
         super().train(ds, epochs, retrain)
         with open(os.path.join(self.model_dir, "sweep_best.json"), "w") as f:
             json.dump(self.best_config(), f, indent=2)
+
+    def evaluate_rmse(self, ds, key=None, best: bool = True,
+                      condition: bool = False) -> np.ndarray:
+        """Free-running test RMSE of every grid point, computed with all
+        lanes in ONE vmapped program per test experiment. Semantics
+        match ``Outputs.test_mse`` exactly (denormalized particle-mean
+        prediction, per-experiment MSE averaged, then sqrt) — use this
+        to rank grid points when the sweep changes the loss scale (see
+        the class docstring's selection caveat). Returns [n] RMSEs."""
+        key = jax.random.PRNGKey(0) if key is None else key
+        params = self.best_params if best else self.params
+        predict = jax.jit(
+            jax.vmap(
+                lambda p, u, y, k: self.model.predict(p, u, y, k, condition),
+                in_axes=(0, None, None, None),
+            )
+        )
+        mse = np.zeros(self.n_seeds)
+        n_exp = ds.test_in.shape[0]
+        for i in range(n_exp):
+            u = jnp.asarray(np.asarray(ds.test_in[i : i + 1]), dtype=self.model.dtype)
+            y = jnp.asarray(np.asarray(ds.test_out[i : i + 1]), dtype=self.model.dtype)
+            out = predict(params, u, y, key)
+            pred = ds.denormalize(np.asarray(out.pred_mean), "out")  # [n, 1, T, dy]
+            gt = ds.denormalize(np.asarray(ds.test_out[i : i + 1]), "out")[0]
+            mse += np.mean((pred[:, 0] - gt) ** 2, axis=(1, 2))
+        return np.sqrt(mse / n_exp)
 
     def best_config(self) -> dict:
         """Concrete config values of the best grid point (by train loss)."""

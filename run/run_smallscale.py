@@ -23,6 +23,30 @@ datasets = [
 tasks = [int(sys.argv[1])] if len(sys.argv) > 1 else range(len(datasets))
 
 
+def model_config(task_nr: int, dim_x: int = 4) -> dict:
+    """The reference's verbatim hyperparameter dict for one task
+    (run_smallscale.py:35-59), including its (lambda_1, k_factor)."""
+    return {
+        "ds": datasets[task_nr][0],
+        "batch_size": 10,
+        "shuffle": 10000,
+        "dim_x": dim_x,
+        "ind_pnt_num": 20,
+        "samples": 50,
+        "learning_rate": 0.1,
+        "loss_factors": np.asarray([1.0, 0.0]) * datasets[task_nr][2],
+        "k_factor": datasets[task_nr][3],
+        "recog_len": 16,
+        "zeta_pos": 2.0,
+        "zeta_mean": 0.05**2,
+        "zeta_var": 0.01**2,
+        "var_x": np.asarray([0.002**2] * dim_x),
+        "var_y": np.asarray([1.0**2] * dim_x),
+        "gp_var": 0.5**2,
+        "gp_len": 2.0,
+    }
+
+
 def main(
     task_list=None,
     root="run_output/smallscale",
@@ -42,33 +66,14 @@ def main(
     for task_nr in task_list if task_list is not None else tasks:
         root_dir = root + "/" + datasets[task_nr][1]
         ds_sel = datasets[task_nr][0]
-        dim_x = 4
-        model_config = {
-            "ds": ds_sel,
-            "batch_size": 10,
-            "shuffle": 10000,
-            "dim_x": dim_x,
-            "ind_pnt_num": 20,
-            "samples": 50,
-            "learning_rate": 0.1,
-            "loss_factors": np.asarray([1.0, 0.0]) * datasets[task_nr][2],
-            "k_factor": datasets[task_nr][3],
-            "recog_len": 16,
-            "zeta_pos": 2.0,
-            "zeta_mean": 0.05**2,
-            "zeta_var": 0.01**2,
-            "var_x": np.asarray([0.002**2] * dim_x),
-            "var_y": np.asarray([1.0**2] * dim_x),
-            "gp_var": 0.5**2,
-            "gp_len": 2.0,
-        }
-        model_config.update(config_overrides or {})
+        config = model_config(task_nr)
+        config.update(config_overrides or {})
 
         if vmap_seeds:
             ds = ds_sel(seq_len, seq_stride, data_dir=data_dir)
             epochs = math.ceil(train_iterations / ds.train_in_batch.shape[0])
             vmapped_reproduction(
-                CBFSSM(model_config), ds, root_dir, iterations, epochs
+                CBFSSM(config), ds, root_dir, iterations, epochs
             )
             continue
         summary = OutputSummary(root_dir)
@@ -79,7 +84,7 @@ def main(
             outputs = Outputs(out_dir)
             ds = ds_sel(seq_len, seq_stride, data_dir=data_dir)
             outputs.set_ds(ds)
-            model = CBFSSM(model_config)
+            model = CBFSSM(config)
             outputs.set_model(model, out_dir)
             epochs = math.ceil(train_iterations / ds.train_in_batch.shape[0])
             trainer = Trainer(model, out_dir, seed=it)

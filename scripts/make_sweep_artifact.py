@@ -4,16 +4,17 @@ The reference's per-dataset (lambda_1, k_factor) pairs
 (run/run_smallscale.py:12-16) were the product of serial trial runs.
 This script tunes the same two hypers on the synthetic actuator
 stand-in as ONE vmapped grid (full reference training budget per
-point), then evaluates every point's free-running test RMSE — the
-complete tuning surface, for roughly the cost of training one point
-serially per few grid points.
+point), ranks every point by free-running test RMSE computed in one
+vmapped program (`SweepTrainer.evaluate_rmse`, Outputs.test_mse
+semantics), and writes the reference-style evaluation artifacts for the
+RMSE-best point only.
 
 Writes artifacts/sweep_actuator/{grid_rmse.txt, sweep_best.json}.
 
 Usage: python scripts/make_sweep_artifact.py [epochs]
 """
 
-import json
+import importlib.util
 import math
 import os
 import shutil
@@ -27,6 +28,19 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 from scripts.make_smallscale_artifact import synth_actuator  # noqa: E402
+
+
+def load_run_smallscale():
+    spec = importlib.util.spec_from_file_location(
+        "run_smallscale", os.path.join(HERE, "run", "run_smallscale.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    argv, sys.argv = sys.argv, [spec.origin]
+    try:
+        spec.loader.exec_module(mod)
+    finally:
+        sys.argv = argv
+    return mod
 
 
 def main():
@@ -47,26 +61,9 @@ def main():
         "k_factor": np.asarray([k for _, k in points]),
     }
 
-    dim_x = 4
-    config = {
-        "ds": Actuator,
-        "batch_size": 10,
-        "shuffle": 10000,
-        "dim_x": dim_x,
-        "ind_pnt_num": 20,
-        "samples": 50,
-        "learning_rate": 0.1,
-        "loss_factors": np.asarray([0.5, 0.0]),
-        "k_factor": 100.0,
-        "recog_len": 16,
-        "zeta_pos": 2.0,
-        "zeta_mean": 0.05**2,
-        "zeta_var": 0.01**2,
-        "var_x": np.asarray([0.002**2] * dim_x),
-        "var_y": np.asarray([1.0**2] * dim_x),
-        "gp_var": 0.5**2,
-        "gp_len": 2.0,
-    }
+    # the reference's verbatim Actuator config (task 0) is the sweep's
+    # base — single source of truth, no duplicated dict
+    config = load_run_smallscale().model_config(0)
 
     epochs = (
         int(sys.argv[1])
@@ -79,16 +76,19 @@ def main():
     trainer.train(ds, epochs)
     train_wall = time.perf_counter() - t0
 
-    # free-running test RMSE per grid point (Outputs' mse.txt semantics)
-    rows = []
-    for i, (lam, k) in enumerate(points):
-        o = Outputs(os.path.join(out, f"pt_{i}"))
-        o.set_ds(ds)
-        o.set_model(trainer.model, out)
-        o.set_trainer(trainer.seed_view(i))
-        o.create_all()
-        rows.append((lam, k, o.get_last_rmse()))
+    # rank the grid by free-running test RMSE — all lanes in one
+    # vmapped program (train losses are not comparable across lambda_1)
+    rmse = trainer.evaluate_rmse(ds)
     eval_wall = time.perf_counter() - t0 - train_wall
+    rows = [(lam, k, rmse[i]) for i, (lam, k) in enumerate(points)]
+    best_i = int(np.argmin(rmse))
+
+    # reference-style artifacts for the RMSE-best point
+    o = Outputs(os.path.join(out, "best_point"))
+    o.set_ds(ds)
+    o.set_model(trainer.model, out)
+    o.set_trainer(trainer.seed_view(best_i))
+    o.create_all()
 
     art = os.path.join(HERE, "artifacts", "sweep_actuator")
     os.makedirs(art, exist_ok=True)
@@ -96,14 +96,17 @@ def main():
         f.write(
             f"# {len(points)}-point (lambda_1, k_factor) grid, one vmapped "
             f"program\n# train {train_wall:.0f}s ({epochs} epochs), "
-            f"eval {eval_wall:.0f}s\n"
+            f"vmapped eval {eval_wall:.0f}s\n"
             "lambda_1  k_factor  free_run_test_RMSE\n"
         )
-        for lam, k, rmse in sorted(rows, key=lambda r: r[2]):
-            f.write(f"{lam:8.2f}  {k:8.0f}  {rmse:.6f}\n")
+        for lam, k, r in sorted(rows, key=lambda r: r[2]):
+            f.write(f"{lam:8.2f}  {k:8.0f}  {r:.6f}\n")
     shutil.copy(os.path.join(out, "sweep_best.json"), art)
     print(open(os.path.join(art, "grid_rmse.txt")).read())
-    print(f"best by train loss: {trainer.best_config()}")
+    print(f"RMSE-best point: lambda_1={points[best_i][0]}, "
+          f"k_factor={points[best_i][1]} (RMSE {rmse[best_i]:.4f}, "
+          f"Outputs RMSE {o.get_last_rmse():.4f})")
+    print(f"best by train loss (not lambda-comparable): {trainer.best_config()}")
     print(f"TOTAL WALL: {time.perf_counter() - t0:.1f} s")
 
 

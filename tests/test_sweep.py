@@ -184,11 +184,86 @@ def test_voliro_loss_time_fields_sweep(tmp_path):
     assert len(np.unique(np.asarray(losses))) == 2
 
 
+def test_constant_grid_lanes_identical(ds, tmp_path):
+    """Default (vary_init=False): shared init + shared shuffles + shared
+    RNG stream -> a constant grid produces IDENTICAL lanes, so any loss
+    difference in a real sweep is attributable to the grid alone."""
+    n = 3
+    trainer = SweepTrainer(
+        CBFSSM, smoke_config(),
+        {"k_factor": np.full(n, smoke_config()["k_factor"])},
+        str(tmp_path / "const"),
+    )
+    trainer.train(ds, epochs=2)
+    losses = np.stack(trainer.train_all)  # [epochs, n]
+    for e in range(losses.shape[0]):
+        assert len(np.unique(losses[e])) == 1, losses[e]
+
+
+def test_best_ckpt_single_model_consumable(swept, ds):
+    """best.ckpt holds the winning point's UNWRAPPED model tree — the
+    documented single-model-consumer contract (multiseed.py)."""
+    import optax
+
+    from cbfssm_tpu.training import checkpoint
+
+    trainer, _, out = swept
+    model = CBFSSM(smoke_config())
+    params_t = model.init(jax.random.PRNGKey(0))
+    opt_t = optax.adam(model.config.learning_rate).init(params_t)
+    tree = checkpoint.restore(
+        os.path.join(out, checkpoint.BEST), {"params": params_t, "opt_state": opt_t}
+    )
+    want = trainer.params_for(trainer.best_seed())["model"]
+    np.testing.assert_array_equal(
+        np.asarray(tree["params"].gp_f.z), np.asarray(want.gp_f.z)
+    )
+    loss, _ = model.loss(
+        tree["params"], ds.test_in_batch[:4], ds.test_out_batch[:4],
+        jax.random.PRNGKey(0), True,
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_evaluate_rmse_matches_outputs(swept, ds, tmp_path):
+    """The vmapped grid evaluation reproduces Outputs.test_mse exactly
+    per lane."""
+    from cbfssm_tpu.outputs import Outputs
+
+    trainer, _, _ = swept
+    rmse = trainer.evaluate_rmse(ds)
+    assert rmse.shape == (trainer.n_seeds,)
+    i = 1
+    o = Outputs(str(tmp_path / "pt"))
+    o.set_ds(ds)
+    o.set_model(trainer.model, trainer.model_dir)
+    o.set_trainer(trainer.seed_view(i))
+    o.create_all()
+    np.testing.assert_allclose(rmse[i], o.get_last_rmse(), rtol=1e-6)
+
+
 def test_structural_fields_rejected():
     with pytest.raises(ValueError, match="not sweepable"):
         SweepTrainer(
             CBFSSM, smoke_config(), {"recog_len": np.asarray([4, 8])}, "/tmp/x"
         )
+
+
+def test_field_unread_by_model_rejected():
+    """A loss-time field the TARGET model never reads must fail fast
+    (otherwise the grid's 'best' value would be pure noise)."""
+    with pytest.raises(ValueError, match="not sweepable for CBFSSM"):
+        SweepTrainer(
+            CBFSSM, smoke_config(),
+            {"loglik_factor": np.asarray([[20.0, 0.0, 200.0]] * 2)}, "/tmp/x",
+        )
+
+
+def test_scalar_and_empty_sweeps_rejected():
+    with pytest.raises(ValueError, match="length-n array"):
+        SweepTrainer(CBFSSM, smoke_config(), {"k_factor": 5.0}, "/tmp/x")
+    with pytest.raises(ValueError, match="at least one field"):
+        SweepTrainer(CBFSSM, smoke_config(), {}, "/tmp/x")
 
 
 def test_mismatched_lengths_rejected():
