@@ -285,6 +285,33 @@ class MultiSeedTrainer:
 
     # --- results -------------------------------------------------------
 
+    def evaluate_rmse(self, ds, key=None, best: bool = True,
+                      condition: bool = False) -> np.ndarray:
+        """Free-running test RMSE of every lane (seed or grid point),
+        computed with all lanes in ONE vmapped program per test
+        experiment. Semantics match ``Outputs.test_mse`` exactly
+        (denormalized particle-mean prediction, per-experiment MSE
+        averaged, then sqrt; parity pinned by tests/test_sweep.py).
+        Returns an [n_seeds] array."""
+        key = jax.random.PRNGKey(0) if key is None else key
+        params = self.best_params if best else self.params
+        predict = jax.jit(
+            jax.vmap(
+                lambda p, u, y, k: self.model.predict(p, u, y, k, condition),
+                in_axes=(0, None, None, None),
+            )
+        )
+        mse = np.zeros(self.n_seeds)
+        n_exp = ds.test_in.shape[0]
+        for i in range(n_exp):
+            u = jnp.asarray(np.asarray(ds.test_in[i : i + 1]), dtype=self.model.dtype)
+            y = jnp.asarray(np.asarray(ds.test_out[i : i + 1]), dtype=self.model.dtype)
+            out = predict(params, u, y, key)
+            pred = ds.denormalize(np.asarray(out.pred_mean), "out")  # [n, 1, T, dy]
+            gt = ds.denormalize(np.asarray(ds.test_out[i : i + 1]), "out")[0]
+            mse += np.mean((pred[:, 0] - gt) ** 2, axis=(1, 2))
+        return np.sqrt(mse / n_exp)
+
     def best_seed(self) -> int:
         return int(np.argmin(np.asarray(self.best_loss)))
 
