@@ -57,3 +57,78 @@ class CompiledPredictor:
                 f"compiled for shape {(self.batch, self.seq_len)}, got {u.shape[:2]}"
             )
         return self._compiled(self.params, u, y, key if key is not None else self.key)
+
+
+class BucketedPredictor:
+    """Serves ANY request size over a precompiled ladder of batch
+    buckets.
+
+    Real serving traffic has variable request sizes, but XLA wants one
+    compiled shape per program. Measured on-chip (BENCHMARKS.md
+    "Serving latency"): a 32-sequence batch costs only +12% latency
+    over a single sequence — so padding a request up to the next bucket
+    wastes almost nothing, and requests larger than the top bucket are
+    chunked through it at its (near-flat) per-batch cost.
+
+    Per-sequence results are independent of the padding content: the
+    [T, B, S] noise draws are indexed by row position and the GP
+    predict batches rows independently, so row i of a padded batch is
+    bitwise identical whatever sits in the pad rows (pinned by test).
+    The scalar ``mse`` aggregate is recomputed over the REAL rows only.
+
+    >>> pred = BucketedPredictor(model, params, seq_len=300, buckets=(1, 8, 32))
+    >>> out = pred(u, y)        # u: [n, 300, du] for any n >= 1
+    """
+
+    def __init__(self, model, params, seq_len: int, buckets=(1, 8, 32),
+                 condition: bool = False, seed: int = 0):
+        if not buckets:
+            raise ValueError("need at least one bucket size")
+        self.buckets = sorted(set(int(b) for b in buckets))
+        self.seq_len = seq_len
+        self.model = model
+        self._preds = {
+            b: CompiledPredictor(model, params, b, seq_len, condition, seed)
+            for b in self.buckets
+        }
+
+    def _one_batch(self, u, y, key):
+        """Pad one <=max-bucket request up to its bucket, predict, and
+        slice the real rows back out."""
+        n = u.shape[0]
+        bucket = next(b for b in self.buckets if b >= n)
+        pad = bucket - n
+        if pad:
+            u = np.concatenate([u, np.zeros((pad,) + u.shape[1:], u.dtype)])
+            y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)])
+        out = self._preds[bucket](u, y, key)
+        if pad:
+            out = jax.tree_util.tree_map(
+                lambda a: a[:n] if getattr(a, "ndim", 0) else a, out
+            )
+        return out
+
+    def __call__(self, u, y, key=None):
+        u = np.asarray(u)
+        y = np.asarray(y)
+        if u.ndim != 3 or u.shape[1] != self.seq_len:
+            raise ValueError(
+                f"expected [n, {self.seq_len}, dim_u] input, got {u.shape}"
+            )
+        top = self.buckets[-1]
+        outs = [
+            self._one_batch(u[i : i + top], y[i : i + top], key)
+            for i in range(0, u.shape[0], top)
+        ]
+        out = (
+            outs[0]
+            if len(outs) == 1
+            else jax.tree_util.tree_map(
+                lambda *a: jnp.concatenate(a, axis=0) if a[0].ndim else a[0], *outs
+            )
+        )
+        # the per-chunk scalar mse aggregated pad/chunk-wise is not the
+        # request-level number; recompute over the real rows
+        pred_mean = np.asarray(out.pred_mean)
+        mse = float(np.mean((pred_mean - y[..., : pred_mean.shape[-1]]) ** 2))
+        return out.replace(mse=jnp.asarray(mse, dtype=pred_mean.dtype))

@@ -73,3 +73,60 @@ def test_dim_h_zero_full_observation(rng):
     assert np.abs(np.asarray(grads.gp_f.mean)).max() > 0
     out = model.predict(params, u, y, jax.random.PRNGKey(2))
     assert out.pred_mean.shape == (2, 6, 3)
+
+
+def test_bucketed_predictor_row_isolation(rng):
+    """Row i's prediction is bitwise independent of the pad/sibling
+    rows (noise is indexed by row position; the GP predict is
+    row-independent) — the property BucketedPredictor's padding relies
+    on."""
+    from cbfssm_tpu.serving import BucketedPredictor
+
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = BucketedPredictor(model, params, seq_len=8, buckets=(4,))
+    u = rng.normal(size=(1, 8, 2))
+    y = rng.normal(size=(1, 8, 1))
+    out_padded = pred(u, y)  # padded 1 -> 4 with zeros
+    assert np.asarray(out_padded.pred_mean).shape == (1, 8, 1)
+
+    # same row alongside different (garbage) siblings, same bucket
+    u4 = np.concatenate([u, rng.normal(size=(3, 8, 2))])
+    y4 = np.concatenate([y, rng.normal(size=(3, 8, 1))])
+    out_sib = pred(u4, y4)
+    np.testing.assert_array_equal(
+        np.asarray(out_padded.pred_mean), np.asarray(out_sib.pred_mean)[:1]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_padded.pred_var), np.asarray(out_sib.pred_var)[:1]
+    )
+
+
+def test_bucketed_predictor_buckets_and_chunking(rng):
+    """Any request size works: bucket routing below the top bucket,
+    chunking above it; mse is recomputed over the real rows."""
+    from cbfssm_tpu.serving import BucketedPredictor
+
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = BucketedPredictor(model, params, seq_len=8, buckets=(1, 2, 4))
+    for n in (1, 2, 3, 5, 9):
+        u = rng.normal(size=(n, 8, 2))
+        y = rng.normal(size=(n, 8, 1))
+        out = pred(u, y)
+        pm = np.asarray(out.pred_mean)
+        assert pm.shape == (n, 8, 1), n
+        assert np.isfinite(pm).all()
+        np.testing.assert_allclose(
+            float(out.mse), np.mean((pm - y) ** 2), rtol=1e-6
+        )
+
+
+def test_bucketed_predictor_input_guard(rng):
+    from cbfssm_tpu.serving import BucketedPredictor
+
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = BucketedPredictor(model, params, seq_len=8, buckets=(2,))
+    with pytest.raises(ValueError, match="expected"):
+        pred(rng.normal(size=(1, 9, 2)), rng.normal(size=(1, 9, 1)))
