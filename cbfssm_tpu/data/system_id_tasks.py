@@ -93,6 +93,15 @@ def validate_task(task: "TaskData", name: str = "task") -> "TaskData":
                     f"{name}: {split} experiment {i}: input length "
                     f"{u.shape[0]} != output length {y.shape[0]}"
                 )
+            if u.shape[0] == 0:
+                # a raw file shorter than its published split point
+                # produces a zero-length experiment; fail here, not in
+                # windowing
+                raise ValueError(
+                    f"{name}: {split} experiment {i} has zero length — "
+                    "the raw file is likely truncated (shorter than the "
+                    "published train/test split point)"
+                )
             if u.shape[1] != ins[0].shape[1] or y.shape[1] != outs[0].shape[1]:
                 raise ValueError(
                     f"{name}: {split} experiment {i} channel count differs "

@@ -47,6 +47,11 @@ class CBFSSM(BaseSSM):
     # loss-time continuous config fields this model actually reads
     # (sweepable via training.sweep.SweepTrainer)
     SWEEPABLE_HYPERS = frozenset({"loss_factors", "k_factor"})
+    # aux entries that are functions of the (replicated) parameters only
+    # — parallel.ParticleParallel must NOT psum these across shards
+    REPLICATED_AUX = frozenset(
+        {"kl_z_f", "kl_z_b", "global_term", "particle_divisor"}
+    )
 
     def __init__(self, config):
         super().__init__(config)

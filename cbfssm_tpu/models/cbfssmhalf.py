@@ -33,6 +33,8 @@ class CBFSSMHALF(BaseSSM):
     # loss-time fields this model reads (SweepTrainer whitelist); only
     # loss_factors[0] enters the ELBO (no entropy term)
     SWEEPABLE_HYPERS = frozenset({"loss_factors", "k_factor"})
+    # parameter-only aux entries (not psum-ed by ParticleParallel)
+    REPLICATED_AUX = frozenset({"kl_z_f", "global_term", "particle_divisor"})
 
     def __init__(self, config):
         super().__init__(config)

@@ -40,6 +40,8 @@ class PRSSM(BaseSSM):
     # loss-time fields this model reads (SweepTrainer whitelist): pure
     # prior rollout — no conditioning, so no k_factor
     SWEEPABLE_HYPERS = frozenset({"loss_factors"})
+    # parameter-only aux entries (not psum-ed by ParticleParallel)
+    REPLICATED_AUX = frozenset({"kl_z", "global_term", "particle_divisor"})
 
     def __init__(self, config):
         super().__init__(config)

@@ -66,6 +66,11 @@ class Voliro(BaseSSM):
     # loss-time fields this model reads (SweepTrainer whitelist):
     # Voliro uses loglik_factor + Beta priors, not loss_factors/k_factor
     SWEEPABLE_HYPERS = frozenset({"loglik_factor", "n_beta", "l_beta"})
+    # parameter-only aux entries (not psum-ed by ParticleParallel)
+    REPLICATED_AUX = frozenset(
+        {"kl_z_f", "kl_z_b", "n_reg", "l_reg", "global_term",
+         "particle_divisor"}
+    )
 
     # Fixed physical dimensions (voliro.py:13-18).
     GP_DIM_IN_F = 12
@@ -191,7 +196,12 @@ class Voliro(BaseSSM):
         local_coo = self.local_coordinates(u_bt)
         force_torque = self.physical_model(local_coo)
 
-        fmean, fvar = gp.predict(cache_f, local_coo.reshape(b * t, self.GP_DIM_IN_F))
+        # routed through the config knobs (gp_impl / gp_matmul_precision)
+        # like every other model-side predict; default config is the
+        # solve-free HIGHEST path, unchanged
+        fmean, fvar = self._gp_predict(
+            cache_f, local_coo.reshape(b * t, self.GP_DIM_IN_F)
+        )
         fmean = fmean.reshape(b, t, self.GP_DIM_OUT_F) + force_torque[..., :3]
         fvar = fvar.reshape(b, t, self.GP_DIM_OUT_F)
         ft_mean = jnp.concatenate((fmean, force_torque[..., 3:]), axis=-1)

@@ -38,7 +38,8 @@ def initialize(
         return
     if num_processes == 1 and coordinator_address is None:
         # Nothing to coordinate; keep single-process runs dependency-free.
-        _initialized = True
+        # Deliberately does NOT latch _initialized: a later genuine
+        # multi-process bring-up in the same process must still run.
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -65,8 +65,12 @@ class ParticleParallel:
     def predict(self, params, u, y, key, condition: bool = False):
         return self.model.predict(params, u, y, key, condition)
 
-    # Aux entries that are functions of the (replicated) parameters only
-    # — identical on every shard, so they must NOT be psum-ed.
+    # Fallback for model classes that do not declare REPLICATED_AUX:
+    # aux entries that are functions of the (replicated) parameters only
+    # — identical on every shard, so they must NOT be psum-ed. Models in
+    # this repo own the property next to their aux dicts (REPLICATED_AUX
+    # classattr, like SWEEPABLE_HYPERS / PARTICLE_NORMALIZED) so a new
+    # aux key cannot silently drift out of sync with this list.
     _REPLICATED_AUX = frozenset(
         {"kl_z", "kl_z_f", "kl_z_b", "n_reg", "l_reg", "global_term",
          "particle_divisor"}
@@ -99,8 +103,11 @@ class ParticleParallel:
                 v = jax.lax.psum(v, axis)
                 return jax.lax.psum(v, self.data_axis) if self.data_axis else v
 
+            replicated = frozenset(
+                getattr(type(self.model), "REPLICATED_AUX", self._REPLICATED_AUX)
+            )
             out_aux = {
-                k: (v if k in self._REPLICATED_AUX else total(v))
+                k: (v if k in replicated else total(v))
                 for k, v in aux.items()
             }
             out_aux["particle_divisor"] = jnp.asarray(

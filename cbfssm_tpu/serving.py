@@ -115,9 +115,17 @@ class BucketedPredictor:
             raise ValueError(
                 f"expected [n, {self.seq_len}, dim_u] input, got {u.shape}"
             )
+        if u.shape[0] == 0:
+            raise ValueError("need at least one sequence per request")
         top = self.buckets[-1]
+        base_key = self._preds[top].key if key is None else key
+        # distinct key per chunk: rows in different chunks must get
+        # independent MC draws, not copies of the same sample paths
         outs = [
-            self._one_batch(u[i : i + top], y[i : i + top], key)
+            self._one_batch(
+                u[i : i + top], y[i : i + top],
+                jax.random.fold_in(base_key, i // top),
+            )
             for i in range(0, u.shape[0], top)
         ]
         out = (

@@ -259,6 +259,13 @@ class MultiSeedTrainer:
             os.path.join(self.model_dir, checkpoint.LAST),
             self._single_tree(self.best_seed(), best=False),
         )
+        # terminal marker, Trainer parity (trainer.py event="done"):
+        # metrics.jsonl consumers detect completion by this record
+        self.metrics.log(
+            event="done",
+            epochs=epochs,
+            best_train=np.asarray(self.best_loss).tolist(),
+        )
 
     def _save_best(self):
         checkpoint.save(

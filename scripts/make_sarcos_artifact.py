@@ -12,7 +12,6 @@ the paper's.
 Usage: python scripts/make_sarcos_artifact.py [iterations] [epochs]
 """
 
-import importlib.util
 import os
 import shutil
 import sys
@@ -61,11 +60,9 @@ def main():
     data_dir = tempfile.mkdtemp() + "/"
     synth_sarcos(data_dir + "sarcos_inv.mat")
 
-    spec = importlib.util.spec_from_file_location(
-        "run_sarcos", os.path.join(HERE, "run", "run_sarcos.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    from scripts.driver_util import load_driver
+
+    mod = load_driver("run_sarcos.py")
 
     out = os.path.join(HERE, "run_output", "sarcos_vmapped")
     t0 = time.perf_counter()

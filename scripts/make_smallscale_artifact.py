@@ -17,7 +17,6 @@ tables.
 Usage: python scripts/make_smallscale_artifact.py [iterations] [train_iterations]
 """
 
-import importlib.util
 import os
 import shutil
 import sys
@@ -108,15 +107,9 @@ def main():
     data_dir = tempfile.mkdtemp() + "/"
     stage_all(data_dir)
 
-    spec = importlib.util.spec_from_file_location(
-        "run_smallscale", os.path.join(HERE, "run", "run_smallscale.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    argv, sys.argv = sys.argv, [spec.origin]
-    try:
-        spec.loader.exec_module(mod)
-    finally:
-        sys.argv = argv
+    from scripts.driver_util import load_driver
+
+    mod = load_driver("run_smallscale.py")
 
     out = os.path.join(HERE, "run_output", "smallscale_vmapped")
     total0 = time.perf_counter()

@@ -14,7 +14,6 @@ Writes artifacts/sweep_actuator/{grid_rmse.txt, sweep_best.json}.
 Usage: python scripts/make_sweep_artifact.py [epochs]
 """
 
-import importlib.util
 import math
 import os
 import shutil
@@ -31,16 +30,9 @@ from scripts.make_smallscale_artifact import synth_actuator  # noqa: E402
 
 
 def load_run_smallscale():
-    spec = importlib.util.spec_from_file_location(
-        "run_smallscale", os.path.join(HERE, "run", "run_smallscale.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    argv, sys.argv = sys.argv, [spec.origin]
-    try:
-        spec.loader.exec_module(mod)
-    finally:
-        sys.argv = argv
-    return mod
+    from scripts.driver_util import load_driver
+
+    return load_driver("run_smallscale.py")
 
 
 def main():

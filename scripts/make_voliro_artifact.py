@@ -10,7 +10,6 @@ Usage (real TPU, one JAX process at a time):
     python scripts/make_voliro_artifact.py [epochs]
 """
 
-import importlib.util
 import os
 import shutil
 import sys
@@ -30,11 +29,9 @@ def main():
     make_log(data_dir + "voliro_tilt.mat", n=4000, seed=1)
     make_log(data_dir + "voliro_flip.mat", n=20500, seed=2)
 
-    spec = importlib.util.spec_from_file_location(
-        "run_voliro", os.path.join(HERE, "run", "run_voliro.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    from scripts.driver_util import load_driver
+
+    mod = load_driver("run_voliro.py")
 
     out = os.path.join(HERE, "run_output", "voliro_artifact")
     mod.main(root=out, epochs=epochs, data_dir=data_dir)

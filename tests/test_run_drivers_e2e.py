@@ -7,30 +7,14 @@ test_run_scripts.py) would not catch a config-key typo or a broken
 artifact path. Mirrors reference run/run_smallscale.py:66-92 flow.
 """
 
-import importlib.util
 import os
-import sys
 
 import numpy as np
 import pytest
 import scipy.io
 
 from cbfssm_tpu.data import DSManager
-
-RUN_DIR = os.path.join(os.path.dirname(__file__), "..", "run")
-
-
-def load_driver(script):
-    path = os.path.abspath(os.path.join(RUN_DIR, script))
-    spec = importlib.util.spec_from_file_location(f"e2e_{script[:-3]}", path)
-    mod = importlib.util.module_from_spec(spec)
-    argv = sys.argv
-    sys.argv = [path]
-    try:
-        spec.loader.exec_module(mod)
-    finally:
-        sys.argv = argv
-    return mod
+from scripts.driver_util import load_driver
 
 
 FAST = {"samples": 2, "ind_pnt_num": 5, "batch_size": 4, "recog_len": 4}

@@ -130,3 +130,24 @@ def test_bucketed_predictor_input_guard(rng):
     pred = BucketedPredictor(model, params, seq_len=8, buckets=(2,))
     with pytest.raises(ValueError, match="expected"):
         pred(rng.normal(size=(1, 9, 2)), rng.normal(size=(1, 9, 1)))
+
+
+def test_bucketed_predictor_chunks_draw_independent_noise(rng):
+    """Chunks of an oversize request must get distinct MC draws: the
+    same sequence placed in chunk 0 and chunk 1 yields different sample
+    paths (the chunk index is folded into the key)."""
+    from cbfssm_tpu.serving import BucketedPredictor
+
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = BucketedPredictor(model, params, seq_len=8, buckets=(2,))
+    u1 = rng.normal(size=(1, 8, 2))
+    y1 = rng.normal(size=(1, 8, 1))
+    # rows 0..1 = chunk 0, rows 2..3 = chunk 1; row 0 == row 2
+    u = np.concatenate([u1, rng.normal(size=(1, 8, 2)), u1,
+                        rng.normal(size=(1, 8, 2))])
+    y = np.concatenate([y1, rng.normal(size=(1, 8, 1)), y1,
+                        rng.normal(size=(1, 8, 1))])
+    out = pred(u, y)
+    pm = np.asarray(out.pred_mean)
+    assert np.abs(pm[0] - pm[2]).max() > 0
