@@ -1,0 +1,144 @@
+"""Command-line entry point: ``python -m cbfssm_tpu <command>``.
+
+The reference's UX is "run a script from run/ with a task index"
+(run_smallscale.py:17). This module keeps that workflow one step
+shorter and discoverable:
+
+    python -m cbfssm_tpu info                         # backend + registry
+    python -m cbfssm_tpu reproduce spring --vmap-seeds
+    python -m cbfssm_tpu reproduce smallscale --task 0
+    python -m cbfssm_tpu bench                        # headline steps/sec
+
+``reproduce`` dispatches to the verbatim reproduction drivers in run/
+(repo checkout required — the drivers ARE the reference-parity
+artifact and stay as plain scripts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import os
+import runpy
+import sys
+
+DRIVERS = {
+    "spring": "run_spring.py",
+    "smallscale": "run_smallscale.py",
+    "sarcos": "run_sarcos.py",
+    "robomove": "run_robomove.py",
+    "voliro": "run_voliro.py",
+}
+
+
+def repo_root() -> str | None:
+    """The repo checkout containing run/ (None when pip-installed bare)."""
+    cand = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return cand if os.path.isdir(os.path.join(cand, "run")) else None
+
+
+def cmd_info(_args) -> int:
+    import jax
+
+    import cbfssm_tpu
+
+    print(f"cbfssm_tpu from {os.path.dirname(cbfssm_tpu.__file__)}")
+    print(f"jax {jax.__version__}, backend: {jax.default_backend()}, "
+          f"devices: {[str(d) for d in jax.devices()]}")
+    from cbfssm_tpu import data, models
+
+    print("models:", ", ".join(
+        n for n in ("CBFSSM", "CBFSSMHALF", "PRSSM", "Voliro")
+        if hasattr(models, n)))
+    ds_names = [n for n in dir(data) if n[:1].isupper()]
+    print("datasets:", ", ".join(sorted(ds_names)))
+    root = repo_root()
+    print("reproduction drivers:",
+          ", ".join(sorted(DRIVERS)) if root else "unavailable (no run/ dir)")
+    return 0
+
+
+def cmd_reproduce(args) -> int:
+    root = repo_root()
+    if root is None:
+        print("error: reproduce needs a repo checkout (run/ directory not "
+              "found next to the package)", file=sys.stderr)
+        return 2
+    sys.path.insert(0, root)
+    from scripts.driver_util import load_driver
+
+    mod = load_driver(DRIVERS[args.experiment])
+    # drivers share a keyword vocabulary but not a full signature; pass
+    # only what each main() accepts
+    supported = set(inspect.signature(mod.main).parameters)
+    requested = {
+        "root": args.root,
+        "data_dir": args.data_dir,
+        "vmap_seeds": args.vmap_seeds or None,
+        "task_list": [args.task] if args.task is not None else None,
+        "epochs": args.epochs,
+        "iterations": args.iterations,
+        "train_iterations": args.train_iterations,
+        "seq_len": args.seq_len,
+        "seq_stride": args.seq_stride,
+    }
+    kwargs = {k: v for k, v in requested.items() if v is not None}
+    dropped = {k for k, v in kwargs.items() if k not in supported}
+    if dropped:
+        print(f"error: {args.experiment} does not accept "
+              f"{sorted(dropped)} (it has {sorted(supported)})",
+              file=sys.stderr)
+        return 2
+    mod.main(**kwargs)
+    return 0
+
+
+def cmd_bench(_args) -> int:
+    root = repo_root()
+    if root is None or not os.path.isfile(os.path.join(root, "bench.py")):
+        print("error: bench.py not found (repo checkout required)",
+              file=sys.stderr)
+        return 2
+    runpy.run_path(os.path.join(root, "bench.py"), run_name="__main__")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m cbfssm_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("info", help="backend, devices, model/dataset registry"
+                   ).set_defaults(fn=cmd_info)
+
+    r = sub.add_parser("reproduce", help="run a reproduction driver verbatim")
+    r.add_argument("experiment", choices=sorted(DRIVERS))
+    r.add_argument("--vmap-seeds", action="store_true",
+                   help="train all iteration seeds as one vmapped program")
+    r.add_argument("--task", type=int, default=None,
+                   help="small-scale task index (see run_smallscale.py)")
+    r.add_argument("--root", default=None, help="output directory")
+    r.add_argument("--data-dir", default=None,
+                   help="directory holding the raw benchmark files")
+    r.add_argument("--epochs", type=int, default=None)
+    r.add_argument("--iterations", type=int, default=None,
+                   help="number of seeds/repetitions")
+    r.add_argument("--train-iterations", type=int, default=None,
+                   help="total optimizer steps (smallscale/spring scheme)")
+    r.add_argument("--seq-len", type=int, default=None,
+                   help="training window length (default: reference value)")
+    r.add_argument("--seq-stride", type=int, default=None,
+                   help="training window stride (default: reference value)")
+    r.set_defaults(fn=cmd_reproduce)
+
+    sub.add_parser("bench", help="headline ELBO steps/sec benchmark"
+                   ).set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,59 @@
+"""python -m cbfssm_tpu command-line entry point."""
+
+import numpy as np
+import pytest
+
+from cbfssm_tpu.__main__ import build_parser, main
+
+
+def test_info_runs(capsys):
+    assert main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert "CBFSSM" in out
+    assert "datasets:" in out
+    assert "reproduction drivers:" in out
+
+
+@pytest.mark.slow
+def test_reproduce_routes_kwargs(tmp_path, sysid_dir):
+    """The CLI dispatches to the verbatim driver with only the kwargs
+    that driver accepts (1-epoch spring run on fixtures)."""
+    rc = main([
+        "reproduce", "spring",
+        "--root", str(tmp_path / "out"),
+        "--data-dir", sysid_dir,
+        "--iterations", "1",
+        "--train-iterations", "1",
+        "--seq-len", "20",
+        "--seq-stride", "100",
+    ])
+    assert rc == 0
+    assert (tmp_path / "out" / "summary.txt").exists()
+
+
+def test_reproduce_rejects_unsupported_kwarg(tmp_path, capsys):
+    """voliro's main() has no --iterations; the CLI reports it instead
+    of crashing inside the driver."""
+    rc = main(["reproduce", "voliro", "--iterations", "3"])
+    assert rc == 2
+    assert "does not accept" in capsys.readouterr().err
+
+
+def test_parser_rejects_unknown_experiment():
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["reproduce", "nonsense"])
+
+
+@pytest.fixture
+def sysid_dir(tmp_path_factory, rng):
+    from cbfssm_tpu.data import DSManager
+
+    d = str(tmp_path_factory.mktemp("data")) + "/"
+    DSManager.save_ds(
+        d + "spring_nonlinear.mat",
+        rng.normal(size=(10000, 1)),
+        rng.normal(size=(10000, 3)),
+        rng.normal(size=(10000, 3)),
+        "spring",
+    )
+    return d
