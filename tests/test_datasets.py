@@ -151,6 +151,17 @@ def test_task_consistency_validation():
     with pytest.raises(ValueError, match="channel"):
         validate_task(bad_chan)
 
+    # a raw file shorter than its published split point -> zero-length
+    # test experiment; must fail HERE, not deep inside windowing
+    truncated = TaskData(
+        train_in=[np.zeros((10, 2))],
+        train_out=[np.zeros((10, 1))],
+        test_in=[np.zeros((0, 2))],
+        test_out=[np.zeros((0, 1))],
+    )
+    with pytest.raises(ValueError, match="truncated"):
+        validate_task(truncated)
+
     nan = np.zeros((10, 1))
     nan[3] = np.nan
     bad_nan = TaskData(
