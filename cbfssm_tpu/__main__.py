@@ -50,7 +50,14 @@ def cmd_info(_args) -> int:
     print("models:", ", ".join(
         n for n in ("CBFSSM", "CBFSSMHALF", "PRSSM", "Voliro")
         if hasattr(models, n)))
-    ds_names = [n for n in dir(data) if n[:1].isupper()]
+    from cbfssm_tpu.data.base import BaseDS
+
+    ds_names = [
+        n for n in dir(data)
+        if isinstance(getattr(data, n), type)
+        and issubclass(getattr(data, n), BaseDS)
+        and getattr(data, n) is not BaseDS
+    ]
     print("datasets:", ", ".join(sorted(ds_names)))
     root = repo_root()
     print("reproduction drivers:",

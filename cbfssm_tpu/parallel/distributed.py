@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _initialized = False
+_noop_latched = False  # a single-process call already no-op'd
 
 
 def initialize(
@@ -33,13 +34,21 @@ def initialize(
     any other JAX API touches the backend; calling it again (or in a
     single-process run that never needs it) is a no-op.
     """
-    global _initialized
+    global _initialized, _noop_latched
     if _initialized:
         return
     if num_processes == 1 and coordinator_address is None:
         # Nothing to coordinate; keep single-process runs dependency-free.
-        # Deliberately does NOT latch _initialized: a later genuine
-        # multi-process bring-up in the same process must still run.
+        # Does NOT latch _initialized — a later EXPLICIT multi-process
+        # bring-up in the same process must still run — but a later
+        # argument-less re-call stays a no-op (documented idempotency).
+        _noop_latched = True
+        return
+    explicit = any(
+        a is not None
+        for a in (coordinator_address, num_processes, process_id, local_device_ids)
+    )
+    if _noop_latched and not explicit:
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -115,6 +115,13 @@ class BucketedPredictor:
             raise ValueError(
                 f"expected [n, {self.seq_len}, dim_u] input, got {u.shape}"
             )
+        if y.ndim != 3 or y.shape[:2] != u.shape[:2]:
+            # a mismatched y would otherwise fail deep inside the AOT
+            # executable with a misleading compiled-signature error
+            raise ValueError(
+                f"y must be [{u.shape[0]}, {self.seq_len}, dim_y] to match "
+                f"u, got {y.shape}"
+            )
         if u.shape[0] == 0:
             raise ValueError("need at least one sequence per request")
         top = self.buckets[-1]

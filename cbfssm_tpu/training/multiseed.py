@@ -302,12 +302,17 @@ class MultiSeedTrainer:
         Returns an [n_seeds] array."""
         key = jax.random.PRNGKey(0) if key is None else key
         params = self.best_params if best else self.params
-        predict = jax.jit(
-            jax.vmap(
-                lambda p, u, y, k: self.model.predict(p, u, y, k, condition),
-                in_axes=(0, None, None, None),
+        # cache the jitted program per condition flag: a fresh lambda
+        # per call would retrace the n_seeds-wide predict every time
+        cache = self.__dict__.setdefault("_eval_predict_cache", {})
+        if condition not in cache:
+            cache[condition] = jax.jit(
+                jax.vmap(
+                    lambda p, u, y, k: self.model.predict(p, u, y, k, condition),
+                    in_axes=(0, None, None, None),
+                )
             )
-        )
+        predict = cache[condition]
         mse = np.zeros(self.n_seeds)
         n_exp = ds.test_in.shape[0]
         for i in range(n_exp):

@@ -204,6 +204,22 @@ class SweepTrainer(MultiSeedTrainer):
 
     def init_state(self, retrain: bool = False):
         super().init_state(retrain)
+        if retrain:
+            # the checkpoint's hyper leaves override _stacked_init's
+            # stamp — a changed constructor grid would silently train
+            # the OLD values while best_config() reports the new ones.
+            # Fail fast instead.
+            dtype = self.model.dtype
+            for k, v in self.sweep.items():
+                stored = np.asarray(self.params["hyper"][k])
+                want = np.asarray(jnp.asarray(v, dtype=dtype))
+                if not np.array_equal(stored, want):
+                    raise ValueError(
+                        f"retrain grid mismatch for '{k}': the checkpoint "
+                        f"holds {stored.tolist()} but this trainer was "
+                        f"constructed with {want.tolist()} — resume with "
+                        "the original grid or start a fresh model_dir"
+                    )
         if self._lr is not None:
             dtype = jnp.asarray(self.opt_state.hyperparams["learning_rate"]).dtype
             for tree_name in ("opt_state", "best_opt"):

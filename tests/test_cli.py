@@ -57,3 +57,11 @@ def sysid_dir(tmp_path_factory, rng):
         "spring",
     )
     return d
+
+
+def test_info_registry_lists_only_loadable_datasets(capsys):
+    main(["info"])
+    out = capsys.readouterr().out
+    ds_line = [line for line in out.splitlines() if line.startswith("datasets:")][0]
+    assert "BaseDS" not in ds_line and "DSManager" not in ds_line
+    assert "Actuator" in ds_line

@@ -151,3 +151,15 @@ def test_bucketed_predictor_chunks_draw_independent_noise(rng):
     out = pred(u, y)
     pm = np.asarray(out.pred_mean)
     assert np.abs(pm[0] - pm[2]).max() > 0
+
+
+def test_bucketed_predictor_y_shape_guard(rng):
+    """A mismatched y must fail with a clear error, not a misleading
+    compiled-signature TypeError from the AOT executable."""
+    from cbfssm_tpu.serving import BucketedPredictor
+
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = BucketedPredictor(model, params, seq_len=8, buckets=(2,))
+    with pytest.raises(ValueError, match="y must be"):
+        pred(rng.normal(size=(2, 8, 2)), rng.normal(size=(1, 8, 1)))

@@ -274,3 +274,19 @@ def test_mismatched_lengths_rejected():
             {"k_factor": np.asarray([1.0]), "learning_rate": np.asarray([0.1, 0.2])},
             "/tmp/x",
         )
+
+
+def test_retrain_with_changed_grid_fails_fast(ds, tmp_path):
+    """A changed grid on retrain would silently train the checkpointed
+    OLD hyper values while best_config() reports the new grid — must
+    raise instead."""
+    out = str(tmp_path / "regrid")
+    t1 = SweepTrainer(CBFSSM, smoke_config(), {"k_factor": np.asarray([1.0, 50.0])}, out)
+    t1.train(ds, epochs=1)
+    t2 = SweepTrainer(CBFSSM, smoke_config(), {"k_factor": np.asarray([5.0, 500.0])}, out)
+    with pytest.raises(ValueError, match="retrain grid mismatch"):
+        t2.init_state(retrain=True)
+    # the ORIGINAL grid resumes fine
+    t3 = SweepTrainer(CBFSSM, smoke_config(), {"k_factor": np.asarray([1.0, 50.0])}, out)
+    t3.train(ds, epochs=1, retrain=True)
+    assert np.isfinite(np.stack(t3.train_all)).all()
