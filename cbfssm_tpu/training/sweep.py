@@ -247,6 +247,26 @@ class SweepTrainer(MultiSeedTrainer):
             json.dump(self.best_config(), f, indent=2)
 
 
+    @staticmethod
+    def product_grid(sweep: dict, seeds_per_point: int) -> dict:
+        """Tile a grid so every point trains ``seeds_per_point``
+        replicate lanes (use with ``vary_init=True`` for independent
+        inits): point p's replicates occupy lanes
+        [p * seeds_per_point, (p+1) * seeds_per_point). Group per-lane
+        results back with :meth:`grouped`."""
+        return {
+            k: np.repeat(np.asarray(v), seeds_per_point, axis=0)
+            for k, v in sweep.items()
+        }
+
+    @staticmethod
+    def grouped(per_lane, seeds_per_point: int) -> np.ndarray:
+        """[n_points * seeds_per_point] lane values -> [n_points,
+        seeds_per_point] (e.g. ``grouped(sw.evaluate_rmse(ds), 5)`` for
+        per-point mean/std RMSE)."""
+        a = np.asarray(per_lane)
+        return a.reshape(-1, seeds_per_point, *a.shape[1:])
+
     def best_config(self) -> dict:
         """Concrete config values of the best grid point (by train loss)."""
         i = self.best_seed()

@@ -290,3 +290,24 @@ def test_retrain_with_changed_grid_fails_fast(ds, tmp_path):
     t3 = SweepTrainer(CBFSSM, smoke_config(), {"k_factor": np.asarray([1.0, 50.0])}, out)
     t3.train(ds, epochs=1, retrain=True)
     assert np.isfinite(np.stack(t3.train_all)).all()
+
+
+def test_product_grid_seed_replication(ds, tmp_path):
+    """A seeded grid (points x seeds in one program): replicate lanes of
+    one point share the hyper value but differ in init/stream
+    (vary_init=True), so grouped() gives per-point mean/std."""
+    base = {"k_factor": np.asarray([10.0, 200.0])}
+    sweep = SweepTrainer.product_grid(base, seeds_per_point=2)
+    np.testing.assert_array_equal(
+        sweep["k_factor"], np.asarray([10.0, 10.0, 200.0, 200.0])
+    )
+    trainer = SweepTrainer(
+        CBFSSM, smoke_config(), sweep, str(tmp_path / "pg"), vary_init=True
+    )
+    trainer.train(ds, epochs=2)
+    losses = SweepTrainer.grouped(np.stack(trainer.train_all)[-1], 2)
+    assert losses.shape == (2, 2)
+    # replicates of one point differ (independent seeds)...
+    assert losses[0, 0] != losses[0, 1]
+    rmse = SweepTrainer.grouped(trainer.evaluate_rmse(ds), 2)
+    assert rmse.shape == (2, 2) and np.isfinite(rmse).all()
