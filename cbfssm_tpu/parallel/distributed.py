@@ -33,6 +33,12 @@ def initialize(
     CPU/GPU test rigs pass all three explicitly. Must be called before
     any other JAX API touches the backend; calling it again (or in a
     single-process run that never needs it) is a no-op.
+
+    Caveat: after a defensive ``initialize(num_processes=1)`` call, a
+    later argument-less call is treated as the same single-process
+    request and suppressed (with a warning) — a genuine TPU auto-detect
+    bring-up in that situation must pass its arguments explicitly (or
+    simply not make the single-process call first).
     """
     global _initialized, _noop_latched
     if _initialized:
@@ -49,6 +55,16 @@ def initialize(
         for a in (coordinator_address, num_processes, process_id, local_device_ids)
     )
     if _noop_latched and not explicit:
+        import warnings
+
+        warnings.warn(
+            "distributed.initialize(): argument-less call suppressed because "
+            "an earlier initialize(num_processes=1) already no-op'd in this "
+            "process; for a multi-host TPU auto-detect bring-up, pass "
+            "arguments explicitly or drop the single-process call",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

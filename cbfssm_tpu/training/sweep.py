@@ -222,6 +222,20 @@ class SweepTrainer(MultiSeedTrainer):
                     )
         if self._lr is not None:
             dtype = jnp.asarray(self.opt_state.hyperparams["learning_rate"]).dtype
+            if retrain:
+                # learning_rate is popped from self.sweep in __init__, so
+                # the hyper-leaf check above never sees it — compare the
+                # constructor grid against the checkpointed optimizer
+                # hyperparams with the same fail-fast semantics.
+                stored = np.asarray(self.opt_state.hyperparams["learning_rate"])
+                want = np.asarray(jnp.asarray(self._lr, dtype=dtype))
+                if stored.shape == want.shape and not np.array_equal(stored, want):
+                    raise ValueError(
+                        "retrain grid mismatch for 'learning_rate': the "
+                        f"checkpoint holds {stored.tolist()} but this trainer "
+                        f"was constructed with {want.tolist()} — resume with "
+                        "the original grid or start a fresh model_dir"
+                    )
             for tree_name in ("opt_state", "best_opt"):
                 # one array PER tree: the epoch update donates opt_state's
                 # buffers, so best_opt must never alias them

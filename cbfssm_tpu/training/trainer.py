@@ -240,6 +240,9 @@ class Trainer:
             os.path.join(self.model_dir, name),
             {"params": params, "opt_state": opt_state},
         )
-        self.params = tree["params"]
-        self.opt_state = tree["opt_state"]
+        # Same mesh placement as init_state: restored state must be
+        # replicated over the mesh, or resuming training afterwards
+        # would run with unconstrained placement.
+        self.params = self.dp.device_put_replicated(tree["params"])
+        self.opt_state = self.dp.device_put_replicated(tree["opt_state"])
         return self.params

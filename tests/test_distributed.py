@@ -98,6 +98,15 @@ def test_initialize_single_process_noop():
     assert jax.device_count() >= 8
 
 
+def test_initialize_argless_after_noop_warns():
+    """An argument-less call after a latched single-process no-op is
+    suppressed, but loudly: a library that defensively called the
+    1-process form must not silently block a TPU auto-detect bring-up."""
+    distributed.initialize(num_processes=1)
+    with pytest.warns(RuntimeWarning, match="argument-less call suppressed"):
+        distributed.initialize()
+
+
 @pytest.mark.slow
 def test_initialize_real_coordination_service():
     """Bring up an actual jax.distributed coordination service

@@ -292,6 +292,25 @@ def test_retrain_with_changed_grid_fails_fast(ds, tmp_path):
     assert np.isfinite(np.stack(t3.train_all)).all()
 
 
+def test_retrain_with_changed_lr_grid_fails_fast(ds, tmp_path):
+    """learning_rate is popped from the sweep dict into the optimizer, so
+    the hyper-leaf retrain check never sees it — the optimizer-hyperparam
+    comparison must fail fast the same way."""
+    out = str(tmp_path / "relr")
+    grid = {"learning_rate": np.asarray([0.01, 0.05])}
+    t1 = SweepTrainer(CBFSSM, smoke_config(), grid, out)
+    t1.train(ds, epochs=1)
+    t2 = SweepTrainer(
+        CBFSSM, smoke_config(), {"learning_rate": np.asarray([0.02, 0.05])}, out
+    )
+    with pytest.raises(ValueError, match="retrain grid mismatch for 'learning_rate'"):
+        t2.init_state(retrain=True)
+    # the ORIGINAL lr grid resumes fine
+    t3 = SweepTrainer(CBFSSM, smoke_config(), grid, out)
+    t3.train(ds, epochs=1, retrain=True)
+    assert np.isfinite(np.stack(t3.train_all)).all()
+
+
 def test_product_grid_seed_replication(ds, tmp_path):
     """A seeded grid (points x seeds in one program): replicate lanes of
     one point share the hyper value but differ in init/stream

@@ -104,6 +104,29 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_restore_then_train_on_mesh_matches_unmeshed(tmp_path):
+    """Resuming training from Trainer.restore() on an 8-device mesh must
+    replicate the restored state over the mesh (same placement as
+    init_state) and produce the same losses as the unmeshed resume."""
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    base_dir = str(tmp_path / "m")
+    Trainer(model, base_dir).train(ds, epochs=1)
+
+    losses = {}
+    for name, mesh in (("flat", None), ("mesh", make_mesh(8))):
+        tr = Trainer(model, base_dir, mesh=mesh)
+        tr.restore(checkpoint.LAST)
+        if mesh is not None:
+            for leaf in jax.tree_util.tree_leaves((tr.params, tr.opt_state)):
+                assert getattr(leaf.sharding, "mesh", None) == mesh, (
+                    "restored state not placed on the trainer's mesh"
+                )
+        batch_size = tr.dp.round_up_batch(model.config.batch_size)
+        losses[name] = tr._epoch_train(ds, batch_size, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(losses["mesh"], losses["flat"], rtol=1e-6)
+
+
 def test_retrain_resumes(tmp_path):
     ds = SmokeDS()
     model = CBFSSM(smoke_config())
