@@ -67,6 +67,17 @@ class ModelConfig:
     # T); 'sequential' is the reference-shaped reverse scan; 'auto'
     # picks blocked when it shortens the recursion.
     backward_mode: str = "auto"
+    # Gradient schedule for the CBFSSM time recursions: 'hand' uses the
+    # hand-derived custom-VJP rollouts (models/adjoint.py — minimal
+    # state-cotangent chain in the reverse scan, loop-invariant
+    # cotangents batched after it), 'autodiff' is plain reverse-mode.
+    # 'auto' resolves to autodiff: the hand schedule measured ~2x SLOWER
+    # on TPU on both rollouts (BENCHMARKS.md "Hand-adjoint verdict" —
+    # the reverse pass is matmul-throughput-bound, so deferring the
+    # loop-invariant accumulations only adds materialization traffic).
+    # Primal values are identical either way; gradients agree to float
+    # tolerance (tests/test_adjoint.py).
+    adjoint: str = "auto"
     # extra bag for forward-compat keys
     extra: dict = field(default_factory=dict)
 

@@ -53,6 +53,22 @@ class BaseSSM:
         self.jitter = self.config.jitter
         if self.config.gp_impl not in ("solve_free", "pallas"):
             raise ValueError(f"unknown gp_impl: {self.config.gp_impl!r}")
+        if self.config.adjoint not in ("auto", "autodiff", "hand"):
+            raise ValueError(
+                "adjoint must be 'auto', 'autodiff', or 'hand', got "
+                f"{self.config.adjoint!r}"
+            )
+        # The hand-derived adjoint pullbacks target the solve-free
+        # predict math; the Pallas predict path has its own custom VJP.
+        # 'auto' resolves to autodiff: the round-3 experiment matrix
+        # (BENCHMARKS.md "Hand-adjoint verdict") measured the deferred
+        # hand schedule 2x SLOWER on both rollouts — the reverse pass is
+        # matmul-throughput-bound, not chain-latency-bound, so batching
+        # the loop-invariant accumulations only adds materialization
+        # traffic. 'hand' stays available (grad-equality tested).
+        self._hand_adjoint = self.config.adjoint == "hand"
+        if self.config.adjoint == "hand" and self.config.gp_impl != "solve_free":
+            raise ValueError("adjoint='hand' requires gp_impl='solve_free'")
         if int(self.config.scan_unroll) < 1:
             raise ValueError(
                 f"scan_unroll must be a positive int, got {self.config.scan_unroll!r}"

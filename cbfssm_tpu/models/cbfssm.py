@@ -29,10 +29,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from cbfssm_tpu.models import segmentation
+from cbfssm_tpu.models import adjoint, segmentation
 from cbfssm_tpu.models.base import LOG_2PI_E, BaseSSM
 from cbfssm_tpu.ops import gp, transforms, vma
-from cbfssm_tpu.ops.distributions import kl_diag_gaussians
 
 
 @struct.dataclass
@@ -99,6 +98,9 @@ class CBFSSM(BaseSSM):
             "IP mean b": params.gp_b.mean,
             "IP var b": params.gp_b.var,
         }
+
+    def _scan_static(self) -> adjoint.ScanStatic:
+        return adjoint.ScanStatic(self._gp_precision, self.config.scan_unroll)
 
     # --- backward (recognition) pass ------------------------------------
 
@@ -229,29 +231,20 @@ class CBFSSM(BaseSSM):
             jnp.flip(jnp.arange(two_l) == two_l - 1),  # resample at block top
         )
 
-        def step(h, inp):
-            u_t, y_t, z_t, noise_t, eps_t, res_t = inp
-            # u_t: [2, K, B, du], z_t: [2, K], noise_t/eps_t: [2, K, B, S, 1]
-            h_carry = jnp.where(z_t[:, :, None, None, None], 0.0, h)
-            h_in = jnp.where(res_t, noise_t, h_carry)  # broadcast to [2,K,B,S,dh]
-            uy = jnp.broadcast_to(
-                jnp.concatenate((u_t, y_t), axis=-1)[:, :, :, None, :],
-                (2, n_blocks, b, s, self.dim_u + self.dim_y),
-            )
-            gp_in = jnp.concatenate(
-                (jnp.broadcast_to(h_in, (2, n_blocks, b, s, dh)), uy), axis=-1
-            ).reshape(2 * n_blocks * b * s, -1)
-            fmean, fvar = self._gp_predict(cache_b, gp_in)
-            fmean = fmean.reshape(2, n_blocks, b, s, dh) + h_in
-            fvar = fvar.reshape(2, n_blocks, b, s, dh) + var_x[:dh]
-            out = fmean + eps_t * jnp.sqrt(fvar)
-            ent_t = 0.5 * jnp.sum(LOG_2PI_E + jnp.log(fvar), axis=(3, 4))  # [2, K, B]
-            return out, (out, ent_t)
-
         h0 = vma.zeros_matching((2, n_blocks, b, s, dh), dtype, noise, u_tm, y_tm)
-        _, (outs_rev, ent_rev) = jax.lax.scan(
-            step, h0, inputs, unroll=self.config.scan_unroll
-        )
+        if self._hand_adjoint:
+            outs_rev, ent_rev = adjoint.backward_scan(
+                self._scan_static(), cache_b, var_x[:dh], h0, *inputs
+            )
+        else:
+            step = adjoint.backward_step(
+                cache_b, var_x[:dh],
+                (2, n_blocks, b, s, dh, self.dim_u + self.dim_y),
+                self._gp_predict,
+            )
+            _, (outs_rev, ent_rev) = jax.lax.scan(
+                step, h0, inputs, unroll=self.config.scan_unroll
+            )
         # [two_l, 2, K, ...] (descending t') -> [2, t_ext, ...]
         outs = jnp.flip(outs_rev, 0)
         ents = jnp.flip(ent_rev, 0)
@@ -290,34 +283,21 @@ class CBFSSM(BaseSSM):
         if condition:
             cond_mask = jnp.ones_like(cond_mask)
 
-        def step(x, inp):
-            u_t, y_next, eps_t, cond_t = inp
-            u_bs = jnp.broadcast_to(u_t[:, None, :], (b, s, self.dim_u))
-            gp_in = jnp.concatenate((x, u_bs), axis=-1).reshape(b * s, -1)
-            fmean, fvar = self._gp_predict(cache_f, gp_in)
-            fmean = fmean.reshape(b, s, dx) + x  # residual transition
-            fvar = fvar.reshape(b, s, dx) + var_x
-
-            # Kalman-style conditioning on the pseudo observation y_next
-            # with k-factor-inflated observation variance (cbfssm.py:211-221).
-            var_y_t = var_y + (k_factor - 1.0) * fvar
-            gain = fvar / (var_y_t + fvar)
-            mu = fmean + gain * (y_next - fmean)
-            sig = jnp.square(1.0 - gain) * fvar + jnp.square(gain) * var_y_t
-
-            mu_used = jnp.where(cond_t, mu, fmean)
-            sig_used = jnp.where(cond_t, sig, fvar)
-            x_next = mu_used + eps_t * jnp.sqrt(sig_used)
-
-            kl_t = kl_diag_gaussians(mu, sig, fmean, fvar, axis=(1, 2))  # [B]
-            kl_t = jnp.where(cond_t, kl_t, 0.0)
-            return x_next, (x_next, kl_t)
-
         x0 = y_tilde[0]
         inputs = (u_tm[:-1], y_tilde[1:], eps, cond_mask)
-        _, (x_rest, kl_steps) = jax.lax.scan(
-            step, x0, inputs, unroll=self.config.scan_unroll
-        )
+        if self._hand_adjoint:
+            x_rest, kl_steps = adjoint.forward_scan(
+                self._scan_static(), cache_f, var_x, var_y, k_factor, x0,
+                *inputs,
+            )
+        else:
+            step = adjoint.forward_step(
+                cache_f, var_x, var_y, k_factor, (b, s, dx, self.dim_u),
+                self._gp_predict,
+            )
+            _, (x_rest, kl_steps) = jax.lax.scan(
+                step, x0, inputs, unroll=self.config.scan_unroll
+            )
         x_final = jnp.concatenate((x0[None], x_rest), axis=0)  # [T, B, S, dx]
         return x_final, jnp.sum(kl_steps, axis=0)
 

@@ -36,3 +36,19 @@ def match_vma(x, *likes):
 def zeros_matching(shape, dtype, *likes):
     """``jnp.zeros(shape, dtype)`` with the union vma of ``likes``."""
     return match_vma(jnp.zeros(shape, dtype=dtype), *likes)
+
+
+def unvary_like(ct, primal):
+    """psum a cotangent over every manual mesh axis it varies over but
+    its primal does not — the transpose of the implicit broadcast a
+    replicated value undergoes inside shard_map. Custom-VJP bwd rules
+    must return cotangents with vma matching the primal inputs; for a
+    replicated input whose cotangent was computed from shard-varying
+    data, that reduction is exactly a psum. No-op outside shard_map."""
+    try:
+        extra = jax.typeof(ct).vma - jax.typeof(primal).vma
+    except AttributeError:  # older jax without vma tracking
+        return ct
+    if extra:
+        ct = jax.lax.psum(ct, tuple(extra))
+    return ct

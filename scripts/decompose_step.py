@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--unroll", type=int, default=1)
     ap.add_argument("--backward-mode", default="auto")
     ap.add_argument("--gp-impl", default="solve_free")
+    ap.add_argument("--adjoint", default="auto")
+    ap.add_argument("--precision", default="highest")
     args = ap.parse_args()
 
     import jax
@@ -55,7 +57,8 @@ def main():
     # the SAME config/model/data as the MFU harness — numbers comparable
     model, params, tx, opt_state, u, y = build_cbfssm_parts(
         shape, unroll=args.unroll, gp_impl=args.gp_impl,
-        backward_mode=args.backward_mode,
+        backward_mode=args.backward_mode, adjoint=args.adjoint,
+        gp_matmul_precision=args.precision,
     )
     b, t = shape["batch"], shape["seq_len"]
     n_steps = args.steps
@@ -165,7 +168,8 @@ def main():
 
     results.update(
         shape=args.shape, unroll=args.unroll,
-        backward_mode=args.backward_mode, gp_impl=args.gp_impl, unit="ms/step",
+        backward_mode=args.backward_mode, gp_impl=args.gp_impl,
+        adjoint=args.adjoint, precision=args.precision, unit="ms/step",
     )
     print(json.dumps(results))
 

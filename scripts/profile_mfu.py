@@ -41,7 +41,8 @@ SHAPES = {
 
 
 def build_cbfssm_parts(shape, unroll=1, gp_impl="solve_free",
-                       backward_mode="auto"):
+                       backward_mode="auto", adjoint="auto",
+                       gp_matmul_precision="highest"):
     """Model + params + optimizer + synthetic batch for a benchmark
     shape — THE config both benchmark harnesses (this script and
     decompose_step.py) share, so their numbers stay comparable."""
@@ -77,6 +78,8 @@ def build_cbfssm_parts(shape, unroll=1, gp_impl="solve_free",
         "scan_unroll": unroll,
         "gp_impl": gp_impl,
         "backward_mode": backward_mode,
+        "adjoint": adjoint,
+        "gp_matmul_precision": gp_matmul_precision,
     }
     model = CBFSSM(config)
     params = model.init(jax.random.PRNGKey(0))

@@ -155,3 +155,29 @@ def test_invalid_particle_count():
     mesh = make_mesh(4, axis_name="particle")
     with pytest.raises(ValueError, match="divide"):
         ParticleParallel(CBFSSM, cfg, mesh)
+
+
+def test_hand_adjoint_composes_with_particle_shard_map(rng):
+    """The opt-in hand adjoint (custom-VJP rollouts) must differentiate
+    correctly inside the particle shard_map (vma checks on)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cbfssm_cfg(), adjoint="hand")
+    cfg_auto = dataclasses.replace(cfg, adjoint="autodiff")
+    mesh = make_mesh(4, axis_name="particle")
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    key = jax.random.PRNGKey(7)
+    grads = {}
+    for name, c in (("hand", cfg), ("autodiff", cfg_auto)):
+        pp = ParticleParallel(CBFSSM, c, mesh)
+        params = pp.init(jax.random.PRNGKey(0))
+        loss_fn = lambda p: pp.loss(p, u, y, key)[0]  # noqa: E731
+        grads[name] = jax.grad(loss_fn)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-12
+        ),
+        grads["hand"],
+        grads["autodiff"],
+    )
