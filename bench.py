@@ -160,6 +160,66 @@ def cpu_baseline() -> float:
     return value
 
 
+def cbfssm_analytic_gflops(shape) -> float:
+    """Analytic matmul GFLOPs per optimizer step for a CBFSSM shape
+    (XLA's cost_analysis undercounts lax.scan bodies, so the MFU
+    accounting is analytic — BENCHMARKS.md "Utilization"). Counts the
+    dominant GP-link matmuls of both recursions, x3 for reverse mode;
+    logical FLOPs (precision passes not multiplied)."""
+    from cbfssm_tpu.models.segmentation import blocked_layout
+
+    t, m = shape["seq_len"], shape["m"]
+    dx, du, dy = shape["dim_x"], shape["dim_u"], shape["dim_y"]
+    dh, din, n = dx - dy, dx + du, shape["batch"] * shape["samples"]
+    # forward: T-1 links of [N,din]x[din,M] + [N,M]x[M,M+dx] + [N,M]x[M,dx]
+    fwd = (t - 1) * 2 * n * (din * m + m * (m + dx) + m * dx)
+    # blocked backward: 2L links of [2*K*N, .] with out dim dh
+    two_l = 2 * shape["recog_len"]
+    bwd = 0
+    if dh > 0 and t > two_l:
+        _, k_blocks, _ = blocked_layout(t, shape["recog_len"])
+        nb = 2 * k_blocks * n
+        bwd = two_l * 2 * nb * (din * m + m * (m + dh) + m * dh)
+    return 3.0 * (fwd + bwd) / 1e9
+
+
+def measure_cbfssm_shapes(steps=10, reps=2):
+    """steps/sec + analytic-FLOP MFU for the three CBFSSM headline
+    shapes (SURVEY §6 north star: 'is it fast' answerable per config)."""
+    import jax
+
+    from scripts.profile_mfu import SHAPES, V5E_PEAK_BF16, build_cbfssm_steps
+
+    out = {}
+    for name, shape in sorted(SHAPES.items()):
+        try:
+            run_steps, params, opt_state = build_cbfssm_steps(shape)
+            key = jax.random.PRNGKey(1)
+            for i in range(2):  # compile + staging warmup
+                params, opt_state, losses = run_steps(
+                    params, opt_state, jax.random.fold_in(key, i), steps
+                )
+                float(losses[-1])
+            rates = []
+            for rep in range(reps):
+                t0 = time.perf_counter()
+                params, opt_state, losses = run_steps(
+                    params, opt_state, jax.random.fold_in(key, 10 + rep), steps
+                )
+                float(losses[-1])  # host readback sync
+                rates.append(steps / (time.perf_counter() - t0))
+            sps = float(np.median(rates))
+            gflops = cbfssm_analytic_gflops(shape)
+            out[name] = {
+                "steps_per_sec": round(sps, 2),
+                "analytic_gflop_per_step": round(gflops, 2),
+                "mfu_vs_bf16_peak": round(gflops * 1e9 * sps / V5E_PEAK_BF16, 5),
+            }
+        except Exception as exc:  # never let a side shape kill the headline
+            out[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    return out
+
+
 def main():
     from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
 
@@ -170,6 +230,10 @@ def main():
         return
     sps = measure()
     base = cpu_baseline()
+    shapes = (
+        {} if os.environ.get("CBFSSM_BENCH_HEADLINE_ONLY")
+        else measure_cbfssm_shapes()
+    )
     print(
         json.dumps(
             {
@@ -177,6 +241,7 @@ def main():
                 "value": round(sps, 3),
                 "unit": "steps/sec",
                 "vs_baseline": round(sps / base, 2),
+                "shapes": shapes,
             }
         )
     )

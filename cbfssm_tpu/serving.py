@@ -80,6 +80,11 @@ class BucketedPredictor:
     >>> out = pred(u, y)        # u: [n, 300, du] for any n >= 1
     """
 
+    # Measured serving economics (BENCHMARKS.md "Serving latency"): a
+    # dispatch costs ~1 unit of fixed overhead plus ~0.39% per padded
+    # row (a 32-row batch measured +12% over a single row).
+    MEASURED_COST = (1.0, 0.12 / 31)
+
     def __init__(self, model, params, seq_len: int, buckets=(1, 8, 32),
                  condition: bool = False, seed: int = 0):
         if not buckets:
@@ -91,6 +96,90 @@ class BucketedPredictor:
             b: CompiledPredictor(model, params, b, seq_len, condition, seed)
             for b in self.buckets
         }
+
+    @staticmethod
+    def plan_buckets(sizes, max_buckets: int, cost=None):
+        """Optimal bucket ladder for a traffic histogram.
+
+        ``sizes``: observed request sizes (one entry per request).
+        ``max_buckets``: compile budget — each bucket is one AOT
+        compile held in memory.
+        ``cost``: (fixed, per_row) dispatch-cost model; default is the
+        measured on-chip economics (:attr:`MEASURED_COST`).
+
+        Exact O(S^2 k) partition DP over the S distinct sizes: each
+        request is served by the smallest bucket >= its size, so a
+        ladder partitions the sorted sizes into suffix-covered groups
+        whose bucket value is the group maximum; the DP minimizes
+        sum_requests (fixed + per_row * bucket(size)). Requests larger
+        than every observed size chunk through the top bucket at serve
+        time (near-flat cost), so the plan covers max(sizes) exactly.
+        """
+        import numpy as _np
+
+        sizes = _np.asarray(sizes, dtype=_np.int64).ravel()
+        if sizes.size == 0:
+            raise ValueError("need at least one observed request size")
+        if (sizes < 1).any():
+            raise ValueError("request sizes must be >= 1")
+        if max_buckets < 1:
+            raise ValueError("max_buckets must be >= 1")
+        c0, c1 = cost if cost is not None else BucketedPredictor.MEASURED_COST
+        uniq, counts = _np.unique(sizes, return_counts=True)
+        s = len(uniq)
+        k = min(int(max_buckets), s)
+        csum = _np.concatenate(([0], _np.cumsum(counts)))  # prefix counts
+        inf = float("inf")
+        dp = _np.full((s + 1, k + 1), inf)
+        dp[0, 0] = 0.0
+        cut = _np.zeros((s + 1, k + 1), dtype=_np.int64)
+        for j in range(1, s + 1):
+            bucket_cost = c0 + c1 * float(uniq[j - 1])
+            for m in range(1, k + 1):
+                for i in range(j):
+                    cand = dp[i, m - 1] + (csum[j] - csum[i]) * bucket_cost
+                    if cand < dp[j, m]:
+                        dp[j, m] = cand
+                        cut[j, m] = i
+        m = int(_np.argmin(dp[s, 1:])) + 1  # more buckets never cost more
+        buckets = []
+        j = s
+        while m > 0:
+            buckets.append(int(uniq[j - 1]))
+            j = int(cut[j, m])
+            m -= 1
+        return sorted(buckets)
+
+    @staticmethod
+    def expected_cost(buckets, sizes, cost=None):
+        """Mean per-request dispatch cost of a ladder under the cost
+        model (chunked through the top bucket above it) — the quantity
+        :meth:`plan_buckets` minimizes, exposed for tests/tuning."""
+        import numpy as _np
+
+        c0, c1 = cost if cost is not None else BucketedPredictor.MEASURED_COST
+        buckets = sorted(set(int(b) for b in buckets))
+        top = buckets[-1]
+        total = 0.0
+        for n in _np.asarray(sizes, dtype=_np.int64).ravel():
+            n = int(n)
+            full, rest = divmod(n, top)
+            total += full * (c0 + c1 * top)
+            if rest:
+                b = next(b for b in buckets if b >= rest)
+                total += c0 + c1 * b
+        return total / max(1, _np.asarray(sizes).size)
+
+    @classmethod
+    def from_histogram(cls, model, params, seq_len: int, sizes,
+                       max_buckets: int = 3, cost=None,
+                       condition: bool = False, seed: int = 0):
+        """Build a predictor whose bucket ladder is optimized for an
+        observed traffic histogram under a compile budget (the repo
+        roadmap item: the ladder was previously hand-chosen)."""
+        buckets = cls.plan_buckets(sizes, max_buckets, cost)
+        return cls(model, params, seq_len, buckets=buckets,
+                   condition=condition, seed=seed)
 
     def _one_batch(self, u, y, key):
         """Pad one <=max-bucket request up to its bucket, predict, and

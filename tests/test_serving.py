@@ -163,3 +163,83 @@ def test_bucketed_predictor_y_shape_guard(rng):
     pred = BucketedPredictor(model, params, seq_len=8, buckets=(2,))
     with pytest.raises(ValueError, match="y must be"):
         pred(rng.normal(size=(2, 8, 2)), rng.normal(size=(1, 8, 1)))
+
+
+class TestPlanBuckets:
+    """Histogram-driven bucket-ladder planning (BucketedPredictor
+    .from_histogram / .plan_buckets)."""
+
+    def test_bimodal_traffic_picks_both_modes(self):
+        from cbfssm_tpu.serving import BucketedPredictor as BP
+
+        sizes = [1] * 90 + [32] * 10
+        assert BP.plan_buckets(sizes, max_buckets=2) == [1, 32]
+        # with budget 1 the single bucket must cover the max
+        assert BP.plan_buckets(sizes, max_buckets=1) == [32]
+
+    def test_budget_never_exceeded_and_max_covered(self, rng):
+        from cbfssm_tpu.serving import BucketedPredictor as BP
+
+        sizes = rng.integers(1, 50, size=500)
+        for k in (1, 2, 3, 5):
+            buckets = BP.plan_buckets(sizes, max_buckets=k)
+            assert len(buckets) <= k
+            assert buckets[-1] == int(sizes.max())
+
+    def test_matches_bruteforce_optimum(self, rng):
+        """The DP is exact: equal to brute force over every candidate
+        ladder on small instances."""
+        import itertools
+
+        from cbfssm_tpu.serving import BucketedPredictor as BP
+
+        sizes = rng.integers(1, 12, size=60)
+        uniq = sorted(set(int(s) for s in sizes))
+        top = uniq[-1]
+        for k in (1, 2, 3):
+            got = BP.plan_buckets(sizes, max_buckets=k)
+            best = min(
+                (
+                    BP.expected_cost(list(c) + [top], sizes)
+                    for m in range(1, k + 1)
+                    for c in itertools.combinations(uniq, m - 1)
+                ),
+                default=None,
+            )
+            np.testing.assert_allclose(
+                BP.expected_cost(got, sizes), best, rtol=1e-12
+            )
+
+    def test_cost_model_shapes_the_ladder(self):
+        from cbfssm_tpu.serving import BucketedPredictor as BP
+
+        sizes = [1] * 50 + [31] * 50
+        # free padding -> one bucket suffices even with budget 2
+        assert BP.plan_buckets(sizes, 2, cost=(1.0, 0.0)) == [31]
+        # expensive padding -> split
+        assert BP.plan_buckets(sizes, 2, cost=(1.0, 1.0)) == [1, 31]
+
+    def test_guards(self):
+        from cbfssm_tpu.serving import BucketedPredictor as BP
+
+        with pytest.raises(ValueError):
+            BP.plan_buckets([], 2)
+        with pytest.raises(ValueError):
+            BP.plan_buckets([0, 3], 2)
+        with pytest.raises(ValueError):
+            BP.plan_buckets([3], 0)
+
+    def test_from_histogram_end_to_end(self, rng):
+        from cbfssm_tpu.serving import BucketedPredictor as BP
+
+        model = make_model()
+        params = model.init(jax.random.PRNGKey(0))
+        sizes = [1] * 20 + [4] * 5
+        pred = BP.from_histogram(model, params, seq_len=8, sizes=sizes,
+                                 max_buckets=2)
+        assert pred.buckets == [1, 4]
+        u = rng.normal(size=(3, 8, 2))
+        y = rng.normal(size=(3, 8, 1))
+        out = pred(u, y)
+        assert out.pred_mean.shape == (3, 8, 1)
+        assert np.isfinite(np.asarray(out.pred_mean)).all()
