@@ -66,6 +66,15 @@ def cmd_info(_args) -> int:
 
 
 def cmd_reproduce(args) -> int:
+    if args.check_data:
+        from cbfssm_tpu.data.check import check_experiment, report
+
+        print(f"Checking raw data for '{args.experiment}' "
+              f"(dir: {args.data_dir or 'packaged default'}):")
+        ok = report(check_experiment(args.experiment, args.data_dir))
+        print("all files OK — ready to train" if ok
+              else "missing/invalid files — stage them and re-run", )
+        return 0 if ok else 1
     root = repo_root()
     if root is None:
         print("error: reproduce needs a repo checkout (run/ directory not "
@@ -126,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--root", default=None, help="output directory")
     r.add_argument("--data-dir", default=None,
                    help="directory holding the raw benchmark files")
+    r.add_argument("--check-data", action="store_true",
+                   help="validate the experiment's raw files (presence/"
+                        "keys/shapes) and exit instead of training")
     r.add_argument("--epochs", type=int, default=None)
     r.add_argument("--iterations", type=int, default=None,
                    help="number of seeds/repetitions")
