@@ -195,19 +195,35 @@ def measure_cbfssm_shapes(steps=10, reps=2):
         try:
             run_steps, params, opt_state = build_cbfssm_steps(shape)
             key = jax.random.PRNGKey(1)
+
+            def timed(n_dispatch, k, state):
+                """n_dispatch async back-to-back dispatches of the same
+                compiled steps-program, one final host readback: the
+                tunnel roundtrip amortizes over n_dispatch*steps steps
+                without compiling a second step count."""
+                params, opt_state = state
+                t0 = time.perf_counter()
+                for j in range(n_dispatch):
+                    params, opt_state, losses = run_steps(
+                        params, opt_state, jax.random.fold_in(k, j), steps
+                    )
+                float(losses[-1])  # host readback sync (tunnel-safe)
+                rate = n_dispatch * steps / (time.perf_counter() - t0)
+                return (params, opt_state), rate
+
+            state = (params, opt_state)
             for i in range(2):  # compile + staging warmup
-                params, opt_state, losses = run_steps(
-                    params, opt_state, jax.random.fold_in(key, i), steps
-                )
-                float(losses[-1])
+                state, cal = timed(1, jax.random.fold_in(key, i), state)
+            # calibrate: ~1s per timed block so per-dispatch overhead
+            # does not distort fast shapes
+            n_dispatch = int(min(50, max(1, cal / steps)))
+            state, _ = timed(n_dispatch, jax.random.fold_in(key, 5), state)
             rates = []
             for rep in range(reps):
-                t0 = time.perf_counter()
-                params, opt_state, losses = run_steps(
-                    params, opt_state, jax.random.fold_in(key, 10 + rep), steps
+                state, rate = timed(
+                    n_dispatch, jax.random.fold_in(key, 10 + rep), state
                 )
-                float(losses[-1])  # host readback sync
-                rates.append(steps / (time.perf_counter() - t0))
+                rates.append(rate)
             sps = float(np.median(rates))
             gflops = cbfssm_analytic_gflops(shape)
             out[name] = {

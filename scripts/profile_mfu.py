@@ -98,6 +98,7 @@ def build_cbfssm_steps(shape, unroll=1, gp_impl="solve_free",
 
     import jax
     import jax.numpy as jnp
+    import optax
 
     model, params, tx, opt_state, u, y = build_cbfssm_parts(
         shape, unroll=unroll, gp_impl=gp_impl, backward_mode=backward_mode
