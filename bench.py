@@ -160,6 +160,17 @@ def cpu_baseline() -> float:
     return value
 
 
+def voliro_analytic_gflops() -> float:
+    """Analytic matmul GFLOPs per Voliro optimizer step (bench config).
+    GP links only (the symplectic-Euler physics is elementwise);
+    logical FLOPs, x3 for reverse mode."""
+    n_force, m = BATCH * SEQ_LEN, 20  # batched force GP: [B*T, 12] -> 3
+    force = 2 * n_force * (12 * m + m * (m + 3) + m * 3)
+    n_bwd = BATCH * SAMPLES  # backward scan: T links of [B*S, 19] -> 6
+    bwd = SEQ_LEN * 2 * n_bwd * (19 * m + m * (m + 6) + m * 6)
+    return 3.0 * (force + bwd) / 1e9
+
+
 def cbfssm_analytic_gflops(shape) -> float:
     """Analytic matmul GFLOPs per optimizer step for a CBFSSM shape
     (XLA's cost_analysis undercounts lax.scan bodies, so the MFU
@@ -250,6 +261,9 @@ def main():
         {} if os.environ.get("CBFSSM_BENCH_HEADLINE_ONLY")
         else measure_cbfssm_shapes()
     )
+    from scripts.profile_mfu import V5E_PEAK_BF16
+
+    gflops = voliro_analytic_gflops()
     print(
         json.dumps(
             {
@@ -257,6 +271,8 @@ def main():
                 "value": round(sps, 3),
                 "unit": "steps/sec",
                 "vs_baseline": round(sps / base, 2),
+                "analytic_gflop_per_step": round(gflops, 3),
+                "mfu_vs_bf16_peak": round(gflops * 1e9 * sps / V5E_PEAK_BF16, 6),
                 "shapes": shapes,
             }
         )

@@ -101,21 +101,12 @@ class CBFSSMHALF(BaseSSM):
             x0 = self.recog_module.apply(params.recog, uy)
         return jnp.broadcast_to(x0[:, None, :], (x0.shape[0], self.samples, self.dim_x))
 
-    def _rollout(self, params, u, y, key, condition: bool):
-        var_x = transforms.positive(params.var_x_unc)
-        var_y = transforms.positive(params.var_y_unc)
-        cache_f = gp.precompute(params.gp_f, self.jitter)
-        u_tm, y_tm = self._time_major(u), self._time_major(y)
-        t_len, b = u_tm.shape[0], u_tm.shape[1]
-        s, dx, dy = self.samples, self.dim_x, self.dim_y
+    def _transition(self, cache_f, var_x, var_y, b, s):
+        """The conditioned-transition scan body, shared by the training
+        rollout and the streaming-filter entry points (filter_step /
+        forecast) so their per-step math is identical by construction."""
+        dx, dy = self.dim_x, self.dim_y
         k_factor = jnp.asarray(self.config.k_factor, dtype=self.dtype)
-
-        eps = self._shared_eps(key, (t_len - 1, b, s), self.dtype)
-        cond_mask = jnp.asarray(
-            segmentation.forward_condition_mask(t_len, self.config.recog_len)
-        )
-        if condition:
-            cond_mask = jnp.ones_like(cond_mask)
 
         def pad_h(a):
             return jnp.pad(a, ((0, 0), (0, 0), (0, dx - dy)))
@@ -145,6 +136,24 @@ class CBFSSMHALF(BaseSSM):
             kl_t = jnp.where(cond_t, kl_t, 0.0)
             return x_next, (x_next, kl_t)
 
+        return step
+
+    def _rollout(self, params, u, y, key, condition: bool):
+        var_x = transforms.positive(params.var_x_unc)
+        var_y = transforms.positive(params.var_y_unc)
+        cache_f = gp.precompute(params.gp_f, self.jitter)
+        u_tm, y_tm = self._time_major(u), self._time_major(y)
+        t_len, b = u_tm.shape[0], u_tm.shape[1]
+        s = self.samples
+
+        eps = self._shared_eps(key, (t_len - 1, b, s), self.dtype)
+        cond_mask = jnp.asarray(
+            segmentation.forward_condition_mask(t_len, self.config.recog_len)
+        )
+        if condition:
+            cond_mask = jnp.ones_like(cond_mask)
+
+        step = self._transition(cache_f, var_x, var_y, b, s)
         x0 = vma.match_vma(self._initial_state(params, u, y), eps, u_tm, y_tm)
         inputs = (u_tm[:-1], y_tm[1:], eps, cond_mask)
         _, (x_rest, kl_steps) = jax.lax.scan(
@@ -180,3 +189,69 @@ class CBFSSMHALF(BaseSSM):
     def predict(self, params, u, y, key, condition: bool = False):
         x_final, _, (var_y, _, y_tm) = self._rollout(params, u, y, key, condition)
         return self._prediction_stats(x_final, y_tm, var_y)
+
+    # --- streaming/online filtering (serving.StreamingFilter) -----------
+
+    def filter_ops(self, params):
+        """(cache_f, var_x, var_y): the loop-invariant operators a
+        streaming consumer precomputes once per parameter set."""
+        return (
+            gp.precompute(params.gp_f, self.jitter),
+            transforms.positive(params.var_x_unc),
+            transforms.positive(params.var_y_unc),
+        )
+
+    def filter_init(self, params, u_prefix, y_prefix):
+        """Particle ensemble x_0 [B, S, dim_x] from a warmup window via
+        the recognition model (the same initial state training uses)."""
+        return self._initial_state(params, u_prefix, y_prefix)
+
+    def filter_step(self, params, ops, x, u_prev, y_new, key, eps=None):
+        """One ONLINE conditioned transition of the particle ensemble.
+
+        The conditioning update touches only the observed dims (the
+        zero-pad-for-hidden form, reference cbfssmhalf.py:147-155), so
+        it is valid with exactly the information a deployed estimator
+        has: the applied control ``u_prev`` [B, du] and the arriving
+        observation ``y_new`` [B, dy]. Identical per-step math to the
+        training rollout (shared ``_transition`` body; pinned by test).
+
+        ``eps`` overrides the shared-across-dims particle noise draw
+        ([B, S, 1]; tests use it to pin equality with the rollout).
+        Returns (x_next [B, S, dx], (mean [B, dy], var [B, dy])) where
+        mean/var are the filtered observation-space moments (particle
+        moments + observation noise).
+        """
+        cache_f, var_x, var_y = ops
+        b, s = x.shape[0], x.shape[1]
+        if eps is None:
+            eps = self._shared_eps(key, (b, s), self.dtype)
+        step = self._transition(cache_f, var_x, var_y, b, s)
+        x_next, _ = step(x, (u_prev, y_new, eps, jnp.asarray(True)))
+        y_part = x_next[..., : self.dim_y]
+        mean = jnp.mean(y_part, axis=1)
+        var = jnp.mean(jnp.square(y_part - mean[:, None, :]), axis=1) + var_y
+        return x_next, (mean, var)
+
+    def forecast(self, params, ops, x, u_future, key):
+        """Free-run rollout from the current ensemble (no conditioning —
+        the deployed analogue of Outputs' condition=False prediction).
+
+        u_future: [B, H, du] -> (mean [B, H, dy], var [B, H, dy]);
+        the caller's ensemble is NOT advanced.
+        """
+        cache_f, var_x, var_y = ops
+        b, s = x.shape[0], x.shape[1]
+        u_tm = jnp.transpose(jnp.asarray(u_future, dtype=self.dtype), (1, 0, 2))
+        h = u_tm.shape[0]
+        eps = self._shared_eps(key, (h, b, s), self.dtype)
+        step = self._transition(cache_f, var_x, var_y, b, s)
+        y_dummy = jnp.zeros((h, b, self.dim_y), dtype=self.dtype)
+        cond = jnp.zeros((h,), dtype=bool)
+        _, (x_path, _) = jax.lax.scan(
+            step, x, (u_tm, y_dummy, eps, cond), unroll=self.config.scan_unroll
+        )
+        y_part = x_path[..., : self.dim_y]  # [H, B, S, dy]
+        mean = jnp.mean(y_part, axis=2)
+        var = jnp.mean(jnp.square(y_part - mean[:, :, None, :]), axis=2) + var_y
+        return jnp.transpose(mean, (1, 0, 2)), jnp.transpose(var, (1, 0, 2))

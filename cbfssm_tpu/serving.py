@@ -59,6 +59,133 @@ class CompiledPredictor:
         return self._compiled(self.params, u, y, key if key is not None else self.key)
 
 
+class StreamingFilter:
+    """Stateful ONLINE state estimation for deployment.
+
+    The batch predictors above consume whole sequences; a deployed
+    estimator receives (control, observation) pairs one step at a time.
+    This wraps a trained :class:`~cbfssm_tpu.models.CBFSSMHALF` — whose
+    conditioning update touches only the OBSERVED dims, i.e. exactly the
+    information available online (reference cbfssmhalf.py:147-155) — as
+    a particle filter with device-resident ensemble state:
+
+    >>> f = StreamingFilter(model, params, batch=1)
+    >>> f.start(u_prefix, y_prefix)          # recognition net -> x_0
+    >>> mean, var = f.update(u_prev, y_new)  # one conditioned transition
+    >>> mean, var = f.forecast(u_future)     # free-run ahead, state kept
+
+    The start/update programs are AOT-compiled at construction (no
+    first-request compile latency); forecast compiles once per distinct
+    horizon and caches the executable. ``state``/``load_state`` expose
+    the (ensemble, step counter) for checkpointing/failover.
+    """
+
+    def __init__(self, model, params, batch: int = 1, seed: int = 0):
+        for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
+            if not hasattr(model, attr):
+                raise TypeError(
+                    f"{type(model).__name__} has no streaming interface "
+                    f"({attr}); StreamingFilter supports CBFSSMHALF"
+                )
+        self.model = model
+        self.params = params
+        self.batch = batch
+        self._base_key = jax.random.PRNGKey(seed)
+        self._x = None
+        self._t = 0
+        dtype = model.dtype
+        self._ops = jax.jit(model.filter_ops)(params)
+
+        recog_len = int(model.config.recog_len)
+        u_spec = jax.ShapeDtypeStruct((batch, recog_len, model.dim_u), dtype)
+        y_spec = jax.ShapeDtypeStruct((batch, recog_len, model.dim_y), dtype)
+        self._start_c = (
+            jax.jit(model.filter_init).lower(params, u_spec, y_spec).compile()
+        )
+        x_spec = jax.ShapeDtypeStruct(
+            (batch, model.samples, model.dim_x), dtype
+        )
+        u1 = jax.ShapeDtypeStruct((batch, model.dim_u), dtype)
+        y1 = jax.ShapeDtypeStruct((batch, model.dim_y), dtype)
+        key_spec = jax.ShapeDtypeStruct(
+            self._base_key.shape, self._base_key.dtype
+        )
+        self._step_c = (
+            jax.jit(lambda p, ops, x, u, y, k: model.filter_step(p, ops, x, u, y, k))
+            .lower(params, self._ops, x_spec, u1, y1, key_spec)
+            .compile()
+        )
+        self._forecast_c = {}
+
+    # --- state management ----------------------------------------------
+
+    @property
+    def state(self):
+        """(ensemble [B, S, dx], step counter) — serializable."""
+        return (None if self._x is None else np.asarray(self._x)), self._t
+
+    def load_state(self, state) -> None:
+        x, t = state
+        self._x = None if x is None else jnp.asarray(x, self.model.dtype)
+        self._t = int(t)
+
+    def _require_started(self):
+        if self._x is None:
+            raise RuntimeError("call start(u_prefix, y_prefix) first")
+
+    # --- the three programs --------------------------------------------
+
+    def start(self, u_prefix, y_prefix) -> None:
+        """Initialize the ensemble from a recog_len warmup window."""
+        dtype = self.model.dtype
+        u = jnp.asarray(np.asarray(u_prefix), dtype=dtype)
+        y = jnp.asarray(np.asarray(y_prefix), dtype=dtype)
+        want = (self.batch, int(self.model.config.recog_len))
+        if u.shape[:2] != want:
+            raise ValueError(f"compiled for prefix shape {want}, got {u.shape[:2]}")
+        self._x = self._start_c(self.params, u, y)
+        self._t = 0
+
+    def update(self, u_prev, y_new):
+        """Advance one transition conditioned on the arriving
+        observation; returns filtered (mean [B, dy], var [B, dy])."""
+        self._require_started()
+        dtype = self.model.dtype
+        u = jnp.asarray(np.asarray(u_prev), dtype=dtype)
+        y = jnp.asarray(np.asarray(y_new), dtype=dtype)
+        key = jax.random.fold_in(self._base_key, self._t)
+        self._x, (mean, var) = self._step_c(
+            self.params, self._ops, self._x, u, y, key
+        )
+        self._t += 1
+        return mean, var
+
+    def forecast(self, u_future):
+        """Free-run prediction from the current ensemble over
+        ``u_future`` [B, H, du]; does NOT advance the filter state."""
+        self._require_started()
+        dtype = self.model.dtype
+        u = jnp.asarray(np.asarray(u_future), dtype=dtype)
+        h = u.shape[1]
+        if h not in self._forecast_c:
+            model = self.model
+            self._forecast_c[h] = (
+                jax.jit(lambda p, ops, x, uu, k: model.forecast(p, ops, x, uu, k))
+                .lower(
+                    self.params, self._ops,
+                    jax.ShapeDtypeStruct(self._x.shape, self._x.dtype),
+                    jax.ShapeDtypeStruct(u.shape, u.dtype),
+                    jax.ShapeDtypeStruct(
+                        self._base_key.shape, self._base_key.dtype
+                    ),
+                )
+                .compile()
+            )
+        # forecast keys live in a disjoint fold range from update keys
+        key = jax.random.fold_in(self._base_key, 2**30 + self._t)
+        return self._forecast_c[h](self.params, self._ops, self._x, u, key)
+
+
 class BucketedPredictor:
     """Serves ANY request size over a precompiled ladder of batch
     buckets.

@@ -1,0 +1,124 @@
+"""Streaming/online filtering (CBFSSMHALF.filter_* + serving.StreamingFilter).
+
+The per-step online update must be the EXACT training-rollout transition
+(shared `_transition` body): feeding the rollout's own noise draws into
+`filter_step` must reproduce the rollout trajectory to float64 solver
+noise (the rollout runs under lax.scan whose fusion differs in the last
+ulp from the per-call program).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cbfssm_tpu.models import CBFSSMHALF
+from cbfssm_tpu.serving import StreamingFilter
+from tests.test_other_models import half_config
+
+
+@pytest.fixture
+def setup(rng):
+    model = CBFSSMHALF(half_config("rnn"))
+    params = model.init(jax.random.PRNGKey(0))
+    u = rng.normal(size=(2, 8, 2))
+    y = rng.normal(size=(2, 8, 1))
+    return model, params, u, y
+
+
+def test_filter_step_reproduces_rollout(setup):
+    model, params, u, y = setup
+    key = jax.random.PRNGKey(3)
+    x_final, _, _ = model._rollout(params, u, y, key, condition=True)
+
+    t_len, b, s = 8, 2, model.samples
+    eps = model._shared_eps(key, (t_len - 1, b, s), model.dtype)
+    ops = model.filter_ops(params)
+    u_tm = jnp.transpose(jnp.asarray(u, model.dtype), (1, 0, 2))
+    y_tm = jnp.transpose(jnp.asarray(y, model.dtype), (1, 0, 2))
+
+    x = model.filter_init(params, u, y)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x_final[0]))
+    for t in range(t_len - 1):
+        x, (mean, var) = model.filter_step(
+            params, ops, x, u_tm[t], y_tm[t + 1], key=None, eps=eps[t]
+        )
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(x_final[t + 1]), rtol=1e-12, atol=1e-13
+        )
+        x = x_final[t + 1]  # resync so ulp drift cannot compound
+        assert mean.shape == (b, model.dim_y)
+        assert float(jnp.min(var)) > 0
+
+
+def test_forecast_is_free_running_and_pure(setup):
+    model, params, u, y = setup
+    ops = model.filter_ops(params)
+    x = model.filter_init(params, u, y)
+    key = jax.random.PRNGKey(5)
+    u_future = jnp.asarray(np.ones((2, 6, 2)), model.dtype)
+    mean, var = model.forecast(params, ops, x, u_future, key)
+    assert mean.shape == (2, 6, 1) and var.shape == (2, 6, 1)
+    assert np.isfinite(np.asarray(mean)).all()
+    assert float(jnp.min(var)) > 0
+    # purity: same inputs -> same outputs, caller's ensemble untouched
+    mean2, _ = model.forecast(params, ops, x, u_future, key)
+    np.testing.assert_array_equal(np.asarray(mean), np.asarray(mean2))
+
+
+def test_streaming_filter_end_to_end(setup):
+    model, params, u, y = setup
+    f = StreamingFilter(model, params, batch=2)
+    with pytest.raises(RuntimeError, match="start"):
+        f.update(u[:, 0], y[:, 0])
+    f.start(u[:, :4], y[:, :4])
+    means = []
+    for t in range(4, 8):
+        mean, var = f.update(u[:, t - 1], y[:, t])
+        assert mean.shape == (2, 1) and var.shape == (2, 1)
+        assert np.isfinite(np.asarray(mean)).all()
+        means.append(np.asarray(mean))
+    # distinct steps draw distinct noise / see distinct data
+    assert not np.array_equal(means[0], means[1])
+
+    fmean, fvar = f.forecast(np.zeros((2, 5, 2)))
+    assert fmean.shape == (2, 5, 1) and np.isfinite(np.asarray(fmean)).all()
+    # forecast must not advance the filter state
+    x_before, t_before = f.state
+    f.forecast(np.zeros((2, 5, 2)))
+    x_after, t_after = f.state
+    np.testing.assert_array_equal(x_before, x_after)
+    assert t_before == t_after
+
+
+def test_streaming_filter_state_roundtrip(setup):
+    """Failover: a new filter restored from `state` continues the exact
+    same trajectory as the original."""
+    model, params, u, y = setup
+    f1 = StreamingFilter(model, params, batch=2)
+    f1.start(u[:, :4], y[:, :4])
+    f1.update(u[:, 3], y[:, 4])
+    saved = f1.state
+
+    f2 = StreamingFilter(model, params, batch=2)
+    f2.load_state(saved)
+    m1, v1 = f1.update(u[:, 4], y[:, 5])
+    m2, v2 = f2.update(u[:, 4], y[:, 5])
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_streaming_rejects_models_without_interface(setup):
+    _, _, u, y = setup
+    from tests.test_cbfssm_model import make_model
+
+    full = make_model()
+    with pytest.raises(TypeError, match="StreamingFilter supports"):
+        StreamingFilter(full, full.init(jax.random.PRNGKey(0)))
+
+
+def test_prefix_shape_guard(setup):
+    model, params, u, y = setup
+    f = StreamingFilter(model, params, batch=2)
+    with pytest.raises(ValueError, match="prefix shape"):
+        f.start(u[:, :3], y[:, :3])  # recog_len is 4
