@@ -306,8 +306,9 @@ class CBFSSM(BaseSSM):
     def _rollout(self, params: CBFSSMParams, u, y, key, condition: bool):
         var_x = transforms.positive(params.var_x_unc)
         var_y = transforms.positive(params.var_y_unc)
-        cache_f = gp.precompute(params.gp_f, self.jitter)
-        cache_b = gp.precompute(params.gp_b, self.jitter)
+        # one batched factorization chain for both GPs (latency-bound
+        # small-matrix linalg; see gp.precompute_pair)
+        cache_f, cache_b = gp.precompute_pair(params.gp_f, params.gp_b, self.jitter)
         u_tm, y_tm = self._time_major(u), self._time_major(y)
         kb, kf = jax.random.split(key)
         y_tilde, entropy = self._backward(cache_b, var_x, u_tm, y_tm, kb)

@@ -281,8 +281,9 @@ class Voliro(BaseSSM):
         var_x = transforms.positive(params.var_x_unc)
         var_y = transforms.positive(params.var_y_unc)
         var_z = transforms.positive(params.var_z_unc)
-        cache_f = gp.precompute(params.gp_f, self.jitter)
-        cache_b = gp.precompute(params.gp_b, self.jitter)
+        # one batched factorization chain for both GPs (latency-bound
+        # small-matrix linalg; see gp.precompute_pair)
+        cache_f, cache_b = gp.precompute_pair(params.gp_f, params.gp_b, self.jitter)
 
         u_bt = jnp.asarray(u, dtype=self.dtype)
         y_bt = jnp.asarray(y, dtype=self.dtype)

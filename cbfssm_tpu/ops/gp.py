@@ -113,14 +113,11 @@ def init_sparse_gp(
     )
 
 
-def precompute(params: SparseGPParams, jitter: float | None = None) -> GPCache:
-    """Factorize K(Z, Z) once and form the solve-free predict operators."""
-    kern_var = params.kern_var
-    kern_len = params.kern_len
-    gram = kernels.rbf_gram(params.z, kern_var, kern_len)
-    chol = linalg.jittered_cholesky(gram, jitter)
-    kinv = linalg.cholesky_inverse(chol)
+def _finish_cache(params: SparseGPParams, chol, kinv) -> GPCache:
+    """Assemble a GPCache from a factorized Gram (shared by the single
+    and pair-batched precompute paths)."""
     alpha = jnp.matmul(kinv, params.mean, precision=kernels.HIGHEST)
+    kern_len = params.kern_len
     inv_ls = 1.0 / kern_len
     return GPCache(
         chol=chol,
@@ -128,12 +125,46 @@ def precompute(params: SparseGPParams, jitter: float | None = None) -> GPCache:
         kinv_diag=jnp.diagonal(kinv),
         alpha=alpha,
         var_q=params.var,
-        kern_var=kern_var,
+        kern_var=params.kern_var,
         kern_len=kern_len,
         z=params.z,
         inv_ls=inv_ls,
         zs=params.z * inv_ls,
         kinv_alpha=jnp.concatenate((kinv, alpha), axis=1),
+    )
+
+
+def precompute(params: SparseGPParams, jitter: float | None = None) -> GPCache:
+    """Factorize K(Z, Z) once and form the solve-free predict operators."""
+    gram = kernels.rbf_gram(params.z, params.kern_var, params.kern_len)
+    chol = linalg.jittered_cholesky(gram, jitter)
+    kinv = linalg.cholesky_inverse(chol)
+    return _finish_cache(params, chol, kinv)
+
+
+def precompute_pair(
+    params_a: SparseGPParams,
+    params_b: SparseGPParams,
+    jitter: float | None = None,
+):
+    """Precompute TWO same-M GP caches through ONE batched
+    Cholesky/inverse chain.
+
+    The M x M factorization chain is tiny in FLOPs but latency-bound on
+    TPU (the small-matrix expander loops serialize); models with two
+    GPs (CBFSSM forward+backward, Voliro force+recognition — both share
+    ``ind_pnt_num``) pay it twice per optimizer step. Stacking the two
+    Grams on a leading batch axis runs both factorizations through one
+    expander pass. Numerically equivalent to two :func:`precompute`
+    calls (same per-matrix operations, batched; pinned by test).
+    """
+    gram_a = kernels.rbf_gram(params_a.z, params_a.kern_var, params_a.kern_len)
+    gram_b = kernels.rbf_gram(params_b.z, params_b.kern_var, params_b.kern_len)
+    chol = linalg.jittered_cholesky(jnp.stack((gram_a, gram_b)), jitter)
+    kinv = linalg.cholesky_inverse(chol)
+    return (
+        _finish_cache(params_a, chol[0], kinv[0]),
+        _finish_cache(params_b, chol[1], kinv[1]),
     )
 
 

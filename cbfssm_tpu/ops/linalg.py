@@ -44,15 +44,19 @@ def jittered_cholesky(mat, jitter: float | None = None):
 
 
 def cholesky_inverse(chol):
-    """Explicit ``K^-1`` from a lower Cholesky factor (K = L L^T).
+    """Explicit ``K^-1`` from a lower Cholesky factor (K = L L^T);
+    accepts a leading batch axis ([..., M, M]).
 
     Formed once per step outside the scan; M x M is tiny so the extra
     FLOPs are negligible and it converts all downstream per-timestep
     triangular solves into MXU matmuls.
     """
-    eye = jnp.eye(chol.shape[-1], dtype=chol.dtype)
+    eye = jnp.broadcast_to(
+        jnp.eye(chol.shape[-1], dtype=chol.dtype), chol.shape
+    )
     linv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
-    return jnp.matmul(linv.T, linv, precision=jax.lax.Precision.HIGHEST)
+    linv_t = jnp.swapaxes(linv, -1, -2)
+    return jnp.matmul(linv_t, linv, precision=jax.lax.Precision.HIGHEST)
 
 
 def cho_solve(chol, b):

@@ -79,6 +79,12 @@ def main():
 
         return run
 
+    def piece_floor(params, key):
+        # harness floor: the scanned-dispatch + readback cost every piece
+        # below includes (dominated by the tunnel roundtrip / n_steps);
+        # subtract it to get device-compute time per piece
+        return jnp.sum(params.var_x_unc) + key[0] * 0.0
+
     def piece_precompute(params, key):
         cf = gp.precompute(params.gp_f, model.jitter)
         cb = gp.precompute(params.gp_b, model.jitter)
@@ -118,6 +124,7 @@ def main():
         )
 
     pieces = {
+        "floor": scanned(piece_floor),
         "precompute": scanned(piece_precompute),
         "backward": scanned(piece_backward),
         "forward": scanned(piece_forward),

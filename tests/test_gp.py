@@ -108,3 +108,24 @@ def test_prior_kl_matches_dense(rng):
     # KL must be positive for a non-prior q.
     assert got > 0
     del kzz
+
+
+def test_precompute_pair_matches_single(rng):
+    """The batched two-GP factorization is numerically equivalent to two
+    single precompute() calls (same per-matrix operations, batched)."""
+    import jax
+
+    from cbfssm_tpu.ops.gp import precompute, precompute_pair
+
+    pa = make_gp(key=1, in_dim=3, out_dim=2, m=15)
+    pb = make_gp(key=2, in_dim=3, out_dim=4, m=15)
+    ca, cb = precompute_pair(pa, pb, 1e-8)
+    sa, sb = precompute(pa, 1e-8), precompute(pb, 1e-8)
+    for got, want in ((ca, sa), (cb, sb)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-13, atol=1e-15
+            ),
+            got,
+            want,
+        )
