@@ -53,22 +53,29 @@ class BaseSSM:
         self.jitter = self.config.jitter
         if self.config.gp_impl not in ("solve_free", "pallas"):
             raise ValueError(f"unknown gp_impl: {self.config.gp_impl!r}")
-        if self.config.adjoint not in ("auto", "autodiff", "hand"):
+        if self.config.adjoint not in ("auto", "autodiff", "hand", "parallel"):
             raise ValueError(
-                "adjoint must be 'auto', 'autodiff', or 'hand', got "
-                f"{self.config.adjoint!r}"
+                "adjoint must be 'auto', 'autodiff', 'hand', or "
+                f"'parallel', got {self.config.adjoint!r}"
             )
         # The hand-derived adjoint pullbacks target the solve-free
         # predict math; the Pallas predict path has its own custom VJP.
-        # 'auto' resolves to autodiff: the round-3 experiment matrix
-        # (BENCHMARKS.md "Hand-adjoint verdict") measured the deferred
-        # hand schedule 2x SLOWER on both rollouts — the reverse pass is
-        # matmul-throughput-bound, not chain-latency-bound, so batching
-        # the loop-invariant accumulations only adds materialization
-        # traffic. 'hand' stays available (grad-equality tested).
+        # For CBFSSM, 'auto' resolves to autodiff: the round-3
+        # experiment matrix (BENCHMARKS.md "Hand-adjoint verdict")
+        # measured the deferred hand schedule 2x SLOWER on both
+        # rollouts — that reverse pass is matmul-throughput-bound, not
+        # chain-latency-bound. 'hand' stays available (grad-equality
+        # tested). 'parallel' (log-depth associative-scan reverse,
+        # ops/parallel_vjp.py) targets LATENCY-bound recursions and is
+        # consumed by the models that support it (Voliro).
         self._hand_adjoint = self.config.adjoint == "hand"
-        if self.config.adjoint == "hand" and self.config.gp_impl != "solve_free":
-            raise ValueError("adjoint='hand' requires gp_impl='solve_free'")
+        self._parallel_adjoint = self.config.adjoint == "parallel"
+        if self.config.adjoint in ("hand", "parallel") and (
+            self.config.gp_impl != "solve_free"
+        ):
+            raise ValueError(
+                f"adjoint={self.config.adjoint!r} requires gp_impl='solve_free'"
+            )
         if int(self.config.scan_unroll) < 1:
             raise ValueError(
                 f"scan_unroll must be a positive int, got {self.config.scan_unroll!r}"

@@ -32,7 +32,7 @@ import numpy as np
 from flax import struct
 
 from cbfssm_tpu.models.base import LOG_2PI_E, BaseSSM
-from cbfssm_tpu.ops import gp, quaternion, transforms, vma
+from cbfssm_tpu.ops import gp, parallel_vjp, quaternion, transforms, vma
 from cbfssm_tpu.ops.distributions import beta_logpdf, kl_diag_gaussians
 
 
@@ -225,11 +225,11 @@ class Voliro(BaseSSM):
         s, dh = self.samples, self.GP_DIM_OUT_B
         eps = self._shared_eps(key, (t_len, b, s), self.dtype)
 
-        def step(h, inp):
+        def step(cache, h, inp):
             ft_t, y_t, eps_t = inp
             y_bs = jnp.broadcast_to(y_t[:, None, :], (b, s, self.DIM_Y))
             gp_in = jnp.concatenate((h, ft_t, y_bs), axis=-1).reshape(b * s, -1)
-            fmean, fvar = self._gp_predict(cache_b, gp_in)
+            fmean, fvar = self._gp_predict(cache, gp_in)
             fmean = fmean.reshape(b, s, dh) + h
             fvar = fvar.reshape(b, s, dh)
             out = fmean + eps_t * jnp.sqrt(fvar)
@@ -238,9 +238,17 @@ class Voliro(BaseSSM):
 
         h0 = vma.zeros_matching((b, s, dh), self.dtype, eps, ft_gp_tm, yh_tm)
         inputs = (jnp.flip(ft_gp_tm, 0), jnp.flip(yh_tm, 0), jnp.flip(eps, 0))
-        _, (y2_rev, ent_rev) = jax.lax.scan(
-            step, h0, inputs, unroll=self.config.scan_unroll
-        )
+        if self._parallel_adjoint:
+            # per-particle state (dh=6): latency-bound recursion, so the
+            # log-depth reverse pays (ops/parallel_vjp.py)
+            y2_rev, ent_rev = parallel_vjp.scan_outputs_vjp(
+                step, cache_b, h0, inputs, self.config.scan_unroll
+            )
+        else:
+            _, (y2_rev, ent_rev) = jax.lax.scan(
+                lambda h, i: step(cache_b, h, i), h0, inputs,
+                unroll=self.config.scan_unroll,
+            )
         y2 = jnp.flip(y2_rev, 0)
         y_obs = jnp.broadcast_to(yh_tm[:, :, None, :], (t_len, b, s, self.DIM_Y))
         return jnp.concatenate((y_obs, y2), axis=-1), jnp.sum(ent_rev, axis=0)
@@ -253,24 +261,34 @@ class Voliro(BaseSSM):
         s, dx = self.samples, self.DIM_X
         eps = self._shared_eps(key, (t_len - 1, b, s), self.dtype)
 
-        def step(x, inp):
+        def step(consts, x, inp):
+            var_x_c, var_y_c, dt_c = consts
             ft_t, y_next, eps_t = inp
-            fmean = self.symplectic_euler(x, ft_t, dt)
-            fvar = jnp.broadcast_to(var_x, (b, s, dx))
+            fmean = self.symplectic_euler(x, ft_t, dt_c)
+            fvar = jnp.broadcast_to(var_x_c, (b, s, dx))
 
-            gain = fvar / (var_y + fvar)
+            gain = fvar / (var_y_c + fvar)
             mu = fmean + gain * (y_next - fmean)
-            sig = jnp.square(1.0 - gain) * fvar + jnp.square(gain) * var_y
+            sig = jnp.square(1.0 - gain) * fvar + jnp.square(gain) * var_y_c
             x_next = mu + eps_t * jnp.sqrt(sig)
 
             kl_t = kl_diag_gaussians(mu, sig, fmean, fvar, axis=(1, 2))
             return x_next, (x_next, kl_t)
 
         x0 = y_tilde[0]
+        consts = (var_x, var_y, dt)
         inputs = (ft_gp_tm[:-1], y_tilde[1:], eps)
-        _, (x_rest, kl_steps) = jax.lax.scan(
-            step, x0, inputs, unroll=self.config.scan_unroll
-        )
+        if self._parallel_adjoint:
+            # per-particle state (dx=13): the physics+conditioning link
+            # is tiny — log-depth reverse (ops/parallel_vjp.py)
+            x_rest, kl_steps = parallel_vjp.scan_outputs_vjp(
+                step, consts, x0, inputs, self.config.scan_unroll
+            )
+        else:
+            _, (x_rest, kl_steps) = jax.lax.scan(
+                lambda x, i: step(consts, x, i), x0, inputs,
+                unroll=self.config.scan_unroll,
+            )
         x_final = jnp.concatenate((x0[None], x_rest), axis=0)
         return x_final, jnp.sum(kl_steps, axis=0)
 

@@ -23,6 +23,7 @@ sys.path.insert(0, HERE)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--adjoint", default="auto")
     args = ap.parse_args()
 
     import jax
@@ -59,6 +60,7 @@ def main():
         "var_y": np.asarray([0.02] * 7 + [0.2] * 6) ** 2,
         "var_z": np.asarray([0.02] * 6),
         "dtype": "float32",
+        "adjoint": args.adjoint,
     }
     model = Voliro(config)
     params = model.init(jax.random.PRNGKey(0))
@@ -156,7 +158,8 @@ def main():
             float(fn(params, jax.random.fold_in(key, 10 + rep)))
             rates.append((time.perf_counter() - t0) / n_steps)
         results[name] = round(float(np.median(rates)) * 1e3, 3)
-    results.update(unit="ms/step", batch=b, seq_len=t, samples=bench.SAMPLES)
+    results.update(unit="ms/step", batch=b, seq_len=t, samples=bench.SAMPLES,
+                   adjoint=args.adjoint)
     print(json.dumps(results))
 
 

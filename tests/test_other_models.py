@@ -249,3 +249,63 @@ def test_local_coordinates(rng):
     pwm, tilt = u[..., :6], u[..., 6:12]
     np.testing.assert_allclose(lc[..., 0::2], np.sin(tilt) * pwm**2, rtol=1e-12)
     np.testing.assert_allclose(lc[..., 1::2], np.cos(tilt) * pwm**2, rtol=1e-12)
+
+
+def test_voliro_parallel_adjoint_matches_autodiff(rng):
+    """adjoint='parallel' (log-depth associative-scan reverse for both
+    Voliro recursions): identical primal, gradients equal autodiff to
+    float64 reassociation tolerance — incl. data cotangents (u carries
+    the dt channel, y the observations)."""
+    u, y = voliro_batch(rng, t=9)
+    par = Voliro({**voliro_config(), "adjoint": "parallel"})
+    auto = Voliro({**voliro_config(), "adjoint": "autodiff"})
+    params = par.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    def loss_of(model):
+        return lambda p, uu, yy: model.loss(p, uu, yy, key, True)[0]
+
+    l_par, g_par = jax.value_and_grad(loss_of(par), argnums=(0, 1, 2))(
+        params, jnp.asarray(u), jnp.asarray(y)
+    )
+    l_auto, g_auto = jax.value_and_grad(loss_of(auto), argnums=(0, 1, 2))(
+        params, jnp.asarray(u), jnp.asarray(y)
+    )
+    assert float(l_par) == float(l_auto)  # same primal scan bodies
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-11
+        ),
+        g_par,
+        g_auto,
+    )
+
+
+def test_voliro_parallel_adjoint_trains(rng):
+    """A few Adam steps under the parallel adjoint reduce the loss and
+    track the autodiff trajectory."""
+    import optax
+
+    u, y = voliro_batch(rng, t=8)
+    losses = {}
+    for mode in ("parallel", "autodiff"):
+        model = Voliro({**voliro_config(), "adjoint": mode})
+        params = model.init(jax.random.PRNGKey(0))
+        tx = optax.adam(0.02)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, o, k):
+            (l, _), g = jax.value_and_grad(model.loss, has_aux=True)(
+                p, jnp.asarray(u), jnp.asarray(y), k, True
+            )
+            upd, o = tx.update(g, o, p)
+            return optax.apply_updates(p, upd), o, l
+
+        ls = []
+        for i in range(4):
+            params, opt, l = step(params, opt, jax.random.fold_in(jax.random.PRNGKey(3), i))
+            ls.append(float(l))
+        losses[mode] = ls
+    assert losses["parallel"][-1] < losses["parallel"][0]
+    np.testing.assert_allclose(losses["parallel"], losses["autodiff"], rtol=1e-7)
