@@ -1,6 +1,5 @@
 """Raw-data validation (`reproduce --check-data`, data/check.py)."""
 
-import numpy as np
 import pytest
 import scipy.io
 
