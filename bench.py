@@ -247,15 +247,55 @@ def measure_cbfssm_shapes(steps=10, reps=2):
     return out
 
 
+def _start_watchdog(stage, first_timeout=600.0, total_timeout=2400.0,
+                    poll=15.0):
+    """The tunneled TPU backend occasionally goes unreachable for long
+    windows (observed this rig); a hung backend call would otherwise
+    burn the caller's entire timeout with no diagnostic. If no progress
+    milestone is reached within ``first_timeout`` (or the whole run
+    exceeds ``total_timeout``), print a diagnostic to stderr and exit
+    nonzero — a clear tail beats silence."""
+    import threading
+
+    t0 = time.monotonic()
+
+    def run():
+        while True:
+            time.sleep(poll)
+            elapsed = time.monotonic() - t0
+            if stage["name"] == "backend-init" and elapsed > first_timeout:
+                print(
+                    f"bench watchdog: no backend progress after {elapsed:.0f}s "
+                    "(TPU tunnel unreachable?); aborting with diagnostic",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                os._exit(3)
+            if elapsed > total_timeout:
+                print(
+                    f"bench watchdog: run exceeded {total_timeout:.0f}s at "
+                    f"stage '{stage['name']}'; aborting with diagnostic",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                os._exit(3)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 def main():
     from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    stage = {"name": "backend-init"}
+    if not os.environ.get("CBFSSM_BENCH_NO_WATCHDOG"):
+        _start_watchdog(stage)
     if os.environ.get("CBFSSM_BENCH_CPU_CHILD"):
         sps = measure(steps=5, warmup=2)
         print(json.dumps({"metric": "cpu_child", "value": sps, "unit": "steps/sec"}))
         return
     sps = measure()
+    stage["name"] = "headline-measured"
     if sps < 150.0:
         # The tunneled TPU occasionally degrades transiently (observed:
         # a ~10x-slow window that recovers within minutes). The healthy
@@ -268,13 +308,16 @@ def main():
         )
         time.sleep(60.0)
         sps = max(sps, measure())
+    stage["name"] = "cpu-baseline"
     base = cpu_baseline()
     headline_only = bool(os.environ.get("CBFSSM_BENCH_HEADLINE_ONLY"))
+    stage["name"] = "shapes"
     shapes = {} if headline_only else measure_cbfssm_shapes()
     # Same program at 300 steps/dispatch: amortizes this rig's
     # ~30 ms tunnel roundtrip (which dominates the 30-step headline;
     # BENCHMARKS.md "Where the Voliro milliseconds go") — the honest
     # device-compute throughput an on-host deployment would see.
+    stage["name"] = "large-chunk"
     sps300 = None if headline_only else round(measure(steps=300, warmup=2), 3)
     from scripts.profile_mfu import V5E_PEAK_BF16
 

@@ -30,3 +30,25 @@ def test_voliro_is_latency_bound_scale():
     # the quantitative basis for the "dependency-chain-bound" verdict
     got = bench.voliro_analytic_gflops()
     assert 0.05 < got < 0.5, got
+
+
+def test_watchdog_fires_on_stalled_backend():
+    """bench.py's watchdog must turn a hung TPU tunnel into a prompt,
+    diagnosable failure instead of burning the caller's whole timeout."""
+    import subprocess
+    import sys
+
+    code = (
+        "import time, bench\n"
+        "bench._start_watchdog({'name': 'backend-init'}, first_timeout=0.5,"
+        " total_timeout=60, poll=0.2)\n"
+        "time.sleep(30)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=30, cwd=__import__("os").path.dirname(
+            __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+        ),
+    )
+    assert proc.returncode == 3
+    assert "watchdog" in proc.stderr and "backend" in proc.stderr
