@@ -32,9 +32,11 @@ STEPS = 30
 WARMUP = 3
 
 
-def build_step():
+def build_voliro_parts(adjoint="auto"):
+    """Headline Voliro model + params + synthetic batch — THE config the
+    headline measurement and scripts/decompose_voliro.py share, so their
+    numbers stay comparable (mirrors profile_mfu.build_cbfssm_parts)."""
     import jax
-    import optax
 
     from cbfssm_tpu.models import Voliro
 
@@ -61,11 +63,10 @@ def build_step():
         "var_y": np.asarray([0.02] * 7 + [0.2] * 6) ** 2,
         "var_z": np.asarray([0.02] * 6),
         "dtype": "float32",
+        "adjoint": adjoint,
     }
     model = Voliro(config)
     params = model.init(jax.random.PRNGKey(0))
-    tx = optax.adam(0.01)
-    opt_state = tx.init(params)
 
     rng = np.random.default_rng(0)
     pwm = rng.uniform(0.3, 0.9, size=(BATCH, SEQ_LEN, 6))
@@ -77,6 +78,16 @@ def build_step():
     y = (rng.normal(size=(BATCH, SEQ_LEN, 22)) * 0.1).astype(np.float32)
     q = rng.normal(size=(BATCH, SEQ_LEN, 4))
     y[..., 12:16] = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+    return model, params, u, y
+
+
+def build_step():
+    import jax
+    import optax
+
+    model, params, u, y = build_voliro_parts()
+    tx = optax.adam(0.01)
+    opt_state = tx.init(params)
 
     import functools
 
@@ -247,14 +258,17 @@ def measure_cbfssm_shapes(steps=10, reps=2):
     return out
 
 
-def _start_watchdog(stage, first_timeout=600.0, total_timeout=2400.0,
+def _start_watchdog(stage, first_timeout=900.0, total_timeout=3600.0,
                     poll=15.0):
     """The tunneled TPU backend occasionally goes unreachable for long
     windows (observed this rig); a hung backend call would otherwise
     burn the caller's entire timeout with no diagnostic. If no progress
     milestone is reached within ``first_timeout`` (or the whole run
     exceeds ``total_timeout``), print a diagnostic to stderr and exit
-    nonzero — a clear tail beats silence."""
+    nonzero — a clear tail beats silence. Budgets are sized for a fully
+    COLD run: a 1-4 min compile before the first milestone, then all
+    five programs (headline + 3 shapes + 300-step chunk) plus the
+    1800s-capped CPU-baseline subprocess within the total."""
     import threading
 
     t0 = time.monotonic()

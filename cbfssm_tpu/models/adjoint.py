@@ -22,8 +22,9 @@ run the exact same step bodies, shared with models/cbfssm.py); the
 gradients agree with autodiff to float tolerance (clamp ties excepted,
 see ops/gp_adjoint.py) — pinned by tests/test_adjoint.py in float64.
 
-Applies to ``gp_impl='solve_free'`` only (models fall back to autodiff
-for the Pallas predict path).
+Applies to ``gp_impl='solve_free'`` only (models/base.py rejects
+``adjoint='hand'`` with the Pallas predict path at construction — it
+has its own custom VJP).
 """
 
 from __future__ import annotations

@@ -47,12 +47,15 @@ import jax.numpy as jnp
 def _affine_combine(left, right):
     """Compose affine maps w -> A w + b: ``right`` applied AFTER
     ``left`` (elements ordered by application order along the scan
-    axis). A: [..., D, D], b: [..., D]."""
+    axis). A: [..., D, D], b: [..., D]. HIGHEST precision: up to T
+    Jacobian products compose per chain, and the default TPU matmul
+    precision is bf16-grade (library convention, ops/kernels.py)."""
     a1, b1 = left
     a2, b2 = right
+    highest = jax.lax.Precision.HIGHEST
     return (
-        jnp.einsum("...ij,...jk->...ik", a2, a1),
-        jnp.einsum("...ij,...j->...i", a2, b1) + b2,
+        jnp.einsum("...ij,...jk->...ik", a2, a1, precision=highest),
+        jnp.einsum("...ij,...j->...i", a2, b1, precision=highest) + b2,
     )
 
 

@@ -141,8 +141,19 @@ class StreamingFilter:
         u = jnp.asarray(np.asarray(u_prefix), dtype=dtype)
         y = jnp.asarray(np.asarray(y_prefix), dtype=dtype)
         want = (self.batch, int(self.model.config.recog_len))
-        if u.shape[:2] != want:
-            raise ValueError(f"compiled for prefix shape {want}, got {u.shape[:2]}")
+        # validate BOTH inputs up front — a mismatch would otherwise
+        # fail deep inside the AOT executable with a misleading
+        # compiled-signature error (same policy as BucketedPredictor)
+        if u.shape != want + (self.model.dim_u,):
+            raise ValueError(
+                f"compiled for prefix shape {want + (self.model.dim_u,)}, "
+                f"got u {u.shape}"
+            )
+        if y.shape != want + (self.model.dim_y,):
+            raise ValueError(
+                f"y_prefix must be {want + (self.model.dim_y,)} to match "
+                f"u_prefix, got {y.shape}"
+            )
         self._x = self._start_c(self.params, u, y)
         self._t = 0
 
@@ -153,6 +164,14 @@ class StreamingFilter:
         dtype = self.model.dtype
         u = jnp.asarray(np.asarray(u_prev), dtype=dtype)
         y = jnp.asarray(np.asarray(y_new), dtype=dtype)
+        if u.shape != (self.batch, self.model.dim_u) or y.shape != (
+            self.batch, self.model.dim_y,
+        ):
+            raise ValueError(
+                f"update expects u [{self.batch}, {self.model.dim_u}] and "
+                f"y [{self.batch}, {self.model.dim_y}], got {u.shape} / "
+                f"{y.shape}"
+            )
         key = jax.random.fold_in(self._base_key, self._t)
         self._x, (mean, var) = self._step_c(
             self.params, self._ops, self._x, u, y, key

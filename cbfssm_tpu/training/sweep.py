@@ -229,7 +229,9 @@ class SweepTrainer(MultiSeedTrainer):
                 # hyperparams with the same fail-fast semantics.
                 stored = np.asarray(self.opt_state.hyperparams["learning_rate"])
                 want = np.asarray(jnp.asarray(self._lr, dtype=dtype))
-                if stored.shape == want.shape and not np.array_equal(stored, want):
+                # array_equal is False on shape mismatch too — a changed
+                # grid LENGTH must fail fast exactly like changed values
+                if not np.array_equal(stored, want):
                     raise ValueError(
                         "retrain grid mismatch for 'learning_rate': the "
                         f"checkpoint holds {stored.tolist()} but this trainer "

@@ -29,52 +29,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from cbfssm_tpu.models import Voliro
     from cbfssm_tpu.ops import gp, transforms
     from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
     import bench
 
     enable_persistent_cache()
 
-    # the exact bench.py model/data (build_step constructs them)
-    class _DS:
-        dim_u = 13
-        dim_y = 22
-
-    config = {
-        "ds": _DS,
-        "batch_size": bench.BATCH,
-        "shuffle": 10000,
-        "ind_pnt_num": 20,
-        "samples": bench.SAMPLES,
-        "learning_rate": 0.01,
-        "loglik_factor": np.asarray([20.0, 0.0, 0.2 * 20 * 50]),
-        "n_beta": [10.0, 2.0, 10.0],
-        "l_beta": [1.0, 10.0, 10.0],
-        "zeta_pos": 2.0,
-        "zeta_mean": 0.05**2,
-        "zeta_var": 0.01**2,
-        "gp_var": 0.5**2,
-        "gp_len": 5.0,
-        "var_x": np.asarray([0.02] * 7 + [0.2] * 6) ** 2,
-        "var_y": np.asarray([0.02] * 7 + [0.2] * 6) ** 2,
-        "var_z": np.asarray([0.02] * 6),
-        "dtype": "float32",
-        "adjoint": args.adjoint,
-    }
-    model = Voliro(config)
-    params = model.init(jax.random.PRNGKey(0))
-    rng = np.random.default_rng(0)
-    b, t = bench.BATCH, bench.SEQ_LEN
-    pwm = rng.uniform(0.3, 0.9, size=(b, t, 6))
-    tilt = rng.uniform(-0.5, 0.5, size=(b, t, 6))
-    ts = np.broadcast_to(
-        np.arange(t, dtype=np.float64)[None, :, None] * 0.02, (b, t, 1)
-    )
-    u = np.concatenate((pwm, tilt, ts), axis=-1).astype(np.float32)
-    y = (rng.normal(size=(b, t, 22)) * 0.1).astype(np.float32)
-    q = rng.normal(size=(b, t, 4))
-    y[..., 12:16] = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+    # the exact bench.py model/data (shared builder — numbers comparable)
+    model, params, u, y = bench.build_voliro_parts(adjoint=args.adjoint)
     n_steps = args.steps
 
     def scanned(body):
@@ -158,8 +120,8 @@ def main():
             float(fn(params, jax.random.fold_in(key, 10 + rep)))
             rates.append((time.perf_counter() - t0) / n_steps)
         results[name] = round(float(np.median(rates)) * 1e3, 3)
-    results.update(unit="ms/step", batch=b, seq_len=t, samples=bench.SAMPLES,
-                   adjoint=args.adjoint)
+    results.update(unit="ms/step", batch=bench.BATCH, seq_len=bench.SEQ_LEN,
+                   samples=bench.SAMPLES, adjoint=args.adjoint)
     print(json.dumps(results))
 
 

@@ -330,3 +330,23 @@ def test_product_grid_seed_replication(ds, tmp_path):
     assert losses[0, 0] != losses[0, 1]
     rmse = SweepTrainer.grouped(trainer.evaluate_rmse(ds), 2)
     assert rmse.shape == (2, 2) and np.isfinite(rmse).all()
+
+
+def test_retrain_with_changed_lr_grid_length_fails_fast(ds, tmp_path):
+    """A changed lr grid LENGTH (e.g. fewer points x more seeds at the
+    same lane count) must fail fast like changed values — array_equal is
+    False on shape mismatch, and nothing may silently stamp a
+    wrong-length lr over the checkpointed optimizer hyperparams."""
+    out = str(tmp_path / "relrlen")
+    t1 = SweepTrainer(
+        CBFSSM, smoke_config(), {"learning_rate": np.asarray([0.01, 0.02])}, out
+    )
+    t1.train(ds, epochs=1)
+    t2 = SweepTrainer(
+        CBFSSM, smoke_config(),
+        {"learning_rate": np.asarray([0.01, 0.02, 0.03])}, out,
+    )
+    with pytest.raises(Exception):
+        # either the stacked-restore shape check or the lr fail-fast
+        # must stop this; it must never resume silently
+        t2.train(ds, epochs=1, retrain=True)
