@@ -9,6 +9,11 @@ process restarts).
 
 from __future__ import annotations
 
+import queue as _queue
+import threading
+import time
+from concurrent.futures import Future
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -382,3 +387,218 @@ class BucketedPredictor:
         pred_mean = np.asarray(out.pred_mean)
         mse = float(np.mean((pred_mean - y[..., : pred_mean.shape[-1]]) ** 2))
         return out.replace(mse=jnp.asarray(mse, dtype=pred_mean.dtype))
+
+
+class MicroBatcher:
+    """Transport-agnostic request-coalescing front-end for a predictor.
+
+    A deployed service receives single-sequence requests from many
+    connections, but the chip is at its best on one batched dispatch
+    (measured: a 32-row batch costs only +12% latency over one row —
+    BENCHMARKS.md "Serving latency"). This sits between any transport
+    (HTTP/gRPC handler threads, an asyncio bridge, a test loop) and a
+    batch predictor: callers :meth:`submit` one ``[T, du]/[T, dy]``
+    sequence each and receive a ``concurrent.futures.Future``; a single
+    dispatcher thread coalesces queued requests into batches bounded by
+    ``max_batch`` and ``max_wait_ms``, serves each batch in ONE
+    predictor call, and fans the rows back out to the futures.
+
+    The wrapped ``predictor`` must accept ``(u [n, T, du], y [n, T,
+    dy], key)`` for any ``n >= 1`` — i.e. a :class:`BucketedPredictor`
+    (the intended pairing: coalesced batch sizes vary with load, which
+    is exactly what its bucket ladder absorbs).
+
+    All device work happens on the dispatcher thread (one JAX client,
+    no cross-thread dispatch races). Each batch uses an independent
+    fold of the seed key; a request's draws depend on its row position
+    within the coalesced batch (pad-row independence is pinned for the
+    bucket path, so co-batched *content* never leaks across rows).
+
+    >>> mb = MicroBatcher(BucketedPredictor(model, params, seq_len=300))
+    >>> fut = mb.submit(u_seq, y_seq)   # from any thread
+    >>> out = fut.result()              # PredictOutput, leaves [1, T, .]
+    >>> mb.close()                      # or use as a context manager
+
+    ``transport is deployment-specific`` stays true: this class owns
+    queueing/batching only — bring your own socket layer.
+    """
+
+    def __init__(self, predictor, max_batch: int = 32,
+                 max_wait_ms: float = 2.0, queue_size: int = 1024,
+                 seed: int = 0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        if max_wait_ms < 0:
+            raise ValueError("max_wait_ms must be >= 0")
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1e3
+        self._key = jax.random.PRNGKey(seed)
+        self._queue: _queue.Queue = _queue.Queue(maxsize=queue_size)
+        self._closing = False
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "batches": 0, "errors": 0,
+            "batched_rows": 0, "max_batch_seen": 0, "wait_s": 0.0,
+        }
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="cbfssm-microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    # --- client side ----------------------------------------------------
+
+    def submit(self, u, y) -> Future:
+        """Enqueue one sequence; returns a Future resolving to the
+        request's :class:`PredictOutput` view (leaves ``[1, T, .]``,
+        ``mse`` recomputed over this request alone). Thread-safe.
+        Blocks (backpressure) when ``queue_size`` requests are pending.
+        """
+        model = self.predictor.model
+        seq_len = self.predictor.seq_len
+        u = np.asarray(u, dtype=model.dtype)
+        y = np.asarray(y, dtype=model.dtype)
+        if u.shape != (seq_len, model.dim_u):
+            raise ValueError(
+                f"u must be [{seq_len}, {model.dim_u}] (one sequence), "
+                f"got {u.shape}"
+            )
+        if y.shape != (seq_len, model.dim_y):
+            raise ValueError(
+                f"y must be [{seq_len}, {model.dim_y}] to match u, got {y.shape}"
+            )
+        if self._closing:
+            raise RuntimeError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._queue.put((u, y, fut, time.perf_counter()))
+        return fut
+
+    def __call__(self, u, y, timeout=None):
+        """Synchronous convenience: submit + wait."""
+        return self.submit(u, y).result(timeout)
+
+    def stats(self) -> dict:
+        """Occupancy/latency counters: requests, batches, errors,
+        mean_batch_size, max_batch_seen, mean_wait_ms."""
+        with self._lock:
+            s = dict(self._stats)
+        n, b = s.pop("batched_rows"), s["batches"]
+        wait = s.pop("wait_s")
+        s["mean_batch_size"] = n / b if b else 0.0
+        s["mean_wait_ms"] = 1e3 * wait / n if n else 0.0
+        return s
+
+    def close(self, drain: bool = True) -> None:
+        """Stop accepting requests and shut the dispatcher down. With
+        ``drain`` (default) pending requests are served first; otherwise
+        their futures get a RuntimeError."""
+        if self._closing:
+            self._thread.join()
+            return
+        self._closing = True
+        if not drain:
+            try:
+                while True:
+                    *_, fut, _t = self._queue.get_nowait()
+                    if fut.set_running_or_notify_cancel():
+                        fut.set_exception(
+                            RuntimeError("MicroBatcher closed before dispatch")
+                        )
+            except _queue.Empty:
+                pass
+        self._queue.put(None)  # sentinel: drain up to here, then exit
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # --- dispatcher thread ----------------------------------------------
+
+    def _collect(self):
+        """Block for the first request, then coalesce until max_batch
+        or the max_wait deadline. Returns a list of queue items, or
+        None when the shutdown sentinel is reached."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait
+        while len(batch) < self.max_batch:
+            remaining = deadline - time.perf_counter()
+            try:
+                item = (
+                    self._queue.get_nowait()
+                    if remaining <= 0
+                    else self._queue.get(timeout=remaining)
+                )
+            except _queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # keep the sentinel for loop exit
+                break
+            batch.append(item)
+        return batch
+
+    def _dispatch_loop(self):
+        batch_idx = 0
+        while True:
+            batch = self._collect()
+            if batch is None:
+                # a submit() racing close() can land behind the
+                # sentinel; fail those futures rather than hang them
+                try:
+                    while True:
+                        item = self._queue.get_nowait()
+                        if item is None:
+                            continue
+                        *_, fut, _t = item
+                        if fut.set_running_or_notify_cancel():
+                            fut.set_exception(
+                                RuntimeError("MicroBatcher closed before dispatch")
+                            )
+                except _queue.Empty:
+                    return
+            t_dispatch = time.perf_counter()
+            live = [(u, y, f, t) for (u, y, f, t) in batch
+                    if f.set_running_or_notify_cancel()]
+            with self._lock:
+                self._stats["requests"] += len(batch)
+                if live:
+                    self._stats["batches"] += 1
+                    self._stats["batched_rows"] += len(live)
+                    self._stats["max_batch_seen"] = max(
+                        self._stats["max_batch_seen"], len(live)
+                    )
+                    self._stats["wait_s"] += sum(
+                        t_dispatch - t for *_, t in live
+                    )
+            if not live:
+                continue
+            try:
+                u = np.stack([u for u, *_ in live])
+                y = np.stack([y for _, y, *_ in live])
+                out = self.predictor(
+                    u, y, jax.random.fold_in(self._key, batch_idx)
+                )
+                batch_idx += 1
+                pred_mean = np.asarray(out.pred_mean)
+                for i, (_, y_i, fut, _t) in enumerate(live):
+                    mse_i = np.mean(
+                        (pred_mean[i] - y_i[:, : pred_mean.shape[-1]]) ** 2
+                    )
+                    row = jax.tree_util.tree_map(
+                        lambda a: a[i : i + 1] if getattr(a, "ndim", 0) else a,
+                        out,
+                    )
+                    fut.set_result(
+                        row.replace(mse=jnp.asarray(mse_i, pred_mean.dtype))
+                    )
+            except Exception as exc:
+                with self._lock:
+                    self._stats["errors"] += len(live)
+                for *_, fut, _t in live:
+                    fut.set_exception(exc)
