@@ -416,7 +416,7 @@ class MicroBatcher:
 
     >>> mb = MicroBatcher(BucketedPredictor(model, params, seq_len=300))
     >>> fut = mb.submit(u_seq, y_seq)   # from any thread
-    >>> out = fut.result()              # PredictOutput, leaves [1, T, .]
+    >>> out = fut.result()              # PredictOutput, numpy [1, T, .]
     >>> mb.close()                      # or use as a context manager
 
     ``transport is deployment-specific`` stays true: this class owns
@@ -585,7 +585,15 @@ class MicroBatcher:
                     u, y, jax.random.fold_in(self._key, batch_idx)
                 )
                 batch_idx += 1
-                pred_mean = np.asarray(out.pred_mean)
+                # fan out on HOST: one device->host transfer per leaf,
+                # then numpy row slices — per-row slicing of device
+                # arrays would cost one tiny dispatch per (row, leaf),
+                # which dominates on dispatch-latency-bound rigs
+                # (measured: host fan-out took the 32-client coalescing
+                # speedup from 3.1x to 5.6x on the tunnel;
+                # BENCHMARKS.md "Microbatched serving")
+                out = jax.tree_util.tree_map(np.asarray, out)
+                pred_mean = out.pred_mean
                 for i, (_, y_i, fut, _t) in enumerate(live):
                     mse_i = np.mean(
                         (pred_mean[i] - y_i[:, : pred_mean.shape[-1]]) ** 2
@@ -595,7 +603,7 @@ class MicroBatcher:
                         out,
                     )
                     fut.set_result(
-                        row.replace(mse=jnp.asarray(mse_i, pred_mean.dtype))
+                        row.replace(mse=mse_i.astype(pred_mean.dtype))
                     )
             except Exception as exc:
                 with self._lock:
