@@ -210,6 +210,242 @@ class StreamingFilter:
         return self._forecast_c[h](self.params, self._ops, self._x, u, key)
 
 
+class FilterPool:
+    """Many independent online-filtering sessions, ONE compiled step.
+
+    :class:`StreamingFilter` advances one stream per device dispatch; a
+    deployed fleet of N estimators would pay N dispatch floors per
+    tick. The pool packs up to ``capacity`` sessions into the batch
+    axis of a single AOT-compiled ``filter_step`` program: every
+    :meth:`step` advances ALL participating sessions in one dispatch
+    (measured: batching is nearly free on-chip, and on this rig one
+    dispatch replaces N ~29 ms roundtrips — BENCHMARKS.md).
+
+    Sessions attach/detach dynamically. Rows are independent by the
+    same pinned property the bucket ladder relies on (noise draws are
+    indexed by row position; the GP predict batches rows
+    independently), so co-resident sessions never affect each other —
+    a diverged or stale slot cannot leak into its neighbors.
+
+    >>> pool = FilterPool(model, params, capacity=32)
+    >>> a = pool.attach(u_prefix, y_prefix)      # [recog_len, du/dy]
+    >>> b = pool.attach(u_prefix2, y_prefix2)
+    >>> out = pool.step({a: (u_a, y_a), b: (u_b, y_b)})  # one dispatch
+    >>> out[a]                                   # (mean [dy], var [dy])
+    >>> fc = pool.forecast({a: u_future})        # (mean/var [H, dy])
+    >>> pool.detach(b)
+
+    Sessions omitted from a ``step`` hold their state (the compiled
+    program advances every row; a mask restores held rows — exact,
+    since ``where`` passes values through untouched). Not thread-safe:
+    drive from one control loop, or front it with your transport's
+    serialization. ``state``/``load_state`` serialize the whole pool
+    (ensemble, tick, session table) for failover.
+    """
+
+    def __init__(self, model, params, capacity: int, seed: int = 0):
+        for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
+            if not hasattr(model, attr):
+                raise TypeError(
+                    f"{type(model).__name__} has no streaming interface "
+                    f"({attr}); FilterPool supports CBFSSMHALF"
+                )
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.model = model
+        self.params = params
+        self.capacity = int(capacity)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._ops = jax.jit(model.filter_ops)(params)
+        dtype = model.dtype
+        recog_len = int(model.config.recog_len)
+
+        u1 = jax.ShapeDtypeStruct((1, recog_len, model.dim_u), dtype)
+        y1 = jax.ShapeDtypeStruct((1, recog_len, model.dim_y), dtype)
+        self._init_c = (
+            jax.jit(model.filter_init).lower(params, u1, y1).compile()
+        )
+
+        x_spec = jax.ShapeDtypeStruct(
+            (self.capacity, model.samples, model.dim_x), dtype
+        )
+        u_spec = jax.ShapeDtypeStruct((self.capacity, model.dim_u), dtype)
+        y_spec = jax.ShapeDtypeStruct((self.capacity, model.dim_y), dtype)
+        m_spec = jax.ShapeDtypeStruct((self.capacity,), np.bool_)
+        key_spec = jax.ShapeDtypeStruct(
+            self._base_key.shape, self._base_key.dtype
+        )
+
+        def pool_step(p, ops, x, u, y, mask, key):
+            x_next, (mean, var) = model.filter_step(p, ops, x, u, y, key)
+            x_keep = jnp.where(mask[:, None, None], x_next, x)
+            return x_keep, (mean, var)
+
+        self._step_c = (
+            jax.jit(pool_step)
+            .lower(params, self._ops, x_spec, u_spec, y_spec, m_spec, key_spec)
+            .compile()
+        )
+        self._forecast_c = {}
+
+        self._x = jnp.zeros(
+            (self.capacity, model.samples, model.dim_x), dtype
+        )
+        self._slots: dict = {}  # sid -> slot
+        self._free = list(range(self.capacity - 1, -1, -1))  # pop() -> slot 0 first
+        self._next_sid = 0
+        self._tick = 0
+
+    # --- session management --------------------------------------------
+
+    @property
+    def active(self) -> int:
+        return len(self._slots)
+
+    def attach(self, u_prefix, y_prefix) -> int:
+        """Start a session from a recog_len warmup window (the same
+        recognition program training uses); returns its session id."""
+        if not self._free:
+            raise RuntimeError(f"pool full ({self.capacity} sessions)")
+        dtype = self.model.dtype
+        recog_len = int(self.model.config.recog_len)
+        u = jnp.asarray(np.asarray(u_prefix), dtype=dtype)
+        y = jnp.asarray(np.asarray(y_prefix), dtype=dtype)
+        if u.shape != (recog_len, self.model.dim_u):
+            raise ValueError(
+                f"u_prefix must be [{recog_len}, {self.model.dim_u}] "
+                f"(one session), got {u.shape}"
+            )
+        if y.shape != (recog_len, self.model.dim_y):
+            raise ValueError(
+                f"y_prefix must be [{recog_len}, {self.model.dim_y}] to "
+                f"match u_prefix, got {y.shape}"
+            )
+        x0 = self._init_c(self.params, u[None], y[None])
+        slot = self._free.pop()
+        self._x = self._x.at[slot].set(x0[0])
+        sid = self._next_sid
+        self._next_sid += 1
+        self._slots[sid] = slot
+        return sid
+
+    def detach(self, sid: int) -> None:
+        """End a session; its slot is zeroed and becomes reusable."""
+        slot = self._slots.pop(sid)  # KeyError on unknown sid
+        self._x = self._x.at[slot].set(0.0)
+        self._free.append(slot)
+
+    # --- the two programs ----------------------------------------------
+
+    def step(self, inputs: dict) -> dict:
+        """Advance the sessions in ``inputs`` — ``{sid: (u_prev [du],
+        y_new [dy])}`` — by one conditioned transition in ONE device
+        dispatch; sessions not listed hold their state. Returns
+        ``{sid: (mean [dy], var [dy])}`` (numpy) of filtered
+        observation-space moments."""
+        if not inputs:
+            raise ValueError("step() needs at least one session input")
+        model = self.model
+        dtype = model.dtype
+        u_full = np.zeros((self.capacity, model.dim_u), dtype)
+        y_full = np.zeros((self.capacity, model.dim_y), dtype)
+        mask = np.zeros((self.capacity,), np.bool_)
+        for sid, (u, y) in inputs.items():
+            slot = self._slots[sid]  # KeyError on unknown sid
+            u = np.asarray(u, dtype=dtype)
+            y = np.asarray(y, dtype=dtype)
+            if u.shape != (model.dim_u,) or y.shape != (model.dim_y,):
+                raise ValueError(
+                    f"session {sid}: expected u [{model.dim_u}] and "
+                    f"y [{model.dim_y}], got {u.shape} / {y.shape}"
+                )
+            u_full[slot], y_full[slot], mask[slot] = u, y, True
+        key = jax.random.fold_in(self._base_key, self._tick)
+        self._x, (mean, var) = self._step_c(
+            self.params, self._ops, self._x,
+            jnp.asarray(u_full), jnp.asarray(y_full), jnp.asarray(mask), key,
+        )
+        self._tick += 1
+        mean, var = np.asarray(mean), np.asarray(var)  # host fan-out
+        return {
+            sid: (mean[self._slots[sid]], var[self._slots[sid]])
+            for sid in inputs
+        }
+
+    def forecast(self, inputs: dict) -> dict:
+        """Free-run the sessions in ``inputs`` — ``{sid: u_future
+        [H, du]}``, one shared horizon H — in ONE dispatch without
+        advancing any state. Returns ``{sid: (mean [H, dy],
+        var [H, dy])}`` (numpy)."""
+        if not inputs:
+            raise ValueError("forecast() needs at least one session input")
+        model = self.model
+        dtype = model.dtype
+        horizons = {np.asarray(u).shape[:1] for u in inputs.values()}
+        if len(horizons) != 1:
+            raise ValueError(
+                f"all sessions must share one horizon, got {sorted(horizons)}"
+            )
+        (h,) = horizons.pop()
+        u_full = np.zeros((self.capacity, h, model.dim_u), dtype)
+        for sid, u in inputs.items():
+            slot = self._slots[sid]
+            u = np.asarray(u, dtype=dtype)
+            if u.shape != (h, model.dim_u):
+                raise ValueError(
+                    f"session {sid}: u_future must be [{h}, {model.dim_u}], "
+                    f"got {u.shape}"
+                )
+            u_full[slot] = u
+        if h not in self._forecast_c:
+            self._forecast_c[h] = (
+                jax.jit(lambda p, ops, x, uu, k: model.forecast(p, ops, x, uu, k))
+                .lower(
+                    self.params, self._ops,
+                    jax.ShapeDtypeStruct(self._x.shape, self._x.dtype),
+                    jax.ShapeDtypeStruct((self.capacity, h, model.dim_u), dtype),
+                    jax.ShapeDtypeStruct(
+                        self._base_key.shape, self._base_key.dtype
+                    ),
+                )
+                .compile()
+            )
+        # forecast keys live in a disjoint fold range from step keys
+        key = jax.random.fold_in(self._base_key, 2**30 + self._tick)
+        mean, var = self._forecast_c[h](
+            self.params, self._ops, self._x, jnp.asarray(u_full), key
+        )
+        mean, var = np.asarray(mean), np.asarray(var)
+        return {
+            sid: (mean[self._slots[sid]], var[self._slots[sid]])
+            for sid in inputs
+        }
+
+    # --- failover -------------------------------------------------------
+
+    @property
+    def state(self):
+        """(ensemble [C, S, dx], tick, {sid: slot}, next_sid) — all
+        host values, serializable."""
+        return (
+            np.asarray(self._x), self._tick, dict(self._slots), self._next_sid,
+        )
+
+    def load_state(self, state) -> None:
+        x, tick, slots, next_sid = state
+        if np.asarray(x).shape != self._x.shape:
+            raise ValueError(
+                f"state ensemble shape {np.asarray(x).shape} != pool "
+                f"shape {self._x.shape}"
+            )
+        self._x = jnp.asarray(x, self.model.dtype)
+        self._tick = int(tick)
+        self._slots = dict(slots)
+        used = set(self._slots.values())
+        self._free = [s for s in range(self.capacity - 1, -1, -1) if s not in used]
+        self._next_sid = int(next_sid)
+
+
 class BucketedPredictor:
     """Serves ANY request size over a precompiled ladder of batch
     buckets.

@@ -1,0 +1,208 @@
+"""FilterPool: many online-filtering sessions, one compiled step.
+
+Contracts pinned here: lockstep equivalence with a batched
+StreamingFilter (same keys, same math), slot isolation (co-resident
+session content never leaks), hold semantics for omitted sessions,
+slot lifecycle, and failover state round-trip.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cbfssm_tpu.models import CBFSSMHALF
+from cbfssm_tpu.serving import FilterPool, StreamingFilter
+from tests.test_other_models import half_config
+
+RECOG = 4  # half_config recog_len
+DU, DY = 2, 1
+
+
+@pytest.fixture(scope="module")
+def mp():
+    model = CBFSSMHALF(half_config("rnn"))
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def prefix(rng):
+    return rng.normal(size=(RECOG, DU)), rng.normal(size=(RECOG, DY))
+
+
+def test_pool_matches_batched_streaming_filter(mp, rng):
+    """Two pooled sessions driven in lockstep equal one batch-2
+    StreamingFilter fed the stacked streams (same seed => same fold
+    keys; the pool's hold-mask is exact when all sessions step)."""
+    model, params = mp
+    pa, pb = prefix(rng), prefix(rng)
+    pool = FilterPool(model, params, capacity=2, seed=0)
+    a = pool.attach(*pa)
+    b = pool.attach(*pb)
+
+    sf = StreamingFilter(model, params, batch=2, seed=0)
+    sf.start(
+        np.stack([pa[0], pb[0]]), np.stack([pa[1], pb[1]])
+    )
+    np.testing.assert_allclose(
+        pool.state[0], np.asarray(sf._x), rtol=1e-12, atol=1e-14
+    )
+
+    for _ in range(3):
+        u = rng.normal(size=(2, DU))
+        y = rng.normal(size=(2, DY))
+        out = pool.step({a: (u[0], y[0]), b: (u[1], y[1])})
+        mean_sf, var_sf = sf.update(u, y)
+        np.testing.assert_allclose(
+            out[a][0], np.asarray(mean_sf)[0], rtol=1e-12, atol=1e-14
+        )
+        np.testing.assert_allclose(
+            out[b][1], np.asarray(var_sf)[1], rtol=1e-12, atol=1e-14
+        )
+        np.testing.assert_allclose(
+            pool.state[0], np.asarray(sf._x), rtol=1e-12, atol=1e-14
+        )
+
+    u_future = rng.normal(size=(5, DU))
+    fc = pool.forecast({a: u_future, b: u_future})
+    mean_sf, var_sf = sf.forecast(np.stack([u_future, u_future]))
+    np.testing.assert_allclose(
+        fc[a][0], np.asarray(mean_sf)[0], rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        fc[b][1], np.asarray(var_sf)[1], rtol=1e-12, atol=1e-14
+    )
+
+
+def test_slot_isolation(mp, rng):
+    """Session A's trajectory is bitwise independent of what shares
+    the pool: same slot, same inputs, different neighbor content."""
+    model, params = mp
+    pa = prefix(rng)
+    other1, other2 = prefix(rng), prefix(rng)
+    steps = [(rng.normal(size=DU), rng.normal(size=DY)) for _ in range(2)]
+    neighbor_steps = [(rng.normal(size=DU), rng.normal(size=DY)) for _ in range(2)]
+
+    def run(neighbor_prefix, neighbor_steps):
+        pool = FilterPool(model, params, capacity=2, seed=0)
+        a = pool.attach(*pa)
+        n = pool.attach(*neighbor_prefix)
+        outs = []
+        for (u, y), (nu, ny) in zip(steps, neighbor_steps):
+            outs.append(pool.step({a: (u, y), n: (nu, ny)})[a])
+        return outs, pool.state[0][0]
+
+    outs1, row1 = run(other1, neighbor_steps)
+    outs2, row2 = run(other2, list(reversed(neighbor_steps)))
+    for (m1, v1), (m2, v2) in zip(outs1, outs2):
+        np.testing.assert_array_equal(m1, m2)
+        np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(row1, row2)
+
+
+def test_hold_semantics(mp, rng):
+    """A session omitted from step() keeps its state exactly; the
+    stepped session advances."""
+    model, params = mp
+    pool = FilterPool(model, params, capacity=2, seed=0)
+    a = pool.attach(*prefix(rng))
+    b = pool.attach(*prefix(rng))
+    x_before = pool.state[0]
+    out = pool.step({a: (rng.normal(size=DU), rng.normal(size=DY))})
+    assert set(out) == {a}
+    x_after = pool.state[0]
+    slot_a, slot_b = 0, 1  # attach order fills slot 0 first
+    np.testing.assert_array_equal(x_after[slot_b], x_before[slot_b])
+    assert np.abs(x_after[slot_a] - x_before[slot_a]).max() > 0
+
+
+def test_slot_lifecycle(mp, rng):
+    model, params = mp
+    pool = FilterPool(model, params, capacity=2, seed=0)
+    a = pool.attach(*prefix(rng))
+    b = pool.attach(*prefix(rng))
+    assert pool.active == 2
+    with pytest.raises(RuntimeError, match="pool full"):
+        pool.attach(*prefix(rng))
+    pool.detach(a)
+    assert pool.active == 1
+    # the freed slot is zeroed and reusable
+    np.testing.assert_array_equal(pool.state[0][0], 0.0)
+    c = pool.attach(*prefix(rng))
+    assert c not in (a, b)  # sids are never reused
+    assert pool.active == 2
+    with pytest.raises(KeyError):
+        pool.detach(a)
+    with pytest.raises(KeyError):
+        pool.step({a: (np.zeros(DU), np.zeros(DY))})
+
+
+def test_validation(mp, rng):
+    model, params = mp
+    pool = FilterPool(model, params, capacity=1, seed=0)
+    with pytest.raises(ValueError, match="u_prefix"):
+        pool.attach(np.zeros((RECOG + 1, DU)), np.zeros((RECOG, DY)))
+    with pytest.raises(ValueError, match="match u_prefix"):
+        pool.attach(np.zeros((RECOG, DU)), np.zeros((RECOG, DY + 1)))
+    a = pool.attach(*prefix(rng))
+    with pytest.raises(ValueError, match="expected u"):
+        pool.step({a: (np.zeros(DU + 1), np.zeros(DY))})
+    with pytest.raises(ValueError, match="at least one"):
+        pool.step({})
+    with pytest.raises(ValueError, match="at least one"):
+        pool.forecast({})
+    with pytest.raises(ValueError, match="u_future"):
+        pool.forecast({a: np.zeros((3, DU + 1))})
+    with pytest.raises(TypeError, match="streaming interface"):
+        from tests.test_cbfssm_model import make_model
+
+        FilterPool(make_model(), params, capacity=1)
+
+
+def test_forecast_shared_horizon(mp, rng):
+    model, params = mp
+    pool = FilterPool(model, params, capacity=2, seed=0)
+    a = pool.attach(*prefix(rng))
+    b = pool.attach(*prefix(rng))
+    with pytest.raises(ValueError, match="one horizon"):
+        pool.forecast({a: np.zeros((3, DU)), b: np.zeros((4, DU))})
+    fc = pool.forecast({a: np.ones((3, DU))})
+    assert fc[a][0].shape == (3, DY) and (fc[a][1] > 0).all()
+    # forecast is pure: pool state unchanged, tick unchanged
+    fc2 = pool.forecast({a: np.ones((3, DU))})
+    np.testing.assert_array_equal(fc[a][0], fc2[a][0])
+
+
+def test_state_roundtrip(mp, rng):
+    """Failover: serialize mid-stream, restore into a fresh pool,
+    continue — identical to the uninterrupted run."""
+    model, params = mp
+    pa, pb = prefix(rng), prefix(rng)
+    stream = [
+        ((rng.normal(size=DU), rng.normal(size=DY)),
+         (rng.normal(size=DU), rng.normal(size=DY)))
+        for _ in range(4)
+    ]
+
+    pool = FilterPool(model, params, capacity=2, seed=0)
+    a = pool.attach(*pa)
+    b = pool.attach(*pb)
+    for (ua, ya), (ub, yb) in stream[:2]:
+        pool.step({a: (ua, ya), b: (ub, yb)})
+    snapshot = pool.state
+
+    outs_cont = [
+        pool.step({a: s[0], b: s[1]}) for s in stream[2:]
+    ]
+
+    pool2 = FilterPool(model, params, capacity=2, seed=0)
+    pool2.load_state(snapshot)
+    assert pool2.active == 2
+    outs_restored = [
+        pool2.step({a: s[0], b: s[1]}) for s in stream[2:]
+    ]
+    for o1, o2 in zip(outs_cont, outs_restored):
+        for sid in (a, b):
+            np.testing.assert_array_equal(o1[sid][0], o2[sid][0])
+            np.testing.assert_array_equal(o1[sid][1], o2[sid][1])
+
+    with pytest.raises(ValueError, match="shape"):
+        FilterPool(model, params, capacity=3, seed=0).load_state(snapshot)
