@@ -241,9 +241,19 @@ class FilterPool:
     drive from one control loop, or front it with your transport's
     serialization. ``state``/``load_state`` serialize the whole pool
     (ensemble, tick, session table) for failover.
+
+    **Fleet scale-out**: pass a 1-D ``jax.sharding.Mesh`` to shard the
+    capacity axis across chips — ``capacity`` must be a multiple of the
+    mesh axis size. Parameters/operators replicate; the ensemble and
+    per-tick inputs shard by row, so the single compiled step runs
+    SPMD with NO collectives in the hot path (rows are independent —
+    the same pinned property slot isolation relies on), and per-session
+    results are bitwise identical to an unsharded pool (pinned by
+    test). The step stays ONE dispatch regardless of mesh size.
     """
 
-    def __init__(self, model, params, capacity: int, seed: int = 0):
+    def __init__(self, model, params, capacity: int, seed: int = 0,
+                 mesh=None, axis_name: str = "data"):
         for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
             if not hasattr(model, attr):
                 raise TypeError(
@@ -253,10 +263,37 @@ class FilterPool:
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
         self.model = model
-        self.params = params
         self.capacity = int(capacity)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if axis_name not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh has no axis {axis_name!r} (axes: {mesh.axis_names})"
+                )
+            n_shards = mesh.shape[axis_name]
+            if self.capacity % n_shards:
+                raise ValueError(
+                    f"capacity {self.capacity} must be a multiple of the "
+                    f"mesh {axis_name!r} axis size {n_shards}"
+                )
+            self._row_shardings = tuple(
+                NamedSharding(
+                    mesh, PartitionSpec(axis_name, *([None] * (nd - 1)))
+                )
+                for nd in range(1, 4)
+            )
+            self._rep_sharding = NamedSharding(mesh, PartitionSpec())
+            params = jax.device_put(params, self._rep_sharding)
+        else:
+            self._row_shardings = None
+            self._rep_sharding = None
+        self.params = params
         self._base_key = jax.random.PRNGKey(seed)
         self._ops = jax.jit(model.filter_ops)(params)
+        if mesh is not None:
+            self._ops = jax.device_put(self._ops, self._rep_sharding)
         dtype = model.dtype
         recog_len = int(model.config.recog_len)
 
@@ -281,20 +318,50 @@ class FilterPool:
             x_keep = jnp.where(mask[:, None, None], x_next, x)
             return x_keep, (mean, var)
 
+        if mesh is None:
+            step_jit = jax.jit(pool_step)
+        else:
+            row1, row2, row3 = self._row_shardings
+            rep = self._rep_sharding
+            step_jit = jax.jit(
+                pool_step,
+                in_shardings=(rep, rep, row3, row2, row2, row1, rep),
+                out_shardings=(row3, (row2, row2)),
+            )
         self._step_c = (
-            jax.jit(pool_step)
+            step_jit
             .lower(params, self._ops, x_spec, u_spec, y_spec, m_spec, key_spec)
             .compile()
         )
         self._forecast_c = {}
 
-        self._x = jnp.zeros(
-            (self.capacity, model.samples, model.dim_x), dtype
+        self._x = self._commit_x(
+            jnp.zeros((self.capacity, model.samples, model.dim_x), dtype)
         )
         self._slots: dict = {}  # sid -> slot
         self._free = list(range(self.capacity - 1, -1, -1))  # pop() -> slot 0 first
         self._next_sid = 0
         self._tick = 0
+
+    def _commit_x(self, x):
+        """Pin the ensemble to its row sharding (eager scatter updates
+        on attach/detach would otherwise leave XLA-chosen placement)."""
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, self._row_shardings[2])
+
+    def _put_rows(self, u, y, mask):
+        """Place per-tick host inputs with the row sharding (AOT
+        executables require committed inputs to match their compiled
+        shardings; uncommitted arrays are fine unsharded)."""
+        if self.mesh is None:
+            return jnp.asarray(u), jnp.asarray(y), jnp.asarray(mask)
+        row1, row2, _ = self._row_shardings
+        return (
+            jax.device_put(u, row2),
+            jax.device_put(y, row2),
+            jax.device_put(mask, row1),
+        )
 
     # --- session management --------------------------------------------
 
@@ -323,7 +390,7 @@ class FilterPool:
             )
         x0 = self._init_c(self.params, u[None], y[None])
         slot = self._free.pop()
-        self._x = self._x.at[slot].set(x0[0])
+        self._x = self._commit_x(self._x.at[slot].set(x0[0]))
         sid = self._next_sid
         self._next_sid += 1
         self._slots[sid] = slot
@@ -332,7 +399,7 @@ class FilterPool:
     def detach(self, sid: int) -> None:
         """End a session; its slot is zeroed and becomes reusable."""
         slot = self._slots.pop(sid)  # KeyError on unknown sid
-        self._x = self._x.at[slot].set(0.0)
+        self._x = self._commit_x(self._x.at[slot].set(0.0))
         self._free.append(slot)
 
     # --- the two programs ----------------------------------------------
@@ -361,9 +428,9 @@ class FilterPool:
                 )
             u_full[slot], y_full[slot], mask[slot] = u, y, True
         key = jax.random.fold_in(self._base_key, self._tick)
+        u_dev, y_dev, m_dev = self._put_rows(u_full, y_full, mask)
         self._x, (mean, var) = self._step_c(
-            self.params, self._ops, self._x,
-            jnp.asarray(u_full), jnp.asarray(y_full), jnp.asarray(mask), key,
+            self.params, self._ops, self._x, u_dev, y_dev, m_dev, key,
         )
         self._tick += 1
         mean, var = np.asarray(mean), np.asarray(var)  # host fan-out
@@ -398,8 +465,19 @@ class FilterPool:
                 )
             u_full[slot] = u
         if h not in self._forecast_c:
+            fc_fn = lambda p, ops, x, uu, k: model.forecast(p, ops, x, uu, k)
+            if self.mesh is None:
+                fc_jit = jax.jit(fc_fn)
+            else:
+                _, row2, row3 = self._row_shardings
+                rep = self._rep_sharding
+                fc_jit = jax.jit(
+                    fc_fn,
+                    in_shardings=(rep, rep, row3, row3, rep),
+                    out_shardings=(row3, row3),
+                )
             self._forecast_c[h] = (
-                jax.jit(lambda p, ops, x, uu, k: model.forecast(p, ops, x, uu, k))
+                fc_jit
                 .lower(
                     self.params, self._ops,
                     jax.ShapeDtypeStruct(self._x.shape, self._x.dtype),
@@ -412,8 +490,13 @@ class FilterPool:
             )
         # forecast keys live in a disjoint fold range from step keys
         key = jax.random.fold_in(self._base_key, 2**30 + self._tick)
+        u_dev = (
+            jnp.asarray(u_full)
+            if self.mesh is None
+            else jax.device_put(u_full, self._row_shardings[2])
+        )
         mean, var = self._forecast_c[h](
-            self.params, self._ops, self._x, jnp.asarray(u_full), key
+            self.params, self._ops, self._x, u_dev, key
         )
         mean, var = np.asarray(mean), np.asarray(var)
         return {
@@ -438,7 +521,7 @@ class FilterPool:
                 f"state ensemble shape {np.asarray(x).shape} != pool "
                 f"shape {self._x.shape}"
             )
-        self._x = jnp.asarray(x, self.model.dtype)
+        self._x = self._commit_x(jnp.asarray(x, self.model.dtype))
         self._tick = int(tick)
         self._slots = dict(slots)
         used = set(self._slots.values())

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from cbfssm_tpu.models import CBFSSMHALF
+from cbfssm_tpu.parallel.sharding import make_mesh
 from cbfssm_tpu.serving import FilterPool, StreamingFilter
 from tests.test_other_models import half_config
 
@@ -206,3 +207,66 @@ def test_state_roundtrip(mp, rng):
 
     with pytest.raises(ValueError, match="shape"):
         FilterPool(model, params, capacity=3, seed=0).load_state(snapshot)
+
+
+def test_pool_on_mesh_matches_unsharded(mp, rng):
+    """Fleet scale-out: a pool whose capacity axis is sharded over a
+    4-device mesh is bitwise identical to the unsharded pool across
+    attach / lockstep steps / hold / forecast / detach, and its state
+    snapshot restores into an unsharded pool (failover across
+    topologies)."""
+    model, params = mp
+    mesh = make_mesh(4)
+    pool_m = FilterPool(model, params, capacity=4, seed=0, mesh=mesh)
+    pool = FilterPool(model, params, capacity=4, seed=0)
+
+    sids_m, sids = [], []
+    for _ in range(3):
+        p = prefix(rng)
+        sids_m.append(pool_m.attach(*p))
+        sids.append(pool.attach(*p))
+    np.testing.assert_array_equal(pool_m.state[0], pool.state[0])
+
+    for tick in range(3):
+        inputs = {
+            s: (rng.normal(size=DU), rng.normal(size=DY)) for s in sids
+        }
+        if tick == 1:  # hold one session: mask path under sharding
+            inputs.pop(sids[1])
+        out_m = pool_m.step({sm: inputs[s] for sm, s in zip(sids_m, sids)
+                             if s in inputs})
+        out = pool.step(inputs)
+        for sm, s in zip(sids_m, sids):
+            if s in inputs:
+                np.testing.assert_array_equal(out_m[sm][0], out[s][0])
+                np.testing.assert_array_equal(out_m[sm][1], out[s][1])
+        np.testing.assert_array_equal(pool_m.state[0], pool.state[0])
+
+    u_future = rng.normal(size=(4, DU))
+    fc_m = pool_m.forecast({sids_m[0]: u_future})
+    fc = pool.forecast({sids[0]: u_future})
+    np.testing.assert_array_equal(fc_m[sids_m[0]][0], fc[sids[0]][0])
+    np.testing.assert_array_equal(fc_m[sids_m[0]][1], fc[sids[0]][1])
+
+    pool_m.detach(sids_m[2])
+    pool.detach(sids[2])
+    np.testing.assert_array_equal(pool_m.state[0], pool.state[0])
+
+    # failover across topologies: sharded snapshot -> unsharded pool
+    pool2 = FilterPool(model, params, capacity=4, seed=0)
+    pool2.load_state(pool_m.state)
+    step_in = {sids_m[0]: (rng.normal(size=DU), rng.normal(size=DY))}
+    o_m = pool_m.step(step_in)
+    o_2 = pool2.step(step_in)
+    np.testing.assert_array_equal(
+        o_m[sids_m[0]][0], o_2[sids_m[0]][0]
+    )
+
+
+def test_pool_mesh_validation(mp):
+    model, params = mp
+    mesh = make_mesh(4)
+    with pytest.raises(ValueError, match="multiple of the mesh"):
+        FilterPool(model, params, capacity=3, mesh=mesh)
+    with pytest.raises(ValueError, match="no axis"):
+        FilterPool(model, params, capacity=4, mesh=mesh, axis_name="model")
