@@ -67,6 +67,17 @@ class ModelConfig:
     # T); 'sequential' is the reference-shaped reverse scan; 'auto'
     # picks blocked when it shortens the recursion.
     backward_mode: str = "auto"
+    # Epochs fused into ONE device dispatch by the Trainer: K epochs run
+    # as a single jitted scan (train pass + test eval + in-device
+    # best-checkpoint tracking per epoch), amortizing the per-dispatch
+    # host roundtrip (~29 ms on a tunneled chip — BENCHMARKS.md
+    # "dispatch floor") over K*steps_per_epoch optimizer steps. Losses,
+    # checkpoints, and RNG streams are IDENTICAL to per-epoch dispatch
+    # (pinned by test); only stdout timing granularity and the
+    # best-checkpoint *write* cadence (per block, same final content)
+    # change. 'auto' targets ~300 steps/dispatch (1 for long epochs);
+    # an int pins the block size; profiling (profile_dir) forces 1.
+    epochs_per_dispatch: Any = "auto"
     # Gradient schedule for the CBFSSM time recursions: 'hand' uses the
     # hand-derived custom-VJP rollouts (models/adjoint.py — minimal
     # state-cotangent chain in the reverse scan, loop-invariant

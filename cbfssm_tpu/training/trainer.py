@@ -59,7 +59,7 @@ def epoch_indices(rng, n, batch_size, shuffle: bool, dtype):
 
 class Trainer:
     def __init__(self, model, model_dir, mesh=None, seed=0, metrics_path=None,
-                 profile_dir=None):
+                 profile_dir=None, epochs_per_dispatch=None):
         enable_persistent_cache()
         self.model = model
         self.model_dir = model_dir
@@ -73,6 +73,11 @@ class Trainer:
         self._rng = np.random.default_rng(seed)
         self.metrics = MetricsLogger(metrics_path)
         self.profile_dir = profile_dir
+        self.epochs_per_dispatch = (
+            model.config.epochs_per_dispatch
+            if epochs_per_dispatch is None
+            else epochs_per_dispatch
+        )
         self.step_timer = StepTimer(warmup=1)
         os.makedirs(model_dir, exist_ok=True)
 
@@ -126,8 +131,77 @@ class Trainer:
             _, losses = jax.lax.scan(step, None, (idx, w, jnp.arange(n_batches)))
             return losses
 
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _block_update(params, opt_state, data_u, data_y, test_u, test_y,
+                          idx, w, tidx, tw, epoch_ids, best_loss, base_key):
+            """K fused epochs in ONE dispatch: scan over epochs, each an
+            inner train scan + test-eval scan, with the running best
+            (train loss, params, opt_state) tracked in-carry so the
+            best checkpoint needs no per-epoch host roundtrip.
+            idx/w: [K, n_batches, B]; epoch_ids: [K] global epoch
+            numbers (the per-epoch RNG keys fold them exactly as the
+            per-epoch path does, so losses are identical)."""
+
+            def one_epoch(carry, inp):
+                params, opt_state, best_loss, best_params, best_opt = carry
+                idx_e, w_e, eid = inp
+                ekey = jax.random.fold_in(base_key, eid)
+                tkey = jax.random.fold_in(ekey, 0)
+                vkey = jax.random.fold_in(ekey, 1)
+
+                def train_step(c, inp2):
+                    params, opt_state = c
+                    idx_b, w_b, i = inp2
+                    u = constrain_batch(jnp.take(data_u, idx_b, axis=0))
+                    y = constrain_batch(jnp.take(data_y, idx_b, axis=0))
+                    (loss, _), grads = jax.value_and_grad(
+                        model.loss, has_aux=True
+                    )(params, u, y, jax.random.fold_in(tkey, i), True, w_b)
+                    updates, opt_state = self.tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+
+                nb = idx_e.shape[0]
+                (params, opt_state), losses = jax.lax.scan(
+                    train_step, (params, opt_state),
+                    (idx_e, w_e, jnp.arange(nb)),
+                )
+                train_loss = jnp.mean(losses)
+
+                def eval_step(_, inp2):
+                    idx_b, w_b, i = inp2
+                    u = constrain_batch(jnp.take(test_u, idx_b, axis=0))
+                    y = constrain_batch(jnp.take(test_y, idx_b, axis=0))
+                    loss, _ = model.loss(
+                        params, u, y, jax.random.fold_in(vkey, i), True, w_b
+                    )
+                    return None, loss
+
+                _, tlosses = jax.lax.scan(
+                    eval_step, None, (tidx, tw, jnp.arange(tidx.shape[0]))
+                )
+                test_loss = jnp.mean(tlosses)
+
+                improved = train_loss < best_loss
+                best_loss = jnp.where(improved, train_loss, best_loss)
+                sel = lambda a, b: jnp.where(improved, a, b)
+                best_params = jax.tree_util.tree_map(sel, params, best_params)
+                best_opt = jax.tree_util.tree_map(sel, opt_state, best_opt)
+                return (
+                    (params, opt_state, best_loss, best_params, best_opt),
+                    (train_loss, test_loss),
+                )
+
+            carry0 = (params, opt_state, best_loss, params, opt_state)
+            carry, (trl, tel) = jax.lax.scan(
+                one_epoch, carry0, (idx, w, epoch_ids)
+            )
+            params, opt_state, best_loss, best_params, best_opt = carry
+            return params, opt_state, best_loss, best_params, best_opt, trl, tel
+
         self._epoch_update = _epoch_update
         self._epoch_eval_fn = _epoch_eval
+        self._block_update = _block_update
         self._device_data = {}
 
     # --- batching ------------------------------------------------------
@@ -176,6 +250,37 @@ class Trainer:
         self.params = self.dp.device_put_replicated(params)
         self.opt_state = self.dp.device_put_replicated(opt_state)
 
+    def _resolve_epd(self, steps_per_epoch: int, epochs: int) -> int:
+        """Epochs fused per dispatch. 'auto' targets ~300 optimizer
+        steps/dispatch (the measured knee where this rig's ~29 ms
+        dispatch floor stops mattering — BENCHMARKS.md); long epochs
+        resolve to 1 (their compiled programs are unchanged).
+        Profiling forces 1 so the traced epoch stays a clean
+        past-compile single-epoch program."""
+        if self.profile_dir:
+            return 1
+        epd = self.epochs_per_dispatch
+        if epd == "auto":
+            epd = max(1, min(64, round(300 / max(1, steps_per_epoch))))
+        return max(1, min(int(epd), max(1, epochs)))
+
+    def _log_epoch(self, epoch, train_loss, test_loss, dt, steps_per_epoch):
+        print(
+            "[{epoch:04}]: Train {train}, Test {test}  ({dt:.2f}s)".format(
+                epoch=epoch, train=train_loss, test=test_loss, dt=dt
+            )
+        )
+        self.train_all.append(train_loss)
+        self.test_all.append(test_loss)
+        self.metrics.log(
+            event="epoch",
+            epoch=epoch,
+            train_loss=train_loss,
+            test_loss=test_loss,
+            seconds=dt,
+            steps_per_sec=steps_per_epoch / dt,
+        )
+
     def train(self, ds, epochs: int, retrain: bool = False):
         print("\nTraining...\n")
         self.init_state(retrain)
@@ -183,9 +288,20 @@ class Trainer:
         batch_size = self.dp.round_up_batch(self.model.config.batch_size)
         base_key = jax.random.PRNGKey(self.seed + 1)
         steps_per_epoch = -(-ds.train_in_batch.shape[0] // batch_size)
+        epd = self._resolve_epd(steps_per_epoch, epochs)
 
         lowest_train = float("inf")
-        for epoch in range(epochs):
+        epoch = 0
+        while epoch < epochs:
+            if epd > 1 and epochs - epoch >= epd:
+                lowest_train = self._train_block(
+                    ds, batch_size, base_key, epoch, epd, lowest_train,
+                    steps_per_epoch,
+                )
+                epoch += epd
+                continue
+            # per-epoch dispatch: the tail of a blocked run, epd == 1,
+            # or the profiled run
             t0 = time.perf_counter()
             ekey = jax.random.fold_in(base_key, epoch)
             if self.profile_dir and epoch == 1:
@@ -198,29 +314,59 @@ class Trainer:
                 train_loss = self._epoch_train(ds, batch_size, jax.random.fold_in(ekey, 0))
             test_loss = self._epoch_eval(ds, batch_size, jax.random.fold_in(ekey, 1))
             dt = time.perf_counter() - t0
-
-            print(
-                "[{epoch:04}]: Train {train}, Test {test}  ({dt:.2f}s)".format(
-                    epoch=epoch, train=train_loss, test=test_loss, dt=dt
-                )
-            )
-            self.train_all.append(train_loss)
-            self.test_all.append(test_loss)
-            self.metrics.log(
-                event="epoch",
-                epoch=epoch,
-                train_loss=train_loss,
-                test_loss=test_loss,
-                seconds=dt,
-                steps_per_sec=steps_per_epoch / dt,
-            )
+            self._log_epoch(epoch, train_loss, test_loss, dt, steps_per_epoch)
 
             if train_loss < lowest_train:
                 self._save(checkpoint.BEST)
                 lowest_train = train_loss
+            epoch += 1
 
         self._save(checkpoint.LAST)
         self.metrics.log(event="done", epochs=epochs, best_train=lowest_train)
+
+    def _train_block(self, ds, batch_size, base_key, start, k, lowest_train,
+                     steps_per_epoch):
+        """Run epochs [start, start+k) as ONE device dispatch; logs each
+        epoch, saves the best checkpoint once if the block improved on
+        ``lowest_train``, and returns the updated best train loss. The
+        per-epoch RNG streams (shuffle permutations from the host RNG,
+        batch keys from ``base_key``) are consumed in exactly the
+        per-epoch order, so losses match per-epoch dispatch bitwise."""
+        t0 = time.perf_counter()
+        data_u, data_y = self._stage("train", ds.train_in_batch, ds.train_out_batch)
+        test_u, test_y = self._stage("test", ds.test_in_batch, ds.test_out_batch)
+        n_train = ds.train_in_batch.shape[0]
+        idxs, ws = zip(
+            *(self._epoch_indices(n_train, batch_size, shuffle=True)
+              for _ in range(k))
+        )
+        tidx, tw = self._epoch_indices(
+            ds.test_in_batch.shape[0], batch_size, shuffle=False
+        )
+        (
+            self.params, self.opt_state, best_loss, best_params, best_opt,
+            trl, tel,
+        ) = self._block_update(
+            self.params, self.opt_state, data_u, data_y, test_u, test_y,
+            np.stack(idxs), np.stack(ws), tidx, tw,
+            np.arange(start, start + k, dtype=np.int32),
+            jnp.asarray(lowest_train, dtype=self.model.dtype), base_key,
+        )
+        self.step_timer.tick()
+        trl, tel = np.asarray(trl), np.asarray(tel)
+        dt = (time.perf_counter() - t0) / k
+        for j in range(k):
+            self._log_epoch(
+                start + j, float(trl[j]), float(tel[j]), dt, steps_per_epoch
+            )
+        new_best = float(best_loss)
+        if new_best < lowest_train:
+            checkpoint.save(
+                os.path.join(self.model_dir, checkpoint.BEST),
+                {"params": best_params, "opt_state": best_opt},
+            )
+            lowest_train = new_best
+        return lowest_train
 
     def _save(self, name: str):
         checkpoint.save(

@@ -88,6 +88,53 @@ def test_train_decreases_loss(tmp_path):
     assert checkpoint.exists(os.path.join(str(tmp_path / "m"), checkpoint.LAST))
 
 
+def test_blocked_epochs_match_sequential(tmp_path):
+    """epochs_per_dispatch fuses K epochs into one device program; the
+    contract is EXACT equivalence with per-epoch dispatch: same losses
+    (host RNG shuffles and fold_in key streams are consumed in the same
+    order), same best.ckpt (tracked in-carry on device), same last.ckpt.
+    5 epochs with K=2 exercises two full blocks plus the per-epoch
+    tail."""
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    trs = {}
+    for name, epd in (("seq", 1), ("blk", 2)):
+        tr = Trainer(model, str(tmp_path / name), epochs_per_dispatch=epd, seed=3)
+        tr.train(ds, epochs=5)
+        trs[name] = tr
+    np.testing.assert_array_equal(trs["seq"].train_all, trs["blk"].train_all)
+    np.testing.assert_array_equal(trs["seq"].test_all, trs["blk"].test_all)
+
+    template = {
+        "params": model.init(jax.random.PRNGKey(3)),
+        "opt_state": trs["seq"].tx.init(model.init(jax.random.PRNGKey(3))),
+    }
+    for name in (checkpoint.BEST, checkpoint.LAST):
+        t_seq = checkpoint.restore(os.path.join(str(tmp_path / "seq"), name), template)
+        t_blk = checkpoint.restore(os.path.join(str(tmp_path / "blk"), name), template)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            t_seq, t_blk,
+        )
+
+
+def test_blocked_auto_resolution():
+    """'auto' targets ~300 steps/dispatch and degrades to 1 for long
+    epochs or profiled runs."""
+    model = CBFSSM(smoke_config())
+    tr = Trainer(model, "/tmp/unused_epd")
+    assert tr._resolve_epd(steps_per_epoch=10, epochs=1000) == 30
+    assert tr._resolve_epd(steps_per_epoch=400, epochs=1000) == 1
+    assert tr._resolve_epd(steps_per_epoch=1, epochs=1000) == 64
+    assert tr._resolve_epd(steps_per_epoch=10, epochs=4) == 4
+    tr_prof = Trainer(model, "/tmp/unused_epd", profile_dir="/tmp/unused_trace")
+    assert tr_prof._resolve_epd(steps_per_epoch=10, epochs=1000) == 1
+    tr_pin = Trainer(model, "/tmp/unused_epd", epochs_per_dispatch=7)
+    assert tr_pin._resolve_epd(steps_per_epoch=10, epochs=1000) == 7
+
+
 def test_checkpoint_roundtrip(tmp_path):
     ds = SmokeDS()
     model = CBFSSM(smoke_config())
