@@ -21,7 +21,11 @@ LAST = "model.ckpt"
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(np.asarray, tree)
+    # jax.device_get starts every leaf's device->host copy before
+    # blocking on any of them; a per-leaf np.asarray tree_map would pay
+    # one synchronous roundtrip per leaf (~35 ms each on a tunneled
+    # chip — ~2 s per save for an Adam-state tree of ~60 leaves).
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
 def save(path: str, tree) -> None:
