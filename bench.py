@@ -333,6 +333,19 @@ def main():
     # device-compute throughput an on-host deployment would see.
     stage["name"] = "large-chunk"
     sps300 = None if headline_only else round(measure(steps=300, warmup=2), 3)
+    # The PRODUCTION loop at the same shape: Trainer.train end-to-end
+    # (shuffling, eval, checkpointing) with fused-epoch dispatch
+    # (epochs_per_dispatch='auto') — see BENCHMARKS.md "Fused
+    # multi-epoch dispatch".
+    stage["name"] = "trainer-blocked"
+    trainer_sps = None
+    if not headline_only:
+        try:
+            from scripts.bench_blocked_epochs import measure_trainer
+
+            trainer_sps = round(measure_trainer(), 1)
+        except Exception as exc:  # never let the extra metric kill the headline
+            print(f"trainer-blocked measurement failed: {exc}", file=sys.stderr)
     from scripts.profile_mfu import V5E_PEAK_BF16
 
     gflops = voliro_analytic_gflops()
@@ -344,6 +357,7 @@ def main():
                 "unit": "steps/sec",
                 "vs_baseline": round(sps / base, 2),
                 "steps_per_sec_300_per_dispatch": sps300,
+                "trainer_blocked_steps_per_sec": trainer_sps,
                 "analytic_gflop_per_step": round(gflops, 3),
                 "mfu_vs_bf16_peak": round(gflops * 1e9 * sps / V5E_PEAK_BF16, 6),
                 "shapes": shapes,

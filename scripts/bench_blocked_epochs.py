@@ -24,7 +24,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 40
 WARM_EPOCHS = 10  # excluded: compile + one-time program staging
 N_TRAIN_WINDOWS = 480  # 30 batches of 16 = the headline's 30 steps/epoch
 N_TEST_WINDOWS = 16
@@ -55,7 +54,7 @@ def build_ds():
     return model, _DS()
 
 
-def run(model, ds, epd, tag, model_dir):
+def run(model, ds, epd, tag, model_dir, epochs):
     from cbfssm_tpu.training.trainer import Trainer
 
     trainer = Trainer(model, model_dir, epochs_per_dispatch=epd, seed=0)
@@ -69,20 +68,36 @@ def run(model, ds, epd, tag, model_dir):
 
     trainer._log_epoch = logged
     t0 = time.perf_counter()
-    trainer.train(ds, EPOCHS)
+    trainer.train(ds, epochs)
     total = time.perf_counter() - t0
     # steady-state rate: wall clock from the first post-warmup epoch's
     # log (a host-synchronized point — losses are read back before
     # logging) to the end of training
-    tail_epochs = EPOCHS - WARM_EPOCHS
+    tail_epochs = epochs - WARM_EPOCHS
     tail_s = time.perf_counter() - t_starts[WARM_EPOCHS - 1]
     steps = tail_epochs * 30
     print(
         f"{tag}: total {total:.1f}s; steady tail {tail_s:.2f}s for "
         f"{steps} steps -> {steps / tail_s:.1f} steps/sec "
-        f"(losses finite: {np.isfinite(trainer.train_all).all()})"
+        f"(losses finite: {np.isfinite(trainer.train_all).all()})",
+        file=sys.stderr,
     )
     return steps / tail_s, trainer.train_all
+
+
+def measure_trainer(epd="auto", epochs=40):
+    """Production-loop steps/sec (Trainer.train end-to-end at the
+    Voliro headline shape) for one epochs_per_dispatch setting.
+    Training stdout is routed to stderr so callers printing a JSON
+    line (bench.py) stay clean."""
+    import contextlib
+    import tempfile
+
+    model, ds = build_ds()
+    with tempfile.TemporaryDirectory() as d, \
+            contextlib.redirect_stdout(sys.stderr):
+        rate, _ = run(model, ds, epd, f"trainer (K={epd})", d, epochs)
+    return rate
 
 
 def main():
@@ -91,10 +106,11 @@ def main():
     from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     model, ds = build_ds()
     with tempfile.TemporaryDirectory() as d:
-        r_seq, l_seq = run(model, ds, 1, "per-epoch (K=1)   ", d + "/seq")
-        r_blk, l_blk = run(model, ds, "auto", "blocked  (K=auto)", d + "/blk")
+        r_seq, l_seq = run(model, ds, 1, "per-epoch (K=1)   ", d + "/seq", epochs)
+        r_blk, l_blk = run(model, ds, "auto", "blocked  (K=auto)", d + "/blk", epochs)
     same = np.array_equal(np.asarray(l_seq), np.asarray(l_blk))
     print(f"losses identical: {same}")
     print(f"speedup: {r_blk / r_seq:.2f}x")
