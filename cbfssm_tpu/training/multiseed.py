@@ -62,7 +62,8 @@ class MultiSeedTrainer:
     """
 
     def __init__(self, model, model_dir, n_seeds: int, seed: int = 0,
-                 mesh=None, seed_axis: str = "data", metrics_path=None):
+                 mesh=None, seed_axis: str = "data", metrics_path=None,
+                 epochs_per_dispatch=None):
         enable_persistent_cache()
         self.model = model
         self.model_dir = model_dir
@@ -70,6 +71,11 @@ class MultiSeedTrainer:
         self.seed = seed
         self.mesh = mesh
         self.seed_axis = seed_axis
+        self.epochs_per_dispatch = (
+            model.config.epochs_per_dispatch
+            if epochs_per_dispatch is None
+            else epochs_per_dispatch
+        )
         self.tx = optax.adam(model.config.learning_rate)
         self.params = None  # stacked [n_seeds, ...] pytree
         self.opt_state = None
@@ -81,8 +87,7 @@ class MultiSeedTrainer:
         self.metrics = MetricsLogger(metrics_path)
         os.makedirs(model_dir, exist_ok=True)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def _epoch_update(params_s, opt_s, data_u, data_y, idx_s, w_s, keys):
+        def _epoch_update_body(params_s, opt_s, data_u, data_y, idx_s, w_s, keys):
             """idx_s/w_s: [n_seeds, n_batches, B] per-seed shuffled
             gather indices + pad weights; keys: [n_seeds]."""
 
@@ -107,8 +112,7 @@ class MultiSeedTrainer:
 
             return jax.vmap(one_seed)(params_s, opt_s, idx_s, w_s, keys)
 
-        @jax.jit
-        def _epoch_eval(params_s, data_u, data_y, idx, w, keys):
+        def _epoch_eval_body(params_s, data_u, data_y, idx, w, keys):
             def one_seed(params, key):
                 def step(_, inp):
                     idx_b, w_b, i = inp
@@ -125,8 +129,7 @@ class MultiSeedTrainer:
 
             return jax.vmap(one_seed, in_axes=(0, 0))(params_s, keys)
 
-        @jax.jit
-        def _update_best(best_params, best_opt, best_loss, params, opt_state, loss):
+        def _update_best_body(best_params, best_opt, best_loss, params, opt_state, loss):
             improved = loss < best_loss  # [n_seeds]
 
             def sel(b, p):
@@ -138,9 +141,46 @@ class MultiSeedTrainer:
             new_opt = jax.tree_util.tree_map(sel, best_opt, opt_state)
             return new_params, new_opt, jnp.where(improved, loss, best_loss)
 
-        self._epoch_update = _epoch_update
-        self._epoch_eval_fn = _epoch_eval
-        self._update_best = _update_best
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+        def _block_update(params_s, opt_s, best_params, best_opt, best_loss,
+                          data_u, data_y, test_u, test_y,
+                          idx_ks, w_ks, tidx, tw, keys_k, tkeys_k):
+            """K fused epochs in ONE dispatch (see Trainer._block_update
+            for the rationale): scan over epochs of the same vmapped
+            per-epoch bodies, best state tracked in-carry. idx_ks/w_ks:
+            [K, n_seeds, n_batches, B]; keys_k/tkeys_k: [K, n_seeds]
+            per-epoch lane keys precomputed on host so the _lane_keys
+            override hooks (SweepTrainer) keep exact semantics."""
+
+            def one_epoch(carry, inp):
+                params_s, opt_s, best_params, best_opt, best_loss = carry
+                idx_s, w_s, keys, tkeys = inp
+                params_s, opt_s, train_losses = _epoch_update_body(
+                    params_s, opt_s, data_u, data_y, idx_s, w_s, keys
+                )
+                test_losses = _epoch_eval_body(
+                    params_s, test_u, test_y, tidx, tw, tkeys
+                )
+                best_params, best_opt, best_loss = _update_best_body(
+                    best_params, best_opt, best_loss,
+                    params_s, opt_s, train_losses,
+                )
+                return (
+                    (params_s, opt_s, best_params, best_opt, best_loss),
+                    (train_losses, test_losses),
+                )
+
+            carry, (trl, tel) = jax.lax.scan(
+                one_epoch,
+                (params_s, opt_s, best_params, best_opt, best_loss),
+                (idx_ks, w_ks, keys_k, tkeys_k),
+            )
+            return carry, trl, tel
+
+        self._epoch_update = jax.jit(_epoch_update_body, donate_argnums=(0, 1))
+        self._epoch_eval_fn = jax.jit(_epoch_eval_body)
+        self._update_best = jax.jit(_update_best_body)
+        self._block_update = _block_update
 
     # --- state -----------------------------------------------------------
 
@@ -180,6 +220,13 @@ class MultiSeedTrainer:
         self.best_opt = jax.tree_util.tree_map(jnp.copy, opt_state)
         self.best_loss = jnp.full((self.n_seeds,), jnp.inf, dtype=self.model.dtype)
 
+    def _resolve_epd(self, steps_per_epoch: int, epochs: int) -> int:
+        from cbfssm_tpu.training.trainer import resolve_epochs_per_dispatch
+
+        return resolve_epochs_per_dispatch(
+            self.epochs_per_dispatch, steps_per_epoch, epochs
+        )
+
     def _single_indices(self, n, batch_size, shuffle: bool):
         """One [n_batches, B] index/weight pair (Trainer semantics)."""
         from cbfssm_tpu.training.trainer import epoch_indices
@@ -208,47 +255,94 @@ class MultiSeedTrainer:
         tidx, tw = self._single_indices(
             ds.test_in_batch.shape[0], batch_size, shuffle=False
         )
+        steps_per_epoch = -(-ds.train_in_batch.shape[0] // batch_size)
+        epd = self._resolve_epd(steps_per_epoch, epochs)
 
-        for epoch in range(epochs):
+        epoch = 0
+        while epoch < epochs:
             t0 = time.perf_counter()
-            ekey = jax.random.fold_in(base_key, epoch)
-            keys = self._lane_keys(jax.random.fold_in(ekey, 0))
-            idx_s, w_s = self._epoch_indices(
-                ds.train_in_batch.shape[0], batch_size, shuffle=True
-            )
-            self.params, self.opt_state, train_losses = self._epoch_update(
-                self.params, self.opt_state, data_u, data_y, idx_s, w_s, keys
-            )
-            tkeys = self._lane_keys(jax.random.fold_in(ekey, 1))
-            test_losses = self._epoch_eval_fn(
-                self.params, test_u, test_y, tidx, tw, tkeys
-            )
-            prev_best = np.asarray(self.best_loss)
-            self.best_params, self.best_opt, self.best_loss = self._update_best(
-                self.best_params, self.best_opt, self.best_loss,
-                self.params, self.opt_state, train_losses,
-            )
-            train_np = np.asarray(train_losses)  # host readback = sync
-            test_np = np.asarray(test_losses)
-            dt = time.perf_counter() - t0
-            print(
-                f"[{epoch:04}]: Train {train_np.mean():.4f} "
-                f"(per-seed {np.array2string(train_np, precision=2)}), "
-                f"Test {test_np.mean():.4f}  ({dt:.2f}s)"
-            )
-            self.train_all.append(train_np)
-            self.test_all.append(test_np)
-            self.metrics.log(
-                event="epoch",
-                epoch=epoch,
-                train_loss=train_np.tolist(),
-                test_loss=test_np.tolist(),
-                seconds=dt,
-            )
-            if (train_np < prev_best).any():
-                # Trainer-parity cadence: best saved on every
-                # improvement, so an interrupted run is resumable and
-                # never loses the best state.
+            if epd > 1 and epochs - epoch >= epd:
+                k = epd
+                # host-side per-epoch streams (shuffles via self._rng,
+                # lane keys via the override hooks) are precomputed in
+                # exactly the per-epoch order, so losses are identical
+                ekeys = [
+                    jax.random.fold_in(base_key, e)
+                    for e in range(epoch, epoch + k)
+                ]
+                keys_k = np.stack(
+                    [np.asarray(self._lane_keys(jax.random.fold_in(ek, 0)))
+                     for ek in ekeys]
+                )
+                tkeys_k = np.stack(
+                    [np.asarray(self._lane_keys(jax.random.fold_in(ek, 1)))
+                     for ek in ekeys]
+                )
+                pairs = [
+                    self._epoch_indices(
+                        ds.train_in_batch.shape[0], batch_size, shuffle=True
+                    )
+                    for _ in range(k)
+                ]
+                prev_best = np.asarray(self.best_loss)  # before donation
+                carry, trl, tel = self._block_update(
+                    self.params, self.opt_state,
+                    self.best_params, self.best_opt, self.best_loss,
+                    data_u, data_y, test_u, test_y,
+                    np.stack([p[0] for p in pairs]),
+                    np.stack([p[1] for p in pairs]),
+                    tidx, tw, keys_k, tkeys_k,
+                )
+                (
+                    self.params, self.opt_state,
+                    self.best_params, self.best_opt, self.best_loss,
+                ) = carry
+                train_k, test_k = np.asarray(trl), np.asarray(tel)
+                improved = bool((np.asarray(self.best_loss) < prev_best).any())
+            else:
+                k = 1
+                ekey = jax.random.fold_in(base_key, epoch)
+                keys = self._lane_keys(jax.random.fold_in(ekey, 0))
+                idx_s, w_s = self._epoch_indices(
+                    ds.train_in_batch.shape[0], batch_size, shuffle=True
+                )
+                self.params, self.opt_state, train_losses = self._epoch_update(
+                    self.params, self.opt_state, data_u, data_y, idx_s, w_s, keys
+                )
+                tkeys = self._lane_keys(jax.random.fold_in(ekey, 1))
+                test_losses = self._epoch_eval_fn(
+                    self.params, test_u, test_y, tidx, tw, tkeys
+                )
+                prev_best = np.asarray(self.best_loss)
+                self.best_params, self.best_opt, self.best_loss = self._update_best(
+                    self.best_params, self.best_opt, self.best_loss,
+                    self.params, self.opt_state, train_losses,
+                )
+                train_k = np.asarray(train_losses)[None]  # host readback = sync
+                test_k = np.asarray(test_losses)[None]
+                improved = bool((train_k[0] < prev_best).any())
+            dt = (time.perf_counter() - t0) / k
+            for j in range(k):
+                train_np, test_np = train_k[j], test_k[j]
+                print(
+                    f"[{epoch + j:04}]: Train {train_np.mean():.4f} "
+                    f"(per-seed {np.array2string(train_np, precision=2)}), "
+                    f"Test {test_np.mean():.4f}  ({dt:.2f}s)"
+                )
+                self.train_all.append(train_np)
+                self.test_all.append(test_np)
+                self.metrics.log(
+                    event="epoch",
+                    epoch=epoch + j,
+                    train_loss=train_np.tolist(),
+                    test_loss=test_np.tolist(),
+                    seconds=dt,
+                )
+            epoch += k
+            if improved:
+                # Trainer-parity cadence (per dispatch): best saved on
+                # every improvement, so an interrupted run is resumable
+                # and never loses the best state.
                 self._save_best()
 
         checkpoint.save(

@@ -57,6 +57,15 @@ def epoch_indices(rng, n, batch_size, shuffle: bool, dtype):
     )
 
 
+def resolve_epochs_per_dispatch(epd, steps_per_epoch: int, epochs: int) -> int:
+    """'auto' -> ~300 optimizer steps per dispatch, clamped to [1, 64]
+    and to the run's epoch count (shared by Trainer and
+    MultiSeedTrainer)."""
+    if epd == "auto":
+        epd = max(1, min(64, round(300 / max(1, steps_per_epoch))))
+    return max(1, min(int(epd), max(1, epochs)))
+
+
 class Trainer:
     def __init__(self, model, model_dir, mesh=None, seed=0, metrics_path=None,
                  profile_dir=None, epochs_per_dispatch=None):
@@ -259,10 +268,9 @@ class Trainer:
         past-compile single-epoch program."""
         if self.profile_dir:
             return 1
-        epd = self.epochs_per_dispatch
-        if epd == "auto":
-            epd = max(1, min(64, round(300 / max(1, steps_per_epoch))))
-        return max(1, min(int(epd), max(1, epochs)))
+        return resolve_epochs_per_dispatch(
+            self.epochs_per_dispatch, steps_per_epoch, epochs
+        )
 
     def _log_epoch(self, epoch, train_loss, test_loss, dt, steps_per_epoch):
         print(

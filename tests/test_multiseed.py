@@ -155,6 +155,36 @@ def test_multiseed_retrain_resumes(tmp_path):
     assert np.isfinite(np.stack(t2.train_all)).all()
 
 
+def test_blocked_epochs_match_sequential(tmp_path):
+    """epochs_per_dispatch on the vmapped trainer: K fused epochs must
+    equal per-epoch dispatch exactly — losses, best tracking, and both
+    stacked checkpoints (5 epochs at K=2: two blocks + per-epoch
+    tail)."""
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    trs = {}
+    for name, epd in (("seq", 1), ("blk", 2)):
+        tr = MultiSeedTrainer(
+            model, str(tmp_path / name), n_seeds=2, epochs_per_dispatch=epd
+        )
+        tr.train(ds, epochs=5)
+        trs[name] = tr
+    np.testing.assert_array_equal(
+        np.stack(trs["seq"].train_all), np.stack(trs["blk"].train_all)
+    )
+    np.testing.assert_array_equal(
+        np.stack(trs["seq"].test_all), np.stack(trs["blk"].test_all)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(trs["seq"].best_loss), np.asarray(trs["blk"].best_loss)
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        (trs["seq"].best_params, trs["seq"].params),
+        (trs["blk"].best_params, trs["blk"].params),
+    )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_seed_axis_sharded_over_mesh(tmp_path):
     from cbfssm_tpu.parallel import make_mesh
