@@ -270,12 +270,14 @@ class MultiSeedTrainer:
                     jax.random.fold_in(base_key, e)
                     for e in range(epoch, epoch + k)
                 ]
-                keys_k = np.stack(
-                    [np.asarray(self._lane_keys(jax.random.fold_in(ek, 0)))
+                # jnp.stack keeps key prep on-device (no per-epoch
+                # host readback sync points inside the hot loop)
+                keys_k = jnp.stack(
+                    [self._lane_keys(jax.random.fold_in(ek, 0))
                      for ek in ekeys]
                 )
-                tkeys_k = np.stack(
-                    [np.asarray(self._lane_keys(jax.random.fold_in(ek, 1)))
+                tkeys_k = jnp.stack(
+                    [self._lane_keys(jax.random.fold_in(ek, 1))
                      for ek in ekeys]
                 )
                 pairs = [
