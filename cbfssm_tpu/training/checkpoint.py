@@ -11,6 +11,8 @@ resume-on-preemption for free.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 
 import jax
 import numpy as np
@@ -28,11 +30,88 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
+def _write(path: str, host_tree) -> None:
+    """Serialize an already-host-resident tree to disk (atomic)."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, host_tree, force=True)
+
+
 def save(path: str, tree) -> None:
     """Save a pytree (params / optimizer state / metadata) to ``path``."""
-    path = os.path.abspath(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, _to_numpy(tree), force=True)
+    _write(os.path.abspath(path), _to_numpy(tree))
+
+
+class AsyncSaver:
+    """Background checkpoint writer for training loops.
+
+    The orbax serialization + atomic disk write dominates a save
+    (~120 ms on this rig vs <1 ms for the pipelined device->host
+    transfer) and is pure host-side work — with best-checkpoint saves
+    landing nearly every epoch/block while training improves, it sits
+    squarely on the training loop's critical path. ``save()`` therefore
+    materializes the tree on the host on the CALLER thread (so buffers
+    that the next jitted update donates are never read after donation)
+    and hands only the disk write to a single worker thread.
+
+    Writes happen strictly in submission order on one worker, so a
+    later save of the same path durably wins — the directory contents
+    after ``flush()`` are identical to synchronous saves. ``flush()``
+    blocks until everything submitted is on disk and re-raises the
+    first worker error; the trainers flush before ``train()`` returns.
+    A crash between submission and write costs at most the newest
+    checkpoint — the previous one stays intact (orbax writes are
+    atomic), the same exposure a crash just before a synchronous save
+    has.
+    """
+
+    def __init__(self):
+        self._queue: queue.Queue = queue.Queue()
+        self._error = None
+        self._lock = threading.Lock()
+        self._thread = None
+
+    def _ensure_worker(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(
+                target=self._work, name="cbfssm-ckpt-writer", daemon=True
+            )
+            self._thread.start()
+
+    def _work(self):
+        while True:
+            path, host_tree = self._queue.get()
+            try:
+                _write(path, host_tree)
+            except BaseException as exc:  # surfaced by flush()
+                with self._lock:
+                    if self._error is None:
+                        self._error = exc
+            finally:
+                self._queue.task_done()
+
+    def save(self, path: str, tree) -> None:
+        """Snapshot ``tree`` to host now; write it to ``path`` in the
+        background. Call :meth:`flush` before reading the checkpoint
+        back or ending the run."""
+        # device_get gives device leaves a fresh host buffer but passes
+        # host-numpy leaves through BY REFERENCE — those must be copied
+        # here or a later in-place mutation races the background write.
+        host = jax.device_get(tree)
+        host = jax.tree_util.tree_map(
+            lambda orig, h: np.array(h) if h is orig else np.asarray(h),
+            tree, host,
+        )
+        self._ensure_worker()
+        self._queue.put((os.path.abspath(path), host))
+
+    def flush(self) -> None:
+        """Block until every submitted save is durable; re-raise the
+        first background write error, if any."""
+        self._queue.join()
+        with self._lock:
+            err, self._error = self._error, None
+        if err is not None:
+            raise err
 
 
 def restore(path: str, template):

@@ -85,6 +85,9 @@ class MultiSeedTrainer:
         self.test_all = []
         self._rng = np.random.default_rng(seed)
         self.metrics = MetricsLogger(metrics_path)
+        # background checkpoint writes (the ~120 ms orbax disk write
+        # comes off the hot loop; see checkpoint.AsyncSaver)
+        self.saver = checkpoint.AsyncSaver()
         os.makedirs(model_dir, exist_ok=True)
 
         def _epoch_update_body(params_s, opt_s, data_u, data_y, idx_s, w_s, keys):
@@ -199,6 +202,7 @@ class MultiSeedTrainer:
         params = self._stacked_init()
         opt_state = jax.vmap(self.tx.init)(params)
         if retrain:
+            self.saver.flush()  # a pending background write must land first
             tree = checkpoint.restore(
                 os.path.join(self.model_dir, LAST_SEEDS),
                 {"params": params, "opt_state": opt_state},
@@ -347,14 +351,15 @@ class MultiSeedTrainer:
                 # and never loses the best state.
                 self._save_best()
 
-        checkpoint.save(
+        self.saver.save(
             os.path.join(self.model_dir, LAST_SEEDS),
             {"params": self.params, "opt_state": self.opt_state},
         )
-        checkpoint.save(
+        self.saver.save(
             os.path.join(self.model_dir, checkpoint.LAST),
             self._single_tree(self.best_seed(), best=False),
         )
+        self.saver.flush()
         # terminal marker, Trainer parity (trainer.py event="done"):
         # metrics.jsonl consumers detect completion by this record
         self.metrics.log(
@@ -364,11 +369,13 @@ class MultiSeedTrainer:
         )
 
     def _save_best(self):
-        checkpoint.save(
+        # background disk writes (host snapshot taken here, before the
+        # next dispatch donates these buffers — checkpoint.AsyncSaver)
+        self.saver.save(
             os.path.join(self.model_dir, BEST_SEEDS),
             {"params": self.best_params, "opt_state": self.best_opt},
         )
-        checkpoint.save(
+        self.saver.save(
             os.path.join(self.model_dir, checkpoint.BEST),
             self._single_tree(self.best_seed(), best=True),
         )

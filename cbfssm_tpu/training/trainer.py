@@ -88,6 +88,12 @@ class Trainer:
             else epochs_per_dispatch
         )
         self.step_timer = StepTimer(warmup=1)
+        # Best-checkpoint saves land nearly every epoch/block while the
+        # loss is improving; the ~120 ms orbax disk write is host-side
+        # work that would otherwise serialize with the next dispatch
+        # (the device->host snapshot stays on this thread — see
+        # checkpoint.AsyncSaver). train() flushes before returning.
+        self.saver = checkpoint.AsyncSaver()
         os.makedirs(model_dir, exist_ok=True)
 
         def constrain_batch(tree):
@@ -251,6 +257,7 @@ class Trainer:
         params = self.model.init(key)
         opt_state = self.tx.init(params)
         if retrain:
+            self.saver.flush()  # a pending background write must land first
             tree = checkpoint.restore(
                 os.path.join(self.model_dir, checkpoint.LAST),
                 {"params": params, "opt_state": opt_state},
@@ -330,6 +337,7 @@ class Trainer:
             epoch += 1
 
         self._save(checkpoint.LAST)
+        self.saver.flush()
         self.metrics.log(event="done", epochs=epochs, best_train=lowest_train)
 
     def _train_block(self, ds, batch_size, base_key, start, k, lowest_train,
@@ -369,7 +377,7 @@ class Trainer:
             )
         new_best = float(best_loss)
         if new_best < lowest_train:
-            checkpoint.save(
+            self.saver.save(
                 os.path.join(self.model_dir, checkpoint.BEST),
                 {"params": best_params, "opt_state": best_opt},
             )
@@ -377,7 +385,7 @@ class Trainer:
         return lowest_train
 
     def _save(self, name: str):
-        checkpoint.save(
+        self.saver.save(
             os.path.join(self.model_dir, name),
             {"params": self.params, "opt_state": self.opt_state},
         )
@@ -387,6 +395,7 @@ class Trainer:
     def restore(self, name: str = checkpoint.BEST):
         """Load a checkpoint into trainer state (used by the outputs
         layer); returns params."""
+        self.saver.flush()  # a pending background write must land first
         key = jax.random.PRNGKey(self.seed)
         params = self.model.init(key)
         opt_state = self.tx.init(params)

@@ -288,3 +288,56 @@ def test_data_parallel_training(tmp_path):
     np.testing.assert_allclose(
         trainer.train_all, trainer_single.train_all, rtol=1e-8
     )
+
+
+def test_async_saver_last_writer_wins(tmp_path):
+    """Background writes land in submission order: after flush() the
+    directory holds the LAST tree submitted for a path, matching what
+    synchronous saves would have left."""
+    saver = checkpoint.AsyncSaver()
+    path = str(tmp_path / "ck")
+    template = {"w": np.zeros(3)}
+    for k in range(5):
+        saver.save(path, {"w": np.full(3, float(k))})
+    saver.flush()
+    out = checkpoint.restore(path, template)
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.full(3, 4.0))
+
+
+def test_async_saver_snapshots_on_caller_thread(tmp_path):
+    """save() must materialize the tree before returning — later
+    in-place mutation (the stand-in for a donated device buffer being
+    overwritten by the next jitted update) must not leak into the
+    checkpoint."""
+    saver = checkpoint.AsyncSaver()
+    path = str(tmp_path / "ck")
+    arr = np.ones(4)
+    saver.save(path, {"w": arr})
+    arr[:] = -7.0  # mutate AFTER submission, possibly before the write
+    saver.flush()
+    out = checkpoint.restore(path, {"w": np.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.ones(4))
+
+
+def test_async_saver_flush_reraises_worker_error(tmp_path, monkeypatch):
+    """A failed background write surfaces on flush() (not silently),
+    and the saver is usable again afterwards."""
+    saver = checkpoint.AsyncSaver()
+    calls = {"n": 0}
+    real_write = checkpoint._write
+
+    def flaky(path, tree):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise IOError("disk full (injected)")
+        real_write(path, tree)
+
+    monkeypatch.setattr(checkpoint, "_write", flaky)
+    saver.save(str(tmp_path / "bad"), {"w": np.zeros(2)})
+    with pytest.raises(IOError, match="injected"):
+        saver.flush()
+    # error is cleared; subsequent saves work
+    saver.save(str(tmp_path / "good"), {"w": np.ones(2)})
+    saver.flush()
+    out = checkpoint.restore(str(tmp_path / "good"), {"w": np.zeros(2)})
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.ones(2))
