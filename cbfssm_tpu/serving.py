@@ -756,6 +756,12 @@ class MicroBatcher:
         self._queue: _queue.Queue = _queue.Queue(maxsize=queue_size)
         self._closing = False
         self._lock = threading.Lock()
+        # Serializes enqueue vs shutdown: without it a submit() that
+        # passed the _closing check could enqueue BEHIND close()'s
+        # sentinel after the dispatcher's final drain sweep, leaving a
+        # future that never resolves. Separate from _lock so a producer
+        # blocked on queue backpressure never delays stats() readers.
+        self._submit_lock = threading.Lock()
         self._stats = {
             "requests": 0, "batches": 0, "errors": 0,
             "batched_rows": 0, "max_batch_seen": 0, "wait_s": 0.0,
@@ -786,10 +792,13 @@ class MicroBatcher:
             raise ValueError(
                 f"y must be [{seq_len}, {model.dim_y}] to match u, got {y.shape}"
             )
-        if self._closing:
-            raise RuntimeError("MicroBatcher is closed")
         fut: Future = Future()
-        self._queue.put((u, y, fut, time.perf_counter()))
+        with self._submit_lock:
+            if self._closing:
+                raise RuntimeError("MicroBatcher is closed")
+            # blocking put under the lock is safe: the dispatcher
+            # drains the queue without taking this lock
+            self._queue.put((u, y, fut, time.perf_counter()))
         return fut
 
     def __call__(self, u, y, timeout=None):
@@ -811,21 +820,25 @@ class MicroBatcher:
         """Stop accepting requests and shut the dispatcher down. With
         ``drain`` (default) pending requests are served first; otherwise
         their futures get a RuntimeError."""
-        if self._closing:
-            self._thread.join()
-            return
-        self._closing = True
-        if not drain:
-            try:
-                while True:
-                    *_, fut, _t = self._queue.get_nowait()
-                    if fut.set_running_or_notify_cancel():
-                        fut.set_exception(
-                            RuntimeError("MicroBatcher closed before dispatch")
-                        )
-            except _queue.Empty:
-                pass
-        self._queue.put(None)  # sentinel: drain up to here, then exit
+        with self._submit_lock:
+            already = self._closing
+            self._closing = True
+            if not already:
+                if not drain:
+                    try:
+                        while True:
+                            *_, fut, _t = self._queue.get_nowait()
+                            if fut.set_running_or_notify_cancel():
+                                fut.set_exception(
+                                    RuntimeError(
+                                        "MicroBatcher closed before dispatch"
+                                    )
+                                )
+                    except _queue.Empty:
+                        pass
+                # sentinel: drain up to here, then exit. The lock
+                # guarantees no request is ever enqueued behind it.
+                self._queue.put(None)
         self._thread.join()
 
     def __enter__(self):
@@ -867,8 +880,8 @@ class MicroBatcher:
         while True:
             batch = self._collect()
             if batch is None:
-                # a submit() racing close() can land behind the
-                # sentinel; fail those futures rather than hang them
+                # defensive sweep: the submit lock means nothing should
+                # land behind the sentinel; fail any stragglers anyway
                 try:
                     while True:
                         item = self._queue.get_nowait()

@@ -254,3 +254,45 @@ def test_real_model_rows_match_direct_batch_call(rng):
             ),
             rtol=1e-10,
         )
+
+
+def test_submit_close_race_strands_no_future(rng):
+    """Hammer submit() from several threads while close() fires
+    mid-stream. The submit lock guarantees every request either gets a
+    future that RESOLVES (result or 'closed' error) or submit itself
+    raises 'closed' — after close() returns, no future may still be
+    pending. (Regression: an unlocked submit could enqueue behind the
+    shutdown sentinel and hang forever.)"""
+    for trial in range(10):
+        pred = StubPredictor()
+        mb = MicroBatcher(pred, max_batch=4, max_wait_ms=0.0)
+        futs = []
+        futs_lock = threading.Lock()
+        rejected = []
+        start = threading.Barrier(5)
+        u, y = req(rng)
+
+        def client():
+            start.wait()
+            for _ in range(20):
+                try:
+                    f = mb.submit(u, y)
+                except RuntimeError:
+                    rejected.append(1)
+                    return
+                with futs_lock:
+                    futs.append(f)
+
+        threads = [threading.Thread(target=client) for _ in range(4)]
+        for t in threads:
+            t.start()
+        start.wait()
+        mb.close()  # races the in-flight submits
+        for t in threads:
+            t.join()
+        # every future obtained before/while closing is resolved:
+        # either served (drain=True) or failed with the close error
+        for f in futs:
+            assert f.done(), "stranded future: submit landed behind sentinel"
+            exc = f.exception(timeout=0)
+            assert exc is None or "closed" in str(exc)
