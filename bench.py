@@ -343,7 +343,9 @@ def main():
         try:
             from scripts.bench_blocked_epochs import measure_trainer
 
-            trainer_sps = round(measure_trainer(), 1)
+            # 100 epochs: a long enough steady tail that the one-time
+            # end-of-train flush doesn't read as loop overhead
+            trainer_sps = round(measure_trainer(epochs=100), 1)
         except Exception as exc:  # never let the extra metric kill the headline
             print(f"trainer-blocked measurement failed: {exc}", file=sys.stderr)
     from scripts.profile_mfu import V5E_PEAK_BF16
