@@ -306,15 +306,37 @@ class Trainer:
         epd = self._resolve_epd(steps_per_epoch, epochs)
 
         lowest_train = float("inf")
+        # device-resident running-best threshold: chaining it lets
+        # block k+1 dispatch BEFORE block k's results are read back
+        self._best_dev = None
+        pending = None  # in-flight block awaiting host-side processing
         epoch = 0
         while epoch < epochs:
             if epd > 1 and epochs - epoch >= epd:
-                lowest_train = self._train_block(
-                    ds, batch_size, base_key, epoch, epd, lowest_train,
-                    steps_per_epoch,
+                # one-deep pipeline: dispatch block k+1 first, then do
+                # block k's host work (loss readback, logging, best
+                # save) while the device computes — the threshold the
+                # program needs is chained on-device, so nothing here
+                # blocks on the previous block. Losses, RNG streams,
+                # and checkpoints are bitwise identical to the
+                # unpipelined schedule (pinned by test).
+                handles = self._dispatch_block(
+                    ds, batch_size, base_key, epoch, epd, lowest_train
                 )
+                if pending is not None:
+                    lowest_train = self._process_block(
+                        pending, lowest_train, steps_per_epoch
+                    )
+                pending = handles
                 epoch += epd
                 continue
+            if pending is not None:
+                # entering the per-epoch tail: its best logic needs the
+                # host-side running best, so drain the pipeline first
+                lowest_train = self._process_block(
+                    pending, lowest_train, steps_per_epoch
+                )
+                pending = None
             # per-epoch dispatch: the tail of a blocked run, epd == 1,
             # or the profiled run
             t0 = time.perf_counter()
@@ -336,18 +358,24 @@ class Trainer:
                 lowest_train = train_loss
             epoch += 1
 
+        if pending is not None:
+            lowest_train = self._process_block(
+                pending, lowest_train, steps_per_epoch
+            )
         self._save(checkpoint.LAST)
         self.saver.flush()
         self.metrics.log(event="done", epochs=epochs, best_train=lowest_train)
 
-    def _train_block(self, ds, batch_size, base_key, start, k, lowest_train,
-                     steps_per_epoch):
-        """Run epochs [start, start+k) as ONE device dispatch; logs each
-        epoch, saves the best checkpoint once if the block improved on
-        ``lowest_train``, and returns the updated best train loss. The
-        per-epoch RNG streams (shuffle permutations from the host RNG,
-        batch keys from ``base_key``) are consumed in exactly the
-        per-epoch order, so losses match per-epoch dispatch bitwise."""
+    def _dispatch_block(self, ds, batch_size, base_key, start, k,
+                        lowest_train):
+        """Dispatch epochs [start, start+k) as ONE device program and
+        return its output handles WITHOUT blocking on them. The
+        running-best threshold the program compares against is the
+        previous block's device-resident best (``self._best_dev``), so
+        consecutive blocks chain entirely on-device. The per-epoch RNG
+        streams (shuffle permutations from the host RNG, batch keys
+        from ``base_key``) are consumed in exactly the per-epoch order,
+        so losses match per-epoch dispatch bitwise."""
         t0 = time.perf_counter()
         data_u, data_y = self._stage("train", ds.train_in_batch, ds.train_out_batch)
         test_u, test_y = self._stage("test", ds.test_in_batch, ds.test_out_batch)
@@ -359,6 +387,8 @@ class Trainer:
         tidx, tw = self._epoch_indices(
             ds.test_in_batch.shape[0], batch_size, shuffle=False
         )
+        if self._best_dev is None:
+            self._best_dev = jnp.asarray(lowest_train, dtype=self.model.dtype)
         (
             self.params, self.opt_state, best_loss, best_params, best_opt,
             trl, tel,
@@ -366,10 +396,19 @@ class Trainer:
             self.params, self.opt_state, data_u, data_y, test_u, test_y,
             np.stack(idxs), np.stack(ws), tidx, tw,
             np.arange(start, start + k, dtype=np.int32),
-            jnp.asarray(lowest_train, dtype=self.model.dtype), base_key,
+            self._best_dev, base_key,
         )
-        self.step_timer.tick()
+        self._best_dev = best_loss
+        return (start, k, t0, best_loss, best_params, best_opt, trl, tel)
+
+    def _process_block(self, handles, lowest_train, steps_per_epoch):
+        """Host-side half of a block: read back the losses (blocks
+        until that block's device work drains), log each epoch, save
+        the best checkpoint if the block improved, return the updated
+        best train loss. Runs while the NEXT block computes."""
+        start, k, t0, best_loss, best_params, best_opt, trl, tel = handles
         trl, tel = np.asarray(trl), np.asarray(tel)
+        self.step_timer.tick()
         dt = (time.perf_counter() - t0) / k
         for j in range(k):
             self._log_epoch(
