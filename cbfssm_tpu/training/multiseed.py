@@ -144,7 +144,11 @@ class MultiSeedTrainer:
             new_opt = jax.tree_util.tree_map(sel, best_opt, opt_state)
             return new_params, new_opt, jnp.where(improved, loss, best_loss)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+        # best trees are deliberately NOT donated: the train loop chains
+        # them into the next block's dispatch while the PREVIOUS block's
+        # copies are still pending host-side processing (logging + best
+        # save) — see the one-deep pipeline in train()
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def _block_update(params_s, opt_s, best_params, best_opt, best_loss,
                           data_u, data_y, test_u, test_y,
                           idx_ks, w_ks, tidx, tw, keys_k, tkeys_k):
@@ -262,6 +266,18 @@ class MultiSeedTrainer:
         steps_per_epoch = -(-ds.train_in_batch.shape[0] // batch_size)
         epd = self._resolve_epd(steps_per_epoch, epochs)
 
+        # one-deep block pipeline (same scheme as Trainer.train): the
+        # best state chains DEVICE-side into the next dispatch (the
+        # block program no longer donates it), so block k+1 is
+        # dispatched before block k's losses are read back, and block
+        # k's host work (logging, best save) overlaps device compute.
+        # self.best_* always points at the last PROCESSED block, so
+        # params_for/best_seed/_save_best (and the SweepTrainer
+        # overrides) see exactly the state their save reflects.
+        self._chain_best_params = self.best_params
+        self._chain_best_opt = self.best_opt
+        self._chain_best_loss = self.best_loss
+        pending = None
         epoch = 0
         while epoch < epochs:
             t0 = time.perf_counter()
@@ -290,10 +306,10 @@ class MultiSeedTrainer:
                     )
                     for _ in range(k)
                 ]
-                prev_best = np.asarray(self.best_loss)  # before donation
+                best_in = self._chain_best_loss
                 carry, trl, tel = self._block_update(
                     self.params, self.opt_state,
-                    self.best_params, self.best_opt, self.best_loss,
+                    self._chain_best_params, self._chain_best_opt, best_in,
                     data_u, data_y, test_u, test_y,
                     np.stack([p[0] for p in pairs]),
                     np.stack([p[1] for p in pairs]),
@@ -301,56 +317,58 @@ class MultiSeedTrainer:
                 )
                 (
                     self.params, self.opt_state,
-                    self.best_params, self.best_opt, self.best_loss,
+                    self._chain_best_params, self._chain_best_opt,
+                    self._chain_best_loss,
                 ) = carry
-                train_k, test_k = np.asarray(trl), np.asarray(tel)
-                improved = bool((np.asarray(self.best_loss) < prev_best).any())
-            else:
-                k = 1
-                ekey = jax.random.fold_in(base_key, epoch)
-                keys = self._lane_keys(jax.random.fold_in(ekey, 0))
-                idx_s, w_s = self._epoch_indices(
-                    ds.train_in_batch.shape[0], batch_size, shuffle=True
+                handles = (
+                    epoch, k, t0, best_in, self._chain_best_params,
+                    self._chain_best_opt, self._chain_best_loss, trl, tel,
                 )
-                self.params, self.opt_state, train_losses = self._epoch_update(
-                    self.params, self.opt_state, data_u, data_y, idx_s, w_s, keys
-                )
-                tkeys = self._lane_keys(jax.random.fold_in(ekey, 1))
-                test_losses = self._epoch_eval_fn(
-                    self.params, test_u, test_y, tidx, tw, tkeys
-                )
-                prev_best = np.asarray(self.best_loss)
-                self.best_params, self.best_opt, self.best_loss = self._update_best(
-                    self.best_params, self.best_opt, self.best_loss,
-                    self.params, self.opt_state, train_losses,
-                )
-                train_k = np.asarray(train_losses)[None]  # host readback = sync
-                test_k = np.asarray(test_losses)[None]
-                improved = bool((train_k[0] < prev_best).any())
-            dt = (time.perf_counter() - t0) / k
-            for j in range(k):
-                train_np, test_np = train_k[j], test_k[j]
-                print(
-                    f"[{epoch + j:04}]: Train {train_np.mean():.4f} "
-                    f"(per-seed {np.array2string(train_np, precision=2)}), "
-                    f"Test {test_np.mean():.4f}  ({dt:.2f}s)"
-                )
-                self.train_all.append(train_np)
-                self.test_all.append(test_np)
-                self.metrics.log(
-                    event="epoch",
-                    epoch=epoch + j,
-                    train_loss=train_np.tolist(),
-                    test_loss=test_np.tolist(),
-                    seconds=dt,
-                )
-            epoch += k
+                if pending is not None:
+                    self._process_block(pending)
+                pending = handles
+                epoch += k
+                continue
+            if pending is not None:
+                # the per-epoch tail reads/updates self.best_* directly,
+                # so drain the pipeline first
+                self._process_block(pending)
+                pending = None
+            ekey = jax.random.fold_in(base_key, epoch)
+            keys = self._lane_keys(jax.random.fold_in(ekey, 0))
+            idx_s, w_s = self._epoch_indices(
+                ds.train_in_batch.shape[0], batch_size, shuffle=True
+            )
+            self.params, self.opt_state, train_losses = self._epoch_update(
+                self.params, self.opt_state, data_u, data_y, idx_s, w_s, keys
+            )
+            tkeys = self._lane_keys(jax.random.fold_in(ekey, 1))
+            test_losses = self._epoch_eval_fn(
+                self.params, test_u, test_y, tidx, tw, tkeys
+            )
+            prev_best = np.asarray(self.best_loss)
+            self.best_params, self.best_opt, self.best_loss = self._update_best(
+                self.best_params, self.best_opt, self.best_loss,
+                self.params, self.opt_state, train_losses,
+            )
+            # keep the dispatch chain in sync with the processed state
+            self._chain_best_params = self.best_params
+            self._chain_best_opt = self.best_opt
+            self._chain_best_loss = self.best_loss
+            train_np = np.asarray(train_losses)  # host readback = sync
+            test_np = np.asarray(test_losses)
+            improved = bool((train_np < prev_best).any())
+            dt = time.perf_counter() - t0
+            self._log_epochs(epoch, train_np[None], test_np[None], dt)
+            epoch += 1
             if improved:
                 # Trainer-parity cadence (per dispatch): best saved on
                 # every improvement, so an interrupted run is resumable
                 # and never loses the best state.
                 self._save_best()
 
+        if pending is not None:
+            self._process_block(pending)
         self.saver.save(
             os.path.join(self.model_dir, LAST_SEEDS),
             {"params": self.params, "opt_state": self.opt_state},
@@ -368,9 +386,52 @@ class MultiSeedTrainer:
             best_train=np.asarray(self.best_loss).tolist(),
         )
 
+    def _log_epochs(self, start, train_k, test_k, dt_total):
+        """Log ``train_k/test_k`` ([k, n_seeds]) as epochs
+        [start, start+k)."""
+        k = train_k.shape[0]
+        dt = dt_total / k
+        for j in range(k):
+            train_np, test_np = train_k[j], test_k[j]
+            print(
+                f"[{start + j:04}]: Train {train_np.mean():.4f} "
+                f"(per-seed {np.array2string(train_np, precision=2)}), "
+                f"Test {test_np.mean():.4f}  ({dt:.2f}s)"
+            )
+            self.train_all.append(train_np)
+            self.test_all.append(test_np)
+            self.metrics.log(
+                event="epoch",
+                epoch=start + j,
+                train_loss=train_np.tolist(),
+                test_loss=test_np.tolist(),
+                seconds=dt,
+            )
+
+    def _process_block(self, handles):
+        """Host-side half of a dispatched block (runs while the NEXT
+        block computes): read back the losses, log each epoch, point
+        ``self.best_*`` at this block's best state, and save it if the
+        block improved any lane."""
+        (start, k, t0, best_in, best_params, best_opt, best_loss,
+         trl, tel) = handles
+        train_k, test_k = np.asarray(trl), np.asarray(tel)
+        improved = bool(
+            (np.asarray(best_loss) < np.asarray(best_in)).any()
+        )
+        self.best_params, self.best_opt, self.best_loss = (
+            best_params, best_opt, best_loss,
+        )
+        self._log_epochs(start, train_k, test_k, time.perf_counter() - t0)
+        if improved:
+            # Trainer-parity cadence (per dispatch): best saved on
+            # every improvement, so an interrupted run is resumable
+            # and never loses the best state.
+            self._save_best()
+
     def _save_best(self):
-        # background disk writes (host snapshot taken here, before the
-        # next dispatch donates these buffers — checkpoint.AsyncSaver)
+        # background disk writes (host snapshot taken on this thread —
+        # checkpoint.AsyncSaver)
         self.saver.save(
             os.path.join(self.model_dir, BEST_SEEDS),
             {"params": self.best_params, "opt_state": self.best_opt},
