@@ -94,6 +94,7 @@ class Trainer:
         # (the device->host snapshot stays on this thread — see
         # checkpoint.AsyncSaver). train() flushes before returning.
         self.saver = checkpoint.AsyncSaver()
+        self._best_dev = None  # device-side running-best chain (train())
         os.makedirs(model_dir, exist_ok=True)
 
         def constrain_batch(tree):

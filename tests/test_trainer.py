@@ -341,3 +341,23 @@ def test_async_saver_flush_reraises_worker_error(tmp_path, monkeypatch):
     saver.flush()
     out = checkpoint.restore(str(tmp_path / "good"), {"w": np.zeros(2)})
     np.testing.assert_array_equal(np.asarray(out["w"]), np.ones(2))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_blocked_pipeline_on_mesh_matches_unmeshed(tmp_path):
+    """The fused-epoch + one-deep-pipeline path (dispatch/process split,
+    device-side best chaining) over an 8-device mesh: losses must match
+    the unmeshed run and the drained checkpoints must be complete
+    (2 blocks of 3 epochs + a per-epoch tail epoch)."""
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    losses = {}
+    for name, mesh in (("mesh", make_mesh(8)), ("flat", None)):
+        tr = Trainer(
+            model, str(tmp_path / name), mesh=mesh, epochs_per_dispatch=3
+        )
+        tr.train(ds, epochs=7)
+        losses[name] = tr.train_all
+        assert checkpoint.exists(os.path.join(str(tmp_path / name), checkpoint.BEST))
+        assert checkpoint.exists(os.path.join(str(tmp_path / name), checkpoint.LAST))
+    np.testing.assert_allclose(losses["mesh"], losses["flat"], rtol=1e-8)
