@@ -941,4 +941,8 @@ class MicroBatcher:
                 with self._lock:
                     self._stats["errors"] += len(live)
                 for *_, fut, _t in live:
-                    fut.set_exception(exc)
+                    # a mid-fan-out failure leaves earlier rows already
+                    # resolved; set_exception on a done future raises
+                    # InvalidStateError and would kill the dispatcher
+                    if not fut.done():
+                        fut.set_exception(exc)

@@ -53,19 +53,23 @@ class AsyncSaver:
     that the next jitted update donates are never read after donation)
     and hands only the disk write to a single worker thread.
 
-    Writes happen strictly in submission order on one worker, so a
-    later save of the same path durably wins — the directory contents
-    after ``flush()`` are identical to synchronous saves. ``flush()``
-    blocks until everything submitted is on disk and re-raises the
-    first worker error; the trainers flush before ``train()`` returns.
-    A crash between submission and write costs at most the newest
-    checkpoint — the previous one stays intact (orbax writes are
-    atomic), the same exposure a crash just before a synchronous save
-    has.
+    Same-path saves COALESCE latest-wins: the worker writes the newest
+    tree submitted for a path, so when disk writes are slower than the
+    save cadence (improving-every-block runs) the backlog holds at most
+    ONE pending host copy per path instead of growing without bound —
+    and the directory contents after ``flush()`` are still identical to
+    synchronous saves (intermediate writes were overwritten anyway).
+    ``flush()`` blocks until everything submitted is on disk and
+    re-raises the first worker error; the trainers flush before
+    ``train()`` returns. A crash between submission and write costs at
+    most the newest checkpoint — the previous one stays intact (orbax
+    writes are atomic), the same exposure a crash just before a
+    synchronous save has.
     """
 
     def __init__(self):
         self._queue: queue.Queue = queue.Queue()
+        self._latest: dict = {}  # path -> newest pending host tree
         self._error = None
         self._lock = threading.Lock()
         self._thread = None
@@ -79,9 +83,14 @@ class AsyncSaver:
 
     def _work(self):
         while True:
-            path, host_tree = self._queue.get()
+            path = self._queue.get()
             try:
-                _write(path, host_tree)
+                with self._lock:
+                    # None when a newer save for this path was already
+                    # written by the ticket that superseded this one
+                    host_tree = self._latest.pop(path, None)
+                if host_tree is not None:
+                    _write(path, host_tree)
             except BaseException as exc:  # surfaced by flush()
                 with self._lock:
                     if self._error is None:
@@ -101,8 +110,11 @@ class AsyncSaver:
             lambda orig, h: np.array(h) if h is orig else np.asarray(h),
             tree, host,
         )
+        path = os.path.abspath(path)
+        with self._lock:
+            self._latest[path] = host
         self._ensure_worker()
-        self._queue.put((os.path.abspath(path), host))
+        self._queue.put(path)
 
     def flush(self) -> None:
         """Block until every submitted save is durable; re-raise the
@@ -112,6 +124,24 @@ class AsyncSaver:
             err, self._error = self._error, None
         if err is not None:
             raise err
+
+
+_shared = None
+_shared_lock = threading.Lock()
+
+
+def shared_saver() -> AsyncSaver:
+    """The process-wide saver the trainers use. One background writer
+    thread serves every Trainer/MultiSeedTrainer in the process (a
+    per-instance saver would leak one idle daemon thread per trainer —
+    sweep scripts and the test suite construct dozens). flush() on the
+    shared instance simply waits for all pending writes, whichever
+    trainer submitted them."""
+    global _shared
+    with _shared_lock:
+        if _shared is None:
+            _shared = AsyncSaver()
+        return _shared
 
 
 def restore(path: str, template):

@@ -87,7 +87,7 @@ class MultiSeedTrainer:
         self.metrics = MetricsLogger(metrics_path)
         # background checkpoint writes (the ~120 ms orbax disk write
         # comes off the hot loop; see checkpoint.AsyncSaver)
-        self.saver = checkpoint.AsyncSaver()
+        self.saver = checkpoint.shared_saver()
         os.makedirs(model_dir, exist_ok=True)
 
         def _epoch_update_body(params_s, opt_s, data_u, data_y, idx_s, w_s, keys):
@@ -331,9 +331,12 @@ class MultiSeedTrainer:
                 continue
             if pending is not None:
                 # the per-epoch tail reads/updates self.best_* directly,
-                # so drain the pipeline first
+                # so drain the pipeline first — and restart the clock so
+                # the drain (a full block's device wait) isn't billed to
+                # this tail epoch's logged seconds
                 self._process_block(pending)
                 pending = None
+                t0 = time.perf_counter()
             ekey = jax.random.fold_in(base_key, epoch)
             keys = self._lane_keys(jax.random.fold_in(ekey, 0))
             idx_s, w_s = self._epoch_indices(
@@ -430,16 +433,32 @@ class MultiSeedTrainer:
             self._save_best()
 
     def _save_best(self):
-        # background disk writes (host snapshot taken on this thread —
-        # checkpoint.AsyncSaver)
-        self.saver.save(
-            os.path.join(self.model_dir, BEST_SEEDS),
-            {"params": self.best_params, "opt_state": self.best_opt},
-        )
+        # Snapshot the stacked trees to host ONCE (this block's output
+        # buffers are already materialized, so the transfer does not
+        # wait on the in-flight next block) and derive the single-seed
+        # tree by HOST indexing — device-side a[i] gathers here would
+        # enqueue behind the in-flight block and stall the one-deep
+        # pipeline on every improving block.
+        host = {
+            "params": jax.device_get(self.best_params),
+            "opt_state": jax.device_get(self.best_opt),
+        }
+        self.saver.save(os.path.join(self.model_dir, BEST_SEEDS), host)
         self.saver.save(
             os.path.join(self.model_dir, checkpoint.BEST),
-            self._single_tree(self.best_seed(), best=True),
+            self._single_tree_host(host, self.best_seed()),
         )
+
+    def _single_tree_host(self, host: dict, i: int) -> dict:
+        """Host-side (numpy) counterpart of ``_single_tree(i,
+        best=True)`` for the hot save path (override hook). No device
+        ops allowed here — they would queue behind the in-flight
+        pipelined block."""
+        take = lambda t: jax.tree_util.tree_map(lambda a: a[i], t)  # noqa: E731
+        return {
+            "params": take(host["params"]),
+            "opt_state": take(host["opt_state"]),
+        }
 
     def _single_tree(self, i: int, best: bool) -> dict:
         """The tree written to best.ckpt / model.ckpt: the overall-best

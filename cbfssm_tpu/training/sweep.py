@@ -257,6 +257,19 @@ class SweepTrainer(MultiSeedTrainer):
         tx = optax.adam(float(self.model.config.learning_rate))
         return {"params": params, "opt_state": tx.init(params)}
 
+    def _single_tree_host(self, host: dict, i: int) -> dict:
+        """Hot-path (pipelined) counterpart of `_single_tree(i,
+        best=True)`: unwraps the model tree and builds the fresh Adam
+        moments as host zeros via eval_shape — a real `tx.init` here
+        would enqueue device work behind the in-flight block."""
+        params = jax.tree_util.tree_map(lambda a: a[i], host["params"])["model"]
+        tx = optax.adam(float(self.model.config.learning_rate))
+        shapes = jax.eval_shape(tx.init, params)
+        opt = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), shapes
+        )
+        return {"params": params, "opt_state": opt}
+
     def train(self, ds, epochs: int, retrain: bool = False):
         super().train(ds, epochs, retrain)
         with open(os.path.join(self.model_dir, "sweep_best.json"), "w") as f:

@@ -93,7 +93,7 @@ class Trainer:
         # work that would otherwise serialize with the next dispatch
         # (the device->host snapshot stays on this thread — see
         # checkpoint.AsyncSaver). train() flushes before returning.
-        self.saver = checkpoint.AsyncSaver()
+        self.saver = checkpoint.shared_saver()
         self._best_dev = None  # device-side running-best chain (train())
         os.makedirs(model_dir, exist_ok=True)
 

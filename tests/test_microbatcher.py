@@ -296,3 +296,41 @@ def test_submit_close_race_strands_no_future(rng):
             assert f.done(), "stranded future: submit landed behind sentinel"
             exc = f.exception(timeout=0)
             assert exc is None or "closed" in str(exc)
+
+
+def test_partial_fanout_failure_keeps_dispatcher_alive(rng, monkeypatch):
+    """A failure mid fan-out — after earlier rows of the batch already
+    resolved — must propagate only to the still-pending futures
+    (set_exception on a done future raises InvalidStateError and would
+    kill the dispatcher) and leave the batcher serving."""
+    from cbfssm_tpu.models.base import PredictOutput
+
+    calls = {"n": 0}
+    real_replace = PredictOutput.replace
+
+    def flaky_replace(self, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:  # 2nd row of the coalesced batch below
+            raise RuntimeError("row explode")
+        return real_replace(self, **kw)
+
+    monkeypatch.setattr(PredictOutput, "replace", flaky_replace)
+    gate = threading.Event()
+    pred = StubPredictor(block_event=gate)
+    mb = MicroBatcher(pred, max_batch=2, max_wait_ms=50.0)
+    try:
+        warm = mb.submit(*req(rng))  # replace #1: ok
+        assert pred.entered.wait(timeout=30)
+        futs = [mb.submit(*req(rng)) for _ in range(2)]  # one 2-row batch
+        gate.set()
+        warm.result(timeout=30)
+        # row 0 resolved (replace #2), row 1 failed (replace #3)
+        assert futs[0].result(timeout=30).pred_mean.shape == (1, SEQ, DY)
+        with pytest.raises(RuntimeError, match="row explode"):
+            futs[1].result(timeout=30)
+        # dispatcher survived; keeps serving
+        out = mb(*req(rng), timeout=30)
+        assert out.pred_mean.shape == (1, SEQ, DY)
+    finally:
+        gate.set()
+        mb.close()

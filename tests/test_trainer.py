@@ -361,3 +361,42 @@ def test_blocked_pipeline_on_mesh_matches_unmeshed(tmp_path):
         assert checkpoint.exists(os.path.join(str(tmp_path / name), checkpoint.BEST))
         assert checkpoint.exists(os.path.join(str(tmp_path / name), checkpoint.LAST))
     np.testing.assert_allclose(losses["mesh"], losses["flat"], rtol=1e-8)
+
+
+def test_async_saver_coalesces_same_path(tmp_path, monkeypatch):
+    """While the worker is busy, repeated saves of one path collapse to
+    the newest tree (the backlog holds at most one pending copy per
+    path); the final directory content equals the last save."""
+    import threading
+
+    gate = threading.Event()
+    writes = []
+    real_write = checkpoint._write
+
+    def gated(path, tree):
+        gate.wait()
+        writes.append(float(np.asarray(tree["w"])[0]))
+        real_write(path, tree)
+
+    monkeypatch.setattr(checkpoint, "_write", gated)
+    saver = checkpoint.AsyncSaver()
+    path = str(tmp_path / "ck")
+    for k in range(6):
+        saver.save(path, {"w": np.full(2, float(k))})
+    gate.set()
+    saver.flush()
+    # at most: the write already in flight + one coalesced newest
+    assert len(writes) <= 2 and writes[-1] == 5.0
+    out = checkpoint.restore(path, {"w": np.zeros(2)})
+    np.testing.assert_array_equal(np.asarray(out["w"]), np.full(2, 5.0))
+
+
+def test_shared_saver_is_process_wide():
+    """Trainers share one background writer (no thread per instance)."""
+    assert checkpoint.shared_saver() is checkpoint.shared_saver()
+    model = CBFSSM(smoke_config())
+    import tempfile
+
+    t1 = Trainer(model, tempfile.mkdtemp())
+    t2 = Trainer(model, tempfile.mkdtemp())
+    assert t1.saver is t2.saver is checkpoint.shared_saver()
