@@ -938,11 +938,14 @@ class MicroBatcher:
                         row.replace(mse=mse_i.astype(pred_mean.dtype))
                     )
             except Exception as exc:
-                with self._lock:
-                    self._stats["errors"] += len(live)
+                # a mid-fan-out failure leaves earlier rows already
+                # resolved; those count as served, and set_exception on
+                # a done future raises InvalidStateError (which would
+                # kill the dispatcher) — fail only the pending ones
+                failed = 0
                 for *_, fut, _t in live:
-                    # a mid-fan-out failure leaves earlier rows already
-                    # resolved; set_exception on a done future raises
-                    # InvalidStateError and would kill the dispatcher
                     if not fut.done():
                         fut.set_exception(exc)
+                        failed += 1
+                with self._lock:
+                    self._stats["errors"] += failed

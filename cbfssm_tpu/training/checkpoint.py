@@ -70,7 +70,7 @@ class AsyncSaver:
     def __init__(self):
         self._queue: queue.Queue = queue.Queue()
         self._latest: dict = {}  # path -> newest pending host tree
-        self._error = None
+        self._errors: list = []  # (path, exc) — scoped by flush(prefix)
         self._lock = threading.Lock()
         self._thread = None
 
@@ -93,8 +93,7 @@ class AsyncSaver:
                     _write(path, host_tree)
             except BaseException as exc:  # surfaced by flush()
                 with self._lock:
-                    if self._error is None:
-                        self._error = exc
+                    self._errors.append((path, exc))
             finally:
                 self._queue.task_done()
 
@@ -116,14 +115,25 @@ class AsyncSaver:
         self._ensure_worker()
         self._queue.put(path)
 
-    def flush(self) -> None:
+    def flush(self, prefix: str | None = None) -> None:
         """Block until every submitted save is durable; re-raise the
-        first background write error, if any."""
+        first background write error whose path starts with ``prefix``
+        (all errors when ``prefix`` is None). With the process-wide
+        shared saver, scoping by the caller's model_dir keeps one
+        trainer's write failure from surfacing in — and being cleared
+        by — an unrelated trainer's flush."""
         self._queue.join()
+        prefix = None if prefix is None else os.path.abspath(prefix)
         with self._lock:
-            err, self._error = self._error, None
-        if err is not None:
-            raise err
+            if prefix is None:
+                mine, self._errors = self._errors, []
+            else:
+                mine = [e for e in self._errors if e[0].startswith(prefix)]
+                self._errors = [
+                    e for e in self._errors if not e[0].startswith(prefix)
+                ]
+        if mine:
+            raise mine[0][1]
 
 
 _shared = None

@@ -206,7 +206,7 @@ class MultiSeedTrainer:
         params = self._stacked_init()
         opt_state = jax.vmap(self.tx.init)(params)
         if retrain:
-            self.saver.flush()  # a pending background write must land first
+            self.saver.flush(self.model_dir)  # pending writes must land first
             tree = checkpoint.restore(
                 os.path.join(self.model_dir, LAST_SEEDS),
                 {"params": params, "opt_state": opt_state},
@@ -380,7 +380,7 @@ class MultiSeedTrainer:
             os.path.join(self.model_dir, checkpoint.LAST),
             self._single_tree(self.best_seed(), best=False),
         )
-        self.saver.flush()
+        self.saver.flush(self.model_dir)
         # terminal marker, Trainer parity (trainer.py event="done"):
         # metrics.jsonl consumers detect completion by this record
         self.metrics.log(
@@ -433,40 +433,35 @@ class MultiSeedTrainer:
             self._save_best()
 
     def _save_best(self):
-        # Snapshot the stacked trees to host ONCE (this block's output
-        # buffers are already materialized, so the transfer does not
-        # wait on the in-flight next block) and derive the single-seed
-        # tree by HOST indexing — device-side a[i] gathers here would
-        # enqueue behind the in-flight block and stall the one-deep
-        # pipeline on every improving block.
-        host = {
-            "params": jax.device_get(self.best_params),
-            "opt_state": jax.device_get(self.best_opt),
-        }
-        self.saver.save(os.path.join(self.model_dir, BEST_SEEDS), host)
+        # The stacked save passes DEVICE trees: saver.save's device_get
+        # yields fresh host buffers (no defensive copy), and this
+        # block's outputs are already materialized so nothing here
+        # waits on the in-flight next block.
+        self.saver.save(
+            os.path.join(self.model_dir, BEST_SEEDS),
+            {"params": self.best_params, "opt_state": self.best_opt},
+        )
         self.saver.save(
             os.path.join(self.model_dir, checkpoint.BEST),
-            self._single_tree_host(host, self.best_seed()),
+            self._single_tree(self.best_seed(), best=True),
         )
-
-    def _single_tree_host(self, host: dict, i: int) -> dict:
-        """Host-side (numpy) counterpart of ``_single_tree(i,
-        best=True)`` for the hot save path (override hook). No device
-        ops allowed here — they would queue behind the in-flight
-        pipelined block."""
-        take = lambda t: jax.tree_util.tree_map(lambda a: a[i], t)  # noqa: E731
-        return {
-            "params": take(host["params"]),
-            "opt_state": take(host["opt_state"]),
-        }
 
     def _single_tree(self, i: int, best: bool) -> dict:
         """The tree written to best.ckpt / model.ckpt: the overall-best
         seed's UNstacked state, loadable by any single-model consumer
-        (override hook — SweepTrainer unwraps its params wrapper here)."""
+        (override hook — SweepTrainer unwraps its params wrapper here).
+        Must stay HOST-side (device_get of materialized buffers + numpy
+        indexing): it runs on the pipelined hot path, where device-side
+        a[i] gathers would enqueue behind the in-flight next block and
+        stall the one-deep pipeline on every improving block."""
+        host = jax.device_get({
+            "params": self.best_params if best else self.params,
+            "opt_state": self.best_opt if best else self.opt_state,
+        })
+        take = lambda t: jax.tree_util.tree_map(lambda a: a[i], t)  # noqa: E731
         return {
-            "params": self.params_for(i, best=best),
-            "opt_state": self._opt_for(i, best=best),
+            "params": take(host["params"]),
+            "opt_state": take(host["opt_state"]),
         }
 
     def _opt_for(self, i: int, best: bool = True):

@@ -252,17 +252,13 @@ class SweepTrainer(MultiSeedTrainer):
         model tree so any single-model consumer (Outputs' trainerless
         re-evaluation with the winning config from sweep_best.json) can
         load it. The optimizer moments are fresh — exact resume uses the
-        stacked best_seeds.ckpt / model_seeds.ckpt."""
-        params = self.params_for(i, best=best)["model"]
-        tx = optax.adam(float(self.model.config.learning_rate))
-        return {"params": params, "opt_state": tx.init(params)}
-
-    def _single_tree_host(self, host: dict, i: int) -> dict:
-        """Hot-path (pipelined) counterpart of `_single_tree(i,
-        best=True)`: unwraps the model tree and builds the fresh Adam
-        moments as host zeros via eval_shape — a real `tx.init` here
-        would enqueue device work behind the in-flight block."""
-        params = jax.tree_util.tree_map(lambda a: a[i], host["params"])["model"]
+        stacked best_seeds.ckpt / model_seeds.ckpt. Host-side like the
+        base hook (eval_shape zeros instead of a device ``tx.init``):
+        this runs on the pipelined hot path."""
+        stacked = self.best_params if best else self.params
+        params = jax.tree_util.tree_map(
+            lambda a: a[i], jax.device_get(stacked)
+        )["model"]
         tx = optax.adam(float(self.model.config.learning_rate))
         shapes = jax.eval_shape(tx.init, params)
         opt = jax.tree_util.tree_map(

@@ -258,7 +258,7 @@ class Trainer:
         params = self.model.init(key)
         opt_state = self.tx.init(params)
         if retrain:
-            self.saver.flush()  # a pending background write must land first
+            self.saver.flush(self.model_dir)  # pending writes must land first
             tree = checkpoint.restore(
                 os.path.join(self.model_dir, checkpoint.LAST),
                 {"params": params, "opt_state": opt_state},
@@ -364,7 +364,7 @@ class Trainer:
                 pending, lowest_train, steps_per_epoch
             )
         self._save(checkpoint.LAST)
-        self.saver.flush()
+        self.saver.flush(self.model_dir)
         self.metrics.log(event="done", epochs=epochs, best_train=lowest_train)
 
     def _dispatch_block(self, ds, batch_size, base_key, start, k,
@@ -435,7 +435,7 @@ class Trainer:
     def restore(self, name: str = checkpoint.BEST):
         """Load a checkpoint into trainer state (used by the outputs
         layer); returns params."""
-        self.saver.flush()  # a pending background write must land first
+        self.saver.flush(self.model_dir)  # pending writes must land first
         key = jax.random.PRNGKey(self.seed)
         params = self.model.init(key)
         opt_state = self.tx.init(params)

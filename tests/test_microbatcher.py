@@ -331,6 +331,8 @@ def test_partial_fanout_failure_keeps_dispatcher_alive(rng, monkeypatch):
         # dispatcher survived; keeps serving
         out = mb(*req(rng), timeout=30)
         assert out.pred_mean.shape == (1, SEQ, DY)
+        # only the actually-failed row counts as an error
+        assert mb.stats()["errors"] == 1
     finally:
         gate.set()
         mb.close()

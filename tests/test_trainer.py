@@ -291,9 +291,10 @@ def test_data_parallel_training(tmp_path):
 
 
 def test_async_saver_last_writer_wins(tmp_path):
-    """Background writes land in submission order: after flush() the
-    directory holds the LAST tree submitted for a path, matching what
-    synchronous saves would have left."""
+    """After flush() the directory holds the LAST tree submitted for a
+    path, matching what synchronous saves would have left (same-path
+    saves coalesce latest-wins; intermediate versions may never hit
+    disk by design)."""
     saver = checkpoint.AsyncSaver()
     path = str(tmp_path / "ck")
     template = {"w": np.zeros(3)}
@@ -400,3 +401,24 @@ def test_shared_saver_is_process_wide():
     t1 = Trainer(model, tempfile.mkdtemp())
     t2 = Trainer(model, tempfile.mkdtemp())
     assert t1.saver is t2.saver is checkpoint.shared_saver()
+
+
+def test_async_saver_flush_scopes_errors_by_prefix(tmp_path, monkeypatch):
+    """With the process-wide shared writer, flush(model_dir) surfaces
+    only that trainer's write failures; another trainer's error stays
+    queued for ITS flush instead of being misattributed and cleared."""
+    saver = checkpoint.AsyncSaver()
+    real_write = checkpoint._write
+
+    def flaky(path, tree):
+        if "dir_a" in path:
+            raise IOError("A's disk full (injected)")
+        real_write(path, tree)
+
+    monkeypatch.setattr(checkpoint, "_write", flaky)
+    saver.save(str(tmp_path / "dir_a" / "ck"), {"w": np.zeros(2)})
+    saver.save(str(tmp_path / "dir_b" / "ck"), {"w": np.ones(2)})
+    saver.flush(str(tmp_path / "dir_b"))  # B's flush: no error
+    with pytest.raises(IOError, match="A's disk full"):
+        saver.flush(str(tmp_path / "dir_a"))
+    saver.flush()  # nothing left
