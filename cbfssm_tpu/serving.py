@@ -42,6 +42,21 @@ class CompiledPredictor:
         def fn(params, u, y, key):
             return model.predict(params, u, y, key, condition=condition)
 
+        # fail BEFORE the (expensive) AOT compile if the model's predict
+        # doesn't speak PredictOutput — e.g. VoliroSSM returns a plain
+        # dict (models/voliro.py predict) and cannot feed the batch
+        # predictors' .pred_mean/.replace contract. eval_shape only
+        # traces, so this costs a fraction of the compile it guards.
+        out_spec = jax.eval_shape(fn, params, u_spec, y_spec, key_spec)
+        if not hasattr(out_spec, "pred_mean"):
+            raise TypeError(
+                f"{type(model).__name__}.predict returns "
+                f"{type(out_spec).__name__}, not a PredictOutput; the "
+                "batch predictors (CompiledPredictor/BucketedPredictor/"
+                "MicroBatcher) support models with PredictOutput predict "
+                "(CBFSSM/CBFSSMHALF/PRSSM)"
+            )
+
         self._compiled = (
             jax.jit(fn)
             .lower(params, u_spec, y_spec, key_spec)
@@ -57,10 +72,15 @@ class CompiledPredictor:
         dtype = self.model.dtype
         u = jnp.asarray(np.asarray(u), dtype=dtype)
         y = jnp.asarray(np.asarray(y), dtype=dtype)
-        if u.shape[:2] != (self.batch, self.seq_len):
-            raise ValueError(
-                f"compiled for shape {(self.batch, self.seq_len)}, got {u.shape[:2]}"
-            )
+        # validate FULL shapes of both inputs up front — a feature-dim
+        # mismatch would otherwise die inside the AOT executable with a
+        # misleading compiled-signature error
+        want_u = (self.batch, self.seq_len, self.model.dim_u)
+        want_y = (self.batch, self.seq_len, self.model.dim_y)
+        if u.shape != want_u:
+            raise ValueError(f"compiled for u {want_u}, got {u.shape}")
+        if y.shape != want_y:
+            raise ValueError(f"compiled for y {want_y}, got {y.shape}")
         return self._compiled(self.params, u, y, key if key is not None else self.key)
 
 
@@ -131,7 +151,17 @@ class StreamingFilter:
 
     def load_state(self, state) -> None:
         x, t = state
-        self._x = None if x is None else jnp.asarray(x, self.model.dtype)
+        if x is not None:
+            x = jnp.asarray(x, self.model.dtype)
+            want = (self.batch, self.model.samples, self.model.dim_x)
+            # same validation policy as FilterPool.load_state: a
+            # mismatched ensemble would otherwise fail deep inside the
+            # AOT step (or silently compile a wrong-shape forecast)
+            if x.shape != want:
+                raise ValueError(
+                    f"ensemble must be {want} for this filter, got {x.shape}"
+                )
+        self._x = x
         self._t = int(t)
 
     def _require_started(self):
@@ -190,6 +220,12 @@ class StreamingFilter:
         self._require_started()
         dtype = self.model.dtype
         u = jnp.asarray(np.asarray(u_future), dtype=dtype)
+        if u.ndim != 3 or u.shape[0] != self.batch or \
+                u.shape[2] != self.model.dim_u:
+            raise ValueError(
+                f"u_future must be [{self.batch}, H, {self.model.dim_u}], "
+                f"got {u.shape}"
+            )
         h = u.shape[1]
         if h not in self._forecast_c:
             model = self.model
@@ -585,9 +621,7 @@ class BucketedPredictor:
         than every observed size chunk through the top bucket at serve
         time (near-flat cost), so the plan covers max(sizes) exactly.
         """
-        import numpy as _np
-
-        sizes = _np.asarray(sizes, dtype=_np.int64).ravel()
+        sizes = np.asarray(sizes, dtype=np.int64).ravel()
         if sizes.size == 0:
             raise ValueError("need at least one observed request size")
         if (sizes < 1).any():
@@ -595,14 +629,14 @@ class BucketedPredictor:
         if max_buckets < 1:
             raise ValueError("max_buckets must be >= 1")
         c0, c1 = cost if cost is not None else BucketedPredictor.MEASURED_COST
-        uniq, counts = _np.unique(sizes, return_counts=True)
+        uniq, counts = np.unique(sizes, return_counts=True)
         s = len(uniq)
         k = min(int(max_buckets), s)
-        csum = _np.concatenate(([0], _np.cumsum(counts)))  # prefix counts
+        csum = np.concatenate(([0], np.cumsum(counts)))  # prefix counts
         inf = float("inf")
-        dp = _np.full((s + 1, k + 1), inf)
+        dp = np.full((s + 1, k + 1), inf)
         dp[0, 0] = 0.0
-        cut = _np.zeros((s + 1, k + 1), dtype=_np.int64)
+        cut = np.zeros((s + 1, k + 1), dtype=np.int64)
         for j in range(1, s + 1):
             bucket_cost = c0 + c1 * float(uniq[j - 1])
             for m in range(1, k + 1):
@@ -611,7 +645,7 @@ class BucketedPredictor:
                     if cand < dp[j, m]:
                         dp[j, m] = cand
                         cut[j, m] = i
-        m = int(_np.argmin(dp[s, 1:])) + 1  # more buckets never cost more
+        m = int(np.argmin(dp[s, 1:])) + 1  # more buckets never cost more
         buckets = []
         j = s
         while m > 0:
@@ -625,20 +659,18 @@ class BucketedPredictor:
         """Mean per-request dispatch cost of a ladder under the cost
         model (chunked through the top bucket above it) — the quantity
         :meth:`plan_buckets` minimizes, exposed for tests/tuning."""
-        import numpy as _np
-
         c0, c1 = cost if cost is not None else BucketedPredictor.MEASURED_COST
         buckets = sorted(set(int(b) for b in buckets))
         top = buckets[-1]
         total = 0.0
-        for n in _np.asarray(sizes, dtype=_np.int64).ravel():
+        for n in np.asarray(sizes, dtype=np.int64).ravel():
             n = int(n)
             full, rest = divmod(n, top)
             total += full * (c0 + c1 * top)
             if rest:
                 b = next(b for b in buckets if b >= rest)
                 total += c0 + c1 * b
-        return total / max(1, _np.asarray(sizes).size)
+        return total / max(1, np.asarray(sizes).size)
 
     @classmethod
     def from_histogram(cls, model, params, seq_len: int, sizes,
@@ -670,16 +702,18 @@ class BucketedPredictor:
     def __call__(self, u, y, key=None):
         u = np.asarray(u)
         y = np.asarray(y)
-        if u.ndim != 3 or u.shape[1] != self.seq_len:
+        if u.ndim != 3 or u.shape[1:] != (self.seq_len, self.model.dim_u):
             raise ValueError(
-                f"expected [n, {self.seq_len}, dim_u] input, got {u.shape}"
+                f"expected [n, {self.seq_len}, {self.model.dim_u}] input, "
+                f"got {u.shape}"
             )
-        if y.ndim != 3 or y.shape[:2] != u.shape[:2]:
+        if y.ndim != 3 or y.shape != (u.shape[0], self.seq_len,
+                                      self.model.dim_y):
             # a mismatched y would otherwise fail deep inside the AOT
             # executable with a misleading compiled-signature error
             raise ValueError(
-                f"y must be [{u.shape[0]}, {self.seq_len}, dim_y] to match "
-                f"u, got {y.shape}"
+                f"y must be [{u.shape[0]}, {self.seq_len}, "
+                f"{self.model.dim_y}] to match u, got {y.shape}"
             )
         if u.shape[0] == 0:
             raise ValueError("need at least one sequence per request")
@@ -702,10 +736,15 @@ class BucketedPredictor:
             )
         )
         # the per-chunk scalar mse aggregated pad/chunk-wise is not the
-        # request-level number; recompute over the real rows
+        # request-level number; recompute over the real rows. Keep the
+        # host copy in the returned tree: downstream host consumers
+        # (MicroBatcher's fan-out) would otherwise transfer pred_mean a
+        # second time.
         pred_mean = np.asarray(out.pred_mean)
         mse = float(np.mean((pred_mean - y[..., : pred_mean.shape[-1]]) ** 2))
-        return out.replace(mse=jnp.asarray(mse, dtype=pred_mean.dtype))
+        return out.replace(
+            pred_mean=pred_mean, mse=jnp.asarray(mse, dtype=pred_mean.dtype)
+        )
 
 
 class MicroBatcher:
@@ -723,9 +762,12 @@ class MicroBatcher:
     predictor call, and fans the rows back out to the futures.
 
     The wrapped ``predictor`` must accept ``(u [n, T, du], y [n, T,
-    dy], key)`` for any ``n >= 1`` — i.e. a :class:`BucketedPredictor`
-    (the intended pairing: coalesced batch sizes vary with load, which
-    is exactly what its bucket ladder absorbs).
+    dy], key)`` for any ``n >= 1`` AND expose ``.model`` (with
+    ``dtype``/``dim_u``/``dim_y``) and ``.seq_len`` — submit() uses
+    them to validate/cast requests up front. A
+    :class:`BucketedPredictor` is the intended pairing: coalesced batch
+    sizes vary with load, which is exactly what its bucket ladder
+    absorbs.
 
     All device work happens on the dispatcher thread (one JAX client,
     no cross-thread dispatch races). Each batch uses an independent

@@ -243,3 +243,31 @@ class TestPlanBuckets:
         out = pred(u, y)
         assert out.pred_mean.shape == (3, 8, 1)
         assert np.isfinite(np.asarray(out.pred_mean)).all()
+
+
+def test_batch_predictor_rejects_dict_predict_models(rng):
+    """VoliroSSM's predict returns a plain dict, not a PredictOutput —
+    the batch predictors must reject it at CONSTRUCTION (before the
+    expensive AOT compile), not die with AttributeError after the
+    first dispatch."""
+    from cbfssm_tpu.models import Voliro
+    from tests.test_other_models import voliro_config
+
+    model = Voliro(voliro_config())
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(TypeError, match="PredictOutput"):
+        CompiledPredictor(model, params, batch=1, seq_len=4)
+
+
+def test_compiled_predictor_feature_dim_guard(rng):
+    """Feature-dim mismatches must raise the clear ValueError, not an
+    AOT compiled-signature error."""
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = CompiledPredictor(model, params, batch=2, seq_len=8)
+    u = rng.normal(size=(2, 8, model.dim_u))
+    y = rng.normal(size=(2, 8, model.dim_y))
+    with pytest.raises(ValueError, match="compiled for u"):
+        pred(rng.normal(size=(2, 8, model.dim_u + 1)), y)
+    with pytest.raises(ValueError, match="compiled for y"):
+        pred(u, rng.normal(size=(2, 8, model.dim_y + 1)))

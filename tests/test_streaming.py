@@ -122,3 +122,27 @@ def test_prefix_shape_guard(setup):
     f = StreamingFilter(model, params, batch=2)
     with pytest.raises(ValueError, match="prefix shape"):
         f.start(u[:, :3], y[:, :3])  # recog_len is 4
+
+
+def test_load_state_validates_ensemble_shape(setup):
+    model, params, u, y = setup
+    f = StreamingFilter(model, params, batch=2)
+    r = int(model.config.recog_len)
+    f.start(u[:, :r], y[:, :r])
+    saved = f.state
+    with pytest.raises(ValueError, match="ensemble must be"):
+        f.load_state((saved[0][:1], saved[1]))  # wrong batch
+    f.load_state(saved)  # the real state still loads
+
+
+def test_forecast_shape_guard(setup):
+    """A u_future missing its batch dim must raise the clear error, not
+    poison the per-horizon executable cache with a bogus shape."""
+    model, params, u, y = setup
+    f = StreamingFilter(model, params, batch=2)
+    r = int(model.config.recog_len)
+    f.start(u[:, :r], y[:, :r])
+    with pytest.raises(ValueError, match="u_future must be"):
+        f.forecast(u[0, :4])  # [H, du], batch dim forgotten
+    mean, var = f.forecast(u[:, :4])  # correct shape still works
+    assert mean.shape[0] == 2
