@@ -53,7 +53,7 @@ def _check_dsmanager_file(data_dir, filename, dim_u, dim_y, min_len):
     )
 
 
-def _check_task(data_dir, task_name, filename):
+def _check_task(data_dir, task_name, filename, dim_u, dim_y):
     from cbfssm_tpu.data.system_id_tasks import TASK_LOADERS, validate_task
 
     path = os.path.join(data_dir, filename)
@@ -63,6 +63,13 @@ def _check_task(data_dir, task_name, filename):
         task = validate_task(TASK_LOADERS[task_name](data_dir), task_name)
     except Exception as exc:
         return CheckResult(filename, False, f"invalid: {exc}")
+    got_u = task.train_in[0].shape[1]
+    got_y = task.train_out[0].shape[1]
+    if (got_u, got_y) != (dim_u, dim_y):
+        return CheckResult(
+            filename, False,
+            f"dims (u{got_u}, y{got_y}) != expected (u{dim_u}, y{dim_y})",
+        )
     n_tr = sum(len(e) for e in task.train_in)
     n_te = sum(len(e) for e in task.test_in)
     return CheckResult(
@@ -96,10 +103,13 @@ def _check_voliro_log(data_dir, filename, end_idx):
         n = len(raw["dataset"]["TIME_StartTime"][0][0].T[0])
     except Exception as exc:
         return CheckResult(filename, False, f"malformed TIME channel: {exc}")
-    if n < end_idx:
+    if n <= end_idx:
+        # the loader reads t[end_idx] itself for dt (voliro_loader.py),
+        # so exactly end_idx rows still fails — require end_idx + 1
         return CheckResult(
             filename, False,
-            f"{n} log rows < {end_idx} (the reference crop range)",
+            f"{n} log rows <= {end_idx} (the reference crop range reads "
+            f"index {end_idx})",
         )
     return CheckResult(filename, True, f"{n} log rows, all {len(_LOG_KEYS)} keys")
 
@@ -110,15 +120,18 @@ def check_experiment(experiment: str, data_dir: str | None = None):
     Returns a list of :class:`CheckResult` (one per required file).
     """
     data_dir = data_dir or _default_dir()
+    # min_len = split + the driver's seq_len: the test split must hold
+    # at least one full window or rnn_batches asserts deep in windowing
+    # (spring: split 5000, seq 50; robomove: split 25000, seq 300)
     if experiment == "spring":
         return [
-            _check_dsmanager_file(data_dir, "spring_nonlinear.mat", 1, 1, 5001)
+            _check_dsmanager_file(data_dir, "spring_nonlinear.mat", 1, 1, 5050)
         ]
     if experiment == "robomove":
-        return [_check_dsmanager_file(data_dir, "robomove.mat", 2, 2, 25001)]
+        return [_check_dsmanager_file(data_dir, "robomove.mat", 2, 2, 25300)]
     if experiment == "smallscale":
         return [
-            _check_task(data_dir, name, fname)
+            _check_task(data_dir, name, fname, 1, 1)
             for name, fname in (
                 ("actuator", "actuator.mat"),
                 ("ballbeam", "ballbeam.dat"),
@@ -128,7 +141,7 @@ def check_experiment(experiment: str, data_dir: str | None = None):
             )
         ]
     if experiment == "sarcos":
-        return [_check_task(data_dir, "sarcos", "sarcos_inv.mat")]
+        return [_check_task(data_dir, "sarcos", "sarcos_inv.mat", 7, 7)]
     if experiment == "voliro":
         # reference crop ranges: tilt 1500:3800, flip 17600:20172
         return [

@@ -8,6 +8,8 @@ plus windowed batches via :class:`~cbfssm_tpu.data.base.BaseDS`.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from cbfssm_tpu.data.base import BaseDS
@@ -28,6 +30,30 @@ class SystemIdDS(BaseDS):
         if data_dir is not None:
             self.data_path = data_dir
         task = TASK_LOADERS[self.task_name](self.data_path)
+        # Fail HERE with clear messages on malformed staged files: a
+        # wrong channel count would otherwise silently re-interleave
+        # samples in the reshape below, and ragged experiment lengths
+        # (truncated raw file) crash np.asarray with an obscure
+        # 'inhomogeneous shape' error.
+        for split, ins, outs in (("train", task.train_in, task.train_out),
+                                 ("test", task.test_in, task.test_out)):
+            for arrs, want, tag in ((ins, self.dim_u, "u"),
+                                    (outs, self.dim_y, "y")):
+                cols = {
+                    (np.asarray(a).shape[1] if np.asarray(a).ndim > 1 else 1)
+                    for a in arrs
+                }
+                if cols != {want}:
+                    raise ValueError(
+                        f"{self.task_name}: staged {split} {tag}-data has "
+                        f"{sorted(cols)} channel(s); this task needs {want}"
+                    )
+            lens = {np.asarray(a).shape[0] for a in ins}
+            if len(lens) > 1:
+                raise ValueError(
+                    f"{self.task_name}: {split} experiments have unequal "
+                    f"lengths {sorted(lens)} — staged raw file truncated?"
+                )
         data_in = np.concatenate(task.train_in, axis=0).reshape(-1, self.dim_u)
         data_out = np.concatenate(task.train_out, axis=0).reshape(-1, self.dim_y)
         self.normalize_init(data_in, data_out)
@@ -86,7 +112,9 @@ class DSManagerDS(BaseDS):
         super().__init__(seq_len, seq_stride)
         if data_dir is not None:
             self.data_path = data_dir
-        u_data, _, y_data = DSManager.load_ds(self.data_path + self.filename)
+        u_data, _, y_data = DSManager.load_ds(
+            os.path.join(self.data_path, self.filename)
+        )
         if self.y_crop is not None:
             y_data = y_data[:, : self.y_crop]
         self.normalize_init(u_data, y_data)
@@ -144,9 +172,13 @@ class VoliroDS(BaseDS):
         if data_dir is not None:
             self.data_path = data_dir
 
-        ds1 = VoliroLog(self.data_path + "voliro_tilt.mat", 1500, 3800)
+        ds1 = VoliroLog(
+            os.path.join(self.data_path, "voliro_tilt.mat"), 1500, 3800
+        )
         u_data1, y_data1, battery1 = self._assemble(ds1)
-        ds2 = VoliroLog(self.data_path + "voliro_flip.mat", 17600, 20172)
+        ds2 = VoliroLog(
+            os.path.join(self.data_path, "voliro_flip.mat"), 17600, 20172
+        )
         u_data2, y_data2, battery2 = self._assemble(ds2)
 
         # Battery voltage influence on delivered PWM thrust.
@@ -161,12 +193,22 @@ class VoliroDS(BaseDS):
         self.mean["out"] = np.zeros(self.dim_y)
         self.std["out"] = np.ones(self.dim_y)
 
+        # defer the stats print until after the last-window drop below,
+        # so the logged sequence counts match what actually trains
+        self._defer_stats = True
         self._save(u_data1, y_data1, u_data2, y_data2)
 
         self.train_in_batch = self.train_in_batch[:-1]
         self.train_out_batch = self.train_out_batch[:-1]
         self.test_in_batch = self.test_in_batch[:-1]
         self.test_out_batch = self.test_out_batch[:-1]
+        self._defer_stats = False
+        self.print_stats()
+
+    def print_stats(self) -> None:
+        if getattr(self, "_defer_stats", False):
+            return
+        super().print_stats()
 
     def _assemble(self, log: VoliroLog):
         u = np.concatenate((log.pwmup, log.tilt, log.timesteps[:, None]), axis=1)

@@ -108,6 +108,16 @@ def validate_task(task: "TaskData", name: str = "task") -> "TaskData":
                     f"from experiment 0 ({u.shape[1]} vs {ins[0].shape[1]} in, "
                     f"{y.shape[1]} vs {outs[0].shape[1]} out)"
                 )
+            if u.shape[0] != ins[0].shape[0]:
+                # the published layouts slice equal-length experiments; a
+                # ragged tail block means a truncated raw file and would
+                # crash np.asarray downstream with an obscure
+                # 'inhomogeneous shape' error
+                raise ValueError(
+                    f"{name}: {split} experiment {i} length {u.shape[0]} "
+                    f"differs from experiment 0 ({ins[0].shape[0]}) — raw "
+                    "file likely truncated"
+                )
             if not (np.isfinite(u).all() and np.isfinite(y).all()):
                 raise ValueError(
                     f"{name}: {split} experiment {i} contains non-finite values"

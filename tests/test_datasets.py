@@ -327,3 +327,12 @@ def test_spring_nonlinear_simulator(rng):
     np.testing.assert_allclose(y[:, 0], x[:, 0], atol=1e-4)
     # tanh nonlinearity: input saturates, dynamics stay bounded over 50 steps
     assert np.abs(x).max() < 1e3
+
+
+def test_data_dir_without_trailing_separator(dsmanager_dir):
+    """data_dir without a trailing slash must work for the
+    path-concatenating dataset families (regression: string concat
+    produced '/tmp/xrobomove.mat' while --check-data passed)."""
+    ds = RoboMove(seq_len=100, seq_stride=50,
+                  data_dir=dsmanager_dir.rstrip("/"))
+    assert ds.train_in_batch.shape[0] > 0
