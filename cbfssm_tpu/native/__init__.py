@@ -77,6 +77,14 @@ def window_gather(x: np.ndarray, starts: np.ndarray, win_len: int) -> np.ndarray
     x = np.ascontiguousarray(x, dtype=np.float64)
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     e, t, d = x.shape
+    # bounds-check HERE so both paths fail loudly and identically: the
+    # C gather does no validation (an out-of-range start would memcpy
+    # past the input buffer), while the numpy fallback raises
+    if len(starts) and (starts.min() < 0 or int(starts.max()) + win_len > t):
+        raise IndexError(
+            f"window [{int(starts.min())}, {int(starts.max())}+{win_len}) "
+            f"out of bounds for time axis of length {t}"
+        )
     lib = load()
     if lib is None:
         idx = starts[:, None] + np.arange(win_len)[None, :]

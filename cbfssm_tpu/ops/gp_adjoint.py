@@ -54,6 +54,7 @@ Validated against reverse-mode autodiff in float64 (tests/test_adjoint.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cbfssm_tpu.ops import kernels
@@ -137,8 +138,6 @@ def deferred_cache_grads(cache, pre, gp_in, d_gm0, d_gv0, precision=None):
     zeros elsewhere — autodiff then pulls these back through
     ``gp.precompute`` to the parameters.
     """
-    import jax
-
     precision = kernels.HIGHEST if precision is None else precision
     knm, w, xs = pre["knm"], pre["w"], pre["xs"]
     ls = cache.kern_len

@@ -233,7 +233,14 @@ def _bwd(res, cotangents):
         - s * w
     )  # [N, M]
     d_kvar = jnp.sum(gv * active) + jnp.sum(d_kmn * kmn) / kvar
-    d_d2 = -0.5 * kmn * d_kmn  # [N, M]
+    # The forward clamps d2 = max(d2raw, 0); where the clamp is active
+    # (coincident query/inducing points once lengthscales sharpen) the
+    # true gradient through d2 is zero — recompute the strict mask
+    # (one [N, M] matmul) exactly as ops/gp_adjoint.py's d2pos does.
+    xn = jnp.sum(jnp.square(xs), axis=-1, keepdims=True)  # [N, 1]
+    zn = jnp.sum(jnp.square(zs), axis=-1)  # [M]
+    d2raw = xn - 2.0 * jnp.matmul(xs, zs.T, precision=hp) + zn[None, :]
+    d_d2 = jnp.where(d2raw > 0.0, -0.5 * kmn * d_kmn, 0.0)  # [N, M]
     d_xs = 2.0 * (
         jnp.sum(d_d2, axis=-1, keepdims=True) * xs
         - jnp.matmul(d_d2, zs, precision=hp)

@@ -25,9 +25,17 @@ def match_vma(x, *likes):
     (particle-varying) and the data (data-varying)."""
     try:
         have = jax.typeof(x).vma
-        want = frozenset().union(*(jax.typeof(v).vma for v in likes)) - have
     except AttributeError:  # older jax without vma tracking
         return x
+    want = frozenset()
+    for v in likes:
+        try:
+            want |= jax.typeof(v).vma
+        except AttributeError:
+            # a python scalar among the likes has no vma — skip it
+            # rather than silently disabling promotion for the rest
+            continue
+    want = want - have
     if want:
         x = jax.lax.pcast(x, tuple(want), to="varying")
     return x

@@ -76,6 +76,19 @@ class ParticleParallel:
          "particle_divisor"}
     )
 
+    def _shard_key(self, key):
+        """Per-shard RNG fold, unique over the (particle, data) shard
+        GRID — folding only the particle index would hand every data
+        shard at the same particle position bitwise-identical noise, so
+        batch rows on different data shards would be noise-correlated
+        (the unsharded model draws independently per row)."""
+        idx = jax.lax.axis_index(self.axis_name)
+        if self.data_axis:
+            idx = idx + self.mesh.shape[self.axis_name] * jax.lax.axis_index(
+                self.data_axis
+            )
+        return jax.random.fold_in(key, idx)
+
     def loss(self, params, u, y, key, condition: bool = True, weights=None):
         """Sharded negative ELBO + full aux parity. Statistically
         equivalent to the unsharded model (same particle count in total;
@@ -95,8 +108,7 @@ class ParticleParallel:
         divisor_total = float(self.total_samples) if normalized else 1.0
 
         def shard_fn(params, u, y, key, weights):
-            idx = jax.lax.axis_index(axis)
-            skey = jax.random.fold_in(key, idx)
+            skey = self._shard_key(key)
             _, aux = local.loss(params, u, y, skey, condition, weights)
 
             def total(v):

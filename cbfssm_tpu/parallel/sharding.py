@@ -24,6 +24,14 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     """1-D mesh over the first ``n_devices`` available devices."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # slicing would silently build a SMALLER mesh — a quiet
+            # configuration change (different shard counts) instead of
+            # the loud failure a mis-sized request deserves
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devices)} "
+                "device(s) available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

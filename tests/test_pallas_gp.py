@@ -114,3 +114,48 @@ def test_pallas_kernel_interpret_mode(rng):
     np.testing.assert_allclose(np.asarray(rv), np.asarray(want_var), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(rkmn), np.asarray(want_kmn), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(rw), np.asarray(want_w), rtol=2e-5, atol=1e-5)
+
+
+def test_analytic_vjp_masks_d2_clamp(rng):
+    """Queries NEARLY coincident with large-norm inducing points drive
+    d2raw = xn - 2*cross + zn negative by float cancellation while
+    xs != zs; the forward clamps d2 to 0 there, so the gradient through
+    d2 must be zero, matching autodiff — regression: the analytic
+    backward used to propagate -0.5*kmn*d_kmn through clamped entries
+    (an O(|xs - zs|) error). Exact coincidence would NOT catch this:
+    the erroneous term is proportional to (xs - zs)."""
+    rng = np.random.default_rng(0)  # pinned: gives clamps but no ties
+    x, zs, inv_ls, kvar, kinv, alpha, var_q = make_inputs(rng, n=6)
+    # large-norm inducing points + tiny query offsets: true d2 ~ 1e-10
+    # is at the ~eps*|xn| cancellation noise, so some d2raw go negative
+    # with xs strictly != zs. Exact-zero TIES are excluded below — at a
+    # tie jnp.maximum's autodiff subgradient (1/2) legitimately differs
+    # from the strict mask (same convention as ops/gp_adjoint.py).
+    zs = zs + 1e3
+    x = (zs[0:6] + rng.normal(size=x.shape) * 1e-5) / inv_ls
+    xs = x * inv_ls
+    d2raw = (
+        jnp.sum(xs**2, -1)[:, None]
+        - 2.0 * jnp.matmul(xs, zs.T, precision=jax.lax.Precision.HIGHEST)
+        + jnp.sum(zs**2, -1)[None, :]
+    )
+    assert int((d2raw < 0).sum()) > 0, "test setup: clamp never engaged"
+    assert int((d2raw == 0).sum()) == 0, "test setup: tie entries present"
+    assert (np.asarray(xs[:6]) != np.asarray(zs[:6])).all()
+
+    def ref(*args):
+        mean, var, _ = gp_predict._reference_forward(*args)
+        return mean, var
+
+    gm = jnp.asarray(rng.normal(size=(6, 3)))
+    gv = jnp.asarray(rng.normal(size=(6, 3)))
+    inputs = (x, zs, inv_ls, kvar, kinv, alpha, var_q)
+    _, vjp_ref = jax.vjp(ref, *inputs)
+    want = vjp_ref((gm, gv))
+    _, vjp_fused = jax.vjp(gp_predict.fused_predict, *inputs)
+    got = vjp_fused((gm, gv))
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-7, atol=1e-10,
+            err_msg=f"arg {i}",
+        )

@@ -181,3 +181,23 @@ def test_hand_adjoint_composes_with_particle_shard_map(rng):
         grads["hand"],
         grads["autodiff"],
     )
+
+
+def test_shard_keys_unique_over_both_axes(rng):
+    """On a ('data', 'particle') mesh, every shard of the GRID must fold
+    a DISTINCT RNG key — regression: folding only the particle index
+    handed every data shard at the same particle position identical
+    noise, correlating batch rows across data shards."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "particle"))
+    pp = ParticleParallel(CBFSSM, cbfssm_cfg(), mesh, data_axis="data")
+    keys = jax.shard_map(
+        lambda k: jax.random.key_data(pp._shard_key(k))[None],
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(("data", "particle")),
+    )(jax.random.PRNGKey(0))
+    keys = np.asarray(keys)  # [8, key_words]
+    assert len({tuple(k) for k in keys}) == 8
