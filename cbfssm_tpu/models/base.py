@@ -44,6 +44,12 @@ def moments_over_samples(x):
 class BaseSSM:
     """Common config handling + loss/prediction helpers."""
 
+    # gradient schedules a concrete model actually implements; models
+    # override to advertise 'hand' / 'parallel' (base validates the
+    # request against this so an unimplemented schedule fails loudly
+    # instead of silently running autodiff)
+    SUPPORTED_ADJOINTS = frozenset({"auto", "autodiff"})
+
     def __init__(self, config):
         self.config = as_config(config)
         self.dtype = jnp.dtype(self.config.dtype)
@@ -57,6 +63,16 @@ class BaseSSM:
             raise ValueError(
                 "adjoint must be 'auto', 'autodiff', 'hand', or "
                 f"'parallel', got {self.config.adjoint!r}"
+            )
+        supported = type(self).SUPPORTED_ADJOINTS
+        if self.config.adjoint not in supported:
+            # fail loudly: a model that never reads the flag would
+            # otherwise silently train with autodiff while the user
+            # benchmarks what they believe is the requested schedule
+            raise ValueError(
+                f"{type(self).__name__} does not implement "
+                f"adjoint={self.config.adjoint!r} (supported: "
+                f"{sorted(supported)})"
             )
         # The hand-derived adjoint pullbacks target the solve-free
         # predict math; the Pallas predict path has its own custom VJP.
@@ -96,8 +112,6 @@ class BaseSSM:
         """Validate config noise-vector lengths early with a clear error
         (shape mismatches otherwise surface as cryptic trace errors).
         Usage: self._check_noise_lengths(var_x=dim_x, var_y=dim_y)."""
-        import numpy as np
-
         for name, want in expected.items():
             value = np.asarray(getattr(self.config, name))
             if value.ndim != 1 or value.shape[0] != want:

@@ -46,6 +46,7 @@ class CBFSSM(BaseSSM):
     # loss-time continuous config fields this model actually reads
     # (sweepable via training.sweep.SweepTrainer)
     SWEEPABLE_HYPERS = frozenset({"loss_factors", "k_factor"})
+    SUPPORTED_ADJOINTS = frozenset({"auto", "autodiff", "hand"})
     # aux entries that are functions of the (replicated) parameters only
     # — parallel.ParticleParallel must NOT psum these across shards
     REPLICATED_AUX = frozenset(
@@ -332,13 +333,13 @@ class CBFSSM(BaseSSM):
         kl_zf = gp.prior_kl(params.gp_f, cache_f)
         kl_zb = gp.prior_kl(params.gp_b, cache_b)
         per_seq = lam1 * (loglik - kl_x) + lam2 * entropy
-        particle_sum = jnp.dot(per_seq, weights)
+        particle_sum = jnp.dot(per_seq, weights, precision=jax.lax.Precision.HIGHEST)
         global_term = -kl_zf - kl_zb
         elbo = particle_sum / self.samples + global_term
         aux = {
-            "loglik": jnp.dot(loglik, weights),
-            "kl_x": jnp.dot(kl_x, weights),
-            "entropy": jnp.dot(entropy, weights),
+            "loglik": jnp.dot(loglik, weights, precision=jax.lax.Precision.HIGHEST),
+            "kl_x": jnp.dot(kl_x, weights, precision=jax.lax.Precision.HIGHEST),
+            "entropy": jnp.dot(entropy, weights, precision=jax.lax.Precision.HIGHEST),
             "kl_z_f": kl_zf,
             "kl_z_b": kl_zb,
             # ELBO decomposition for particle-parallel recombination:

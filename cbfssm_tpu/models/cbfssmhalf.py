@@ -40,6 +40,14 @@ class CBFSSMHALF(BaseSSM):
         super().__init__(config)
         self.dim_x = int(self.config.dim_x)
         self._check_noise_lengths(var_x=self.dim_x, var_y=self.dim_y)
+        if self.dim_x < self.dim_y:
+            # fail early with context: the zero-pad of observations up
+            # to dim_x (and the recognition nets) would otherwise crash
+            # deep inside a trace with a negative pad width
+            raise ValueError(
+                f"{type(self).__name__} needs dim_x >= dim_y, got "
+                f"dim_x={self.dim_x} < dim_y={self.dim_y}"
+            )
         kind = self.config.recog_model if self.config.recog_model else "rnn"
         if kind == "conv":
             raise ValueError("CBFSSMHALF supports 'output' and 'rnn' recognition")
@@ -173,12 +181,12 @@ class CBFSSMHALF(BaseSSM):
             weights = jnp.ones(y_tm.shape[1], dtype=self.dtype)
         lam1 = jnp.asarray(cfg.loss_factors[0], dtype=self.dtype)
         kl_zf = gp.prior_kl(params.gp_f, cache_f)
-        particle_sum = lam1 * jnp.dot(loglik - kl_x, weights)
+        particle_sum = lam1 * jnp.dot(loglik - kl_x, weights, precision=jax.lax.Precision.HIGHEST)
         global_term = -kl_zf
         elbo = particle_sum / self.samples + global_term
         aux = {
-            "loglik": jnp.dot(loglik, weights),
-            "kl_x": jnp.dot(kl_x, weights),
+            "loglik": jnp.dot(loglik, weights, precision=jax.lax.Precision.HIGHEST),
+            "kl_x": jnp.dot(kl_x, weights, precision=jax.lax.Precision.HIGHEST),
             "kl_z_f": kl_zf,
             "particle_sum": particle_sum,
             "particle_divisor": jnp.asarray(float(self.samples), dtype=self.dtype),

@@ -47,6 +47,14 @@ class PRSSM(BaseSSM):
         super().__init__(config)
         self.dim_x = int(self.config.dim_x)
         self._check_noise_lengths(var_x=self.dim_x, var_y=self.dim_y)
+        if self.dim_x < self.dim_y:
+            # fail early with context: the zero-pad of observations up
+            # to dim_x (and the recognition nets) would otherwise crash
+            # deep inside a trace with a negative pad width
+            raise ValueError(
+                f"{type(self).__name__} needs dim_x >= dim_y, got "
+                f"dim_x={self.dim_x} < dim_y={self.dim_y}"
+            )
         self.recog_kind = self.config.recog_model
         self.recog_module = recognition.make_recognition(
             self.recog_kind, self.dim_x, self.dtype
@@ -140,13 +148,13 @@ class PRSSM(BaseSSM):
             weights = jnp.ones(y_tm.shape[1], dtype=self.dtype)
         lam1 = jnp.asarray(self.config.loss_factors[0], dtype=self.dtype)
         kl_z = gp.prior_kl(params.gp_f, cache_f)
-        particle_sum = lam1 * jnp.dot(loglik, weights)
+        particle_sum = lam1 * jnp.dot(loglik, weights, precision=jax.lax.Precision.HIGHEST)
         global_term = -kl_z
         # faithful to the reference: the particle sum is NOT divided by
         # the particle count (prssm.py:96-97)
         elbo = particle_sum + global_term
         aux = {
-            "loglik": jnp.dot(loglik, weights),
+            "loglik": jnp.dot(loglik, weights, precision=jax.lax.Precision.HIGHEST),
             "kl_z": kl_z,
             "particle_sum": particle_sum,
             "particle_divisor": jnp.asarray(1.0, dtype=self.dtype),

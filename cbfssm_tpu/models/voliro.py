@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from cbfssm_tpu.models.base import LOG_2PI_E, BaseSSM
+from cbfssm_tpu.models.base import LOG_2PI_E, BaseSSM, moments_over_samples
 from cbfssm_tpu.ops import gp, parallel_vjp, quaternion, transforms, vma
 from cbfssm_tpu.ops.distributions import beta_logpdf, kl_diag_gaussians
 
@@ -66,6 +66,7 @@ class Voliro(BaseSSM):
     # loss-time fields this model reads (SweepTrainer whitelist):
     # Voliro uses loglik_factor + Beta priors, not loss_factors/k_factor
     SWEEPABLE_HYPERS = frozenset({"loglik_factor", "n_beta", "l_beta"})
+    SUPPORTED_ADJOINTS = frozenset({"auto", "autodiff", "parallel"})
     # parameter-only aux entries (not psum-ed by ParticleParallel)
     REPLICATED_AUX = frozenset(
         {"kl_z_f", "kl_z_b", "n_reg", "l_reg", "global_term",
@@ -157,7 +158,13 @@ class Voliro(BaseSSM):
 
     def physical_model(self, local_coo):
         """Allocation-matrix force/torque [..., 6] (voliro.py:97-104)."""
-        ft = jnp.einsum("ij,...j->...i", self.alloc, local_coo)
+        # HIGHEST explicitly: forces/torques feed the integrator and the
+        # GP residual target; the default TPU matmul precision (bf16
+        # passes) would swamp them (same rationale as ops/kernels.py)
+        ft = jnp.einsum(
+            "ij,...j->...i", self.alloc, local_coo,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return ft * self.post_scale
 
     def infer_dt(self, u):
@@ -185,7 +192,7 @@ class Voliro(BaseSSM):
 
     # --- GP force correction -------------------------------------------
 
-    def gp_forces(self, params, cache_f, var_z, u_bt, key):
+    def gp_forces(self, cache_f, var_z, u_bt, key):
         """Batched force/torque distribution + particle samples for all
         timesteps at once (voliro.py:106-123).
 
@@ -309,7 +316,7 @@ class Voliro(BaseSSM):
         kz, kb, kf = jax.random.split(key, 3)
 
         ft_gp, ft_mean, ft_var, force_torque = self.gp_forces(
-            params, cache_f, var_z, u_bt, kz
+            cache_f, var_z, u_bt, kz
         )
         ft_gp_tm = jnp.transpose(ft_gp, (1, 0, 2, 3))  # [T, B, S, 6]
         yh_tm = self._time_major(self.out_to_hidden(y_bt))  # [T, B, 7]
@@ -348,13 +355,13 @@ class Voliro(BaseSSM):
 
         lam = [jnp.asarray(f, dtype=self.dtype) for f in cfg.loglik_factor[:3]]
         per_seq = lam[0] * (loglik - kl_x) + lam[1] * entropy
-        particle_sum = jnp.dot(per_seq, weights)
+        particle_sum = jnp.dot(per_seq, weights, precision=jax.lax.Precision.HIGHEST)
         global_term = lam[2] * (n_reg + l_reg) - kl_zf - kl_zb
         elbo = particle_sum / self.samples + global_term
         aux = {
-            "loglik": jnp.dot(loglik, weights),
-            "kl_x": jnp.dot(kl_x, weights),
-            "entropy": jnp.dot(entropy, weights),
+            "loglik": jnp.dot(loglik, weights, precision=jax.lax.Precision.HIGHEST),
+            "kl_x": jnp.dot(kl_x, weights, precision=jax.lax.Precision.HIGHEST),
+            "entropy": jnp.dot(entropy, weights, precision=jax.lax.Precision.HIGHEST),
             "kl_z_f": kl_zf,
             "kl_z_b": kl_zb,
             "n_reg": n_reg,
@@ -371,8 +378,8 @@ class Voliro(BaseSSM):
         Voliro evaluation plots (outputs_voliro.py:27-35)."""
         x_final, _, _, ex = self._rollout(params, u, y, key, condition)
         x_bt = jnp.transpose(x_final, (1, 0, 2, 3))
-        mean = jnp.mean(x_bt, axis=2)
-        var = jnp.mean(jnp.square(x_bt - mean[:, :, None, :]), axis=2) + ex["var_y"]
+        mean, var0 = moments_over_samples(x_bt)
+        var = var0 + ex["var_y"]
         return {
             "pred_mean": mean,
             "pred_var": var,

@@ -72,6 +72,10 @@ class StepTimer:
         self._timed_steps = 0
 
     def tick(self) -> None:
+        # start the clock when the warmup-th tick lands (warmup=0: on
+        # the first tick, BEFORE counting it as a timed step)
+        if self._count == self.warmup and self._t0 is None:
+            self._t0 = time.perf_counter()
         self._count += 1
         if self._count == self.warmup:
             self._t0 = time.perf_counter()

@@ -60,7 +60,7 @@ def main():
         cache_b = gp.precompute(params.gp_b, model.jitter)
         u_bt = jnp.asarray(u, model.dtype)
         kz, kb, kf = jax.random.split(key, 3)
-        ft_gp, *_ = model.gp_forces(params, cache_f, var_z, u_bt, kz)
+        ft_gp, *_ = model.gp_forces(cache_f, var_z, u_bt, kz)
         return var_x, var_y, cache_b, ft_gp, kb, kf
 
     def piece_forces(params, key):

@@ -309,3 +309,25 @@ def test_voliro_parallel_adjoint_trains(rng):
         losses[mode] = ls
     assert losses["parallel"][-1] < losses["parallel"][0]
     np.testing.assert_allclose(losses["parallel"], losses["autodiff"], rtol=1e-7)
+
+
+def test_unsupported_adjoint_rejected_at_construction():
+    """A model that doesn't implement the requested gradient schedule
+    must fail loudly at construction, not silently run autodiff."""
+    with pytest.raises(ValueError, match="does not implement"):
+        CBFSSMHALF(dict(half_config("rnn"), adjoint="hand"))
+    with pytest.raises(ValueError, match="does not implement"):
+        PRSSM(dict(prssm_config(), adjoint="parallel"))
+    with pytest.raises(ValueError, match="does not implement"):
+        Voliro(dict(voliro_config(), adjoint="hand"))
+    # supported combinations still construct
+    Voliro(dict(voliro_config(), adjoint="parallel"))
+
+
+def test_dim_x_smaller_than_dim_y_rejected():
+    """CBFSSMHALF/PRSSM zero-pad observations up to dim_x; dim_x < dim_y
+    must raise a clear config error, not a negative-pad trace crash."""
+    with pytest.raises(ValueError, match="dim_x >= dim_y"):
+        CBFSSMHALF(half_config("rnn", dim_x=0))
+    with pytest.raises(ValueError, match="dim_x >= dim_y"):
+        PRSSM(dict(prssm_config(), dim_x=0, var_x=np.zeros(0)))
