@@ -145,11 +145,15 @@ def measure(steps=STEPS, warmup=WARMUP):
     return float(np.median(rates))
 
 
-def cpu_baseline() -> float:
-    """Measure (or load cached) CPU-JAX steps/sec for the same step."""
+def cpu_baseline() -> tuple:
+    """Measure (or load cached) CPU-JAX steps/sec for the same step.
+    Returns (steps_per_sec, estimated): ``estimated`` is True only when
+    the measurement failed and the conservative fallback was used —
+    surfaced in the emitted JSON so a fallback-based vs_baseline can
+    never masquerade as a measured one."""
     if os.path.isfile(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["cpu_jax_steps_per_sec"]
+            return json.load(f)["cpu_jax_steps_per_sec"], False
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
@@ -165,10 +169,11 @@ def cpu_baseline() -> float:
         value = float(json.loads(out.stdout.strip().splitlines()[-1])["value"])
     except Exception as exc:  # measured fallback unavailable
         print(f"cpu baseline measurement failed ({exc}); using estimate", file=sys.stderr)
-        return 0.5  # conservative TF-1.8-CPU-like estimate, see module docstring
+        # conservative TF-1.8-CPU-like estimate, see module docstring
+        return 0.5, True
     with open(BASELINE_CACHE, "w") as f:
         json.dump({"cpu_jax_steps_per_sec": value}, f)
-    return value
+    return value, False
 
 
 def voliro_analytic_gflops() -> float:
@@ -305,6 +310,10 @@ def main():
     if not os.environ.get("CBFSSM_BENCH_NO_WATCHDOG"):
         _start_watchdog(stage)
     if os.environ.get("CBFSSM_BENCH_CPU_CHILD"):
+        # the child's first milestone IS the finished measurement; a
+        # slow cold CPU compile can exceed first_timeout (900 s) while
+        # the parent budgets 1800 s — only the total budget applies
+        stage["name"] = "cpu-child-measuring"
         sps = measure(steps=5, warmup=2)
         print(json.dumps({"metric": "cpu_child", "value": sps, "unit": "steps/sec"}))
         return
@@ -323,7 +332,7 @@ def main():
         time.sleep(60.0)
         sps = max(sps, measure())
     stage["name"] = "cpu-baseline"
-    base = cpu_baseline()
+    base, base_estimated = cpu_baseline()
     headline_only = bool(os.environ.get("CBFSSM_BENCH_HEADLINE_ONLY"))
     stage["name"] = "shapes"
     shapes = {} if headline_only else measure_cbfssm_shapes()
@@ -358,6 +367,9 @@ def main():
                 "value": round(sps, 3),
                 "unit": "steps/sec",
                 "vs_baseline": round(sps / base, 2),
+                # True only if the CPU baseline measurement failed and
+                # the conservative estimate was substituted
+                **({"baseline_estimated": True} if base_estimated else {}),
                 "steps_per_sec_300_per_dispatch": sps300,
                 "trainer_blocked_steps_per_sec": trainer_sps,
                 "analytic_gflop_per_step": round(gflops, 3),

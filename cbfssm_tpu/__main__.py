@@ -84,6 +84,14 @@ def cmd_reproduce(args) -> int:
     from scripts.driver_util import load_driver
 
     mod = load_driver(DRIVERS[args.experiment])
+    if args.task is not None:
+        n_tasks = len(getattr(mod, "datasets", ()))
+        if not 0 <= args.task < max(n_tasks, 1):
+            # reject out-of-range indices BEFORE any JAX startup cost,
+            # not as an IndexError deep inside the driver
+            print(f"error: --task must be in [0, {n_tasks}) for "
+                  f"{args.experiment}", file=sys.stderr)
+            return 2
     # drivers share a keyword vocabulary but not a full signature; pass
     # only what each main() accepts
     supported = set(inspect.signature(mod.main).parameters)
@@ -115,6 +123,11 @@ def cmd_bench(_args) -> int:
         print("error: bench.py not found (repo checkout required)",
               file=sys.stderr)
         return 2
+    # runpy does NOT add the script's directory to sys.path, and
+    # bench.py imports the repo's scripts/ package — without this,
+    # `python -m cbfssm_tpu bench` from outside the repo root dies with
+    # ModuleNotFoundError AFTER the expensive headline measurement
+    sys.path.insert(0, root)
     runpy.run_path(os.path.join(root, "bench.py"), run_name="__main__")
     return 0
 
