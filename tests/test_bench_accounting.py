@@ -40,8 +40,8 @@ def test_watchdog_fires_on_stalled_backend():
 
     code = (
         "import time, bench\n"
-        "bench._start_watchdog({'name': 'backend-init'}, first_timeout=0.5,"
-        " total_timeout=60, poll=0.2)\n"
+        "bench._start_watchdog({'name': 'backend-init'}, {},"
+        " first_timeout=0.5, total_timeout=60, poll=0.2)\n"
         "time.sleep(30)\n"
     )
     proc = subprocess.run(
@@ -52,3 +52,110 @@ def test_watchdog_fires_on_stalled_backend():
     )
     assert proc.returncode == 3
     assert "watchdog" in proc.stderr and "backend" in proc.stderr
+
+
+def test_watchdog_salvages_partial_results():
+    """A mid-run hang (e.g. a tunnel outage during the shapes stage)
+    must still emit the ONE parseable JSON line carrying every stage
+    measured before the hang — a round's perf record must survive a
+    transient outage (VERDICT r3 #1)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import time, bench\n"
+        "results = {'value': 591.2, 'vs_baseline': 21.3,"
+        " 'steps_per_sec_300_per_dispatch': 1191.0}\n"
+        "bench._start_watchdog({'name': 'shapes'}, results,"
+        " first_timeout=60, total_timeout=0.5, poll=0.2)\n"
+        "time.sleep(30)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=30,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 3
+    line = proc.stdout.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert payload["metric"] == "voliro_elbo_steps_per_sec"
+    assert payload["value"] == 591.2
+    assert payload["vs_baseline"] == 21.3
+    assert payload["steps_per_sec_300_per_dispatch"] == 1191.0
+    assert payload["stage"] == "shapes"
+    assert "exceeded" in payload["error"]
+
+
+def test_emit_json_orders_and_filters(capsys):
+    import json
+
+    import bench
+
+    payload = bench._emit_json({"value": 1.0, "vs_baseline": 2.0,
+                                "shapes": {"robomove": {}}})
+    out = capsys.readouterr().out.strip()
+    assert json.loads(out) == payload
+    assert "error" not in payload and "stage" not in payload
+    assert payload["shapes"] == {"robomove": {}}
+    # unmeasured optional fields stay absent (not null) so partial
+    # records are self-describing
+    assert "trainer_blocked_steps_per_sec" not in payload
+
+    payload = bench._emit_json({}, error="x" * 1000, stage="backend-probe")
+    capsys.readouterr()
+    assert payload["value"] is None
+    assert payload["stage"] == "backend-probe"
+    assert len(payload["error"]) == 500
+
+
+def test_probe_backend_succeeds_on_cpu():
+    """The bring-up probe must pass in a healthy environment (here the
+    CPU test env) — it inherits the ambient env so it probes whatever
+    backend bench.py itself would use."""
+    import bench
+
+    ok, diag = bench._probe_backend(timeout_s=240.0)
+    assert ok, diag
+    assert "probe-ok" in diag
+
+
+def test_wait_for_backend_bounded_retry(monkeypatch):
+    import bench
+
+    calls = []
+
+    def fake_probe(timeout_s):
+        calls.append(timeout_s)
+        return False, "rc=1: unreachable"
+
+    monkeypatch.setattr(bench, "_probe_backend", fake_probe)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    ok, attempts, diag = bench._wait_for_backend(
+        budget_s=10.0, probe_timeout=3.0, pause=4.0)
+    assert not ok
+    assert attempts == len(calls) >= 1
+    assert "unreachable" in diag
+
+    # recovery path: fails once, then the tunnel comes back
+    seq = iter([(False, "down"), (True, "probe-ok 8.0 axon")])
+    monkeypatch.setattr(bench, "_probe_backend", lambda t: next(seq))
+    ok, attempts, diag = bench._wait_for_backend(
+        budget_s=1000.0, probe_timeout=3.0, pause=0.0)
+    assert ok and attempts == 2
+
+
+def test_append_history_records_rev(tmp_path):
+    import json
+
+    import bench
+
+    path = tmp_path / "hist.jsonl"
+    bench._append_history({"metric": "m", "value": 1.5}, path=str(path))
+    bench._append_history({"metric": "m", "value": 2.5}, path=str(path))
+    lines = path.read_text().strip().splitlines()
+    assert len(lines) == 2
+    entry = json.loads(lines[-1])
+    assert entry["value"] == 2.5
+    assert entry["ts"] and entry["git_rev"]
