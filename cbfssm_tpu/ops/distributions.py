@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import betaln
 
@@ -60,9 +61,22 @@ def kl_diag_vs_tril(mean_q, var_q, chol_p, kinv_p_diag, kinv_mean):
 
 def beta_logpdf(x, alpha, beta):
     """log Beta(x | alpha, beta), elementwise (reference voliro.py:262-271
-    uses Beta priors on GP noise and lengthscales)."""
-    return (
-        (alpha - 1.0) * jnp.log(x)
-        + (beta - 1.0) * jnp.log1p(-x)
-        - betaln(alpha, beta)
-    )
+    uses Beta priors on GP noise and lengthscales).
+
+    The log-normalizer is evaluated host-side with ``math.lgamma``
+    (exact double precision) when alpha/beta are concrete scalars — the
+    normal case: they are static config hyperparameters, so folding the
+    constant at trace time both shrinks the graph and avoids XLA's
+    ~1e-7-relative lgamma approximation. Traced alphas (e.g. a
+    SweepTrainer lane axis over n_beta/l_beta) fall back to the jnp
+    path."""
+    try:
+        log_norm = (
+            math.lgamma(float(alpha))
+            + math.lgamma(float(beta))
+            - math.lgamma(float(alpha) + float(beta))
+        )
+    except (TypeError, ValueError, jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        log_norm = betaln(alpha, beta)
+    return (alpha - 1.0) * jnp.log(x) + (beta - 1.0) * jnp.log1p(-x) - log_norm
