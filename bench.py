@@ -417,6 +417,25 @@ def _wait_for_backend(budget_s=2700.0, probe_timeout=300.0, pause=120.0):
         time.sleep(pause)
 
 
+def _install_signal_salvage(stage, results):
+    """If the CALLER's timeout kills this run (SIGTERM/SIGINT) during a
+    long probe window or a hung stage, still emit the partial-results
+    JSON line before dying — same salvage contract as the watchdog."""
+    import signal
+
+    def handler(signum, frame):
+        msg = f"terminated by signal {signum}"
+        print(f"bench: {msg}", file=sys.stderr, flush=True)
+        _emit_json(results, error=msg, stage=stage["name"])
+        os._exit(3)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, handler)
+        except (ValueError, OSError):  # non-main thread / unsupported
+            pass
+
+
 def _start_watchdog(stage, results, first_timeout=900.0,
                     total_timeout=3600.0, poll=15.0):
     """The tunneled TPU backend occasionally goes unreachable for long
@@ -473,11 +492,13 @@ def main():
         sps = measure(steps=5, warmup=2)
         print(json.dumps({"metric": "cpu_child", "value": sps, "unit": "steps/sec"}))
         return
+    _install_signal_salvage(stage, results)
     if not os.environ.get("CBFSSM_BENCH_NO_PROBE"):
         # Bounded bring-up retry BEFORE the watchdog clock starts: a
         # transient tunnel outage at launch time becomes a wait, not a
         # dead round. Probes are subprocess-timeout-bounded; the main
         # process touches no backend until one succeeds.
+        stage["name"] = "backend-probe"
         ok, attempts, diag = _wait_for_backend(
             budget_s=float(os.environ.get("CBFSSM_BENCH_PROBE_BUDGET", 2700)))
         if not ok:
@@ -485,6 +506,7 @@ def main():
             print(f"bench: {msg}", file=sys.stderr, flush=True)
             _emit_json(results, error=msg, stage="backend-probe")
             sys.exit(3)
+        stage["name"] = "backend-init"
     if not os.environ.get("CBFSSM_BENCH_NO_WATCHDOG"):
         _start_watchdog(stage, results)
     sps = measure()

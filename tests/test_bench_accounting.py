@@ -88,6 +88,38 @@ def test_watchdog_salvages_partial_results():
     assert "exceeded" in payload["error"]
 
 
+def test_signal_salvage_emits_partial_json():
+    """A caller-side timeout (SIGTERM) mid-run must still produce the
+    parseable partial-results line, not a silent death."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, time, bench\n"
+        "results = {'value': 591.2}\n"
+        "bench._install_signal_salvage({'name': 'shapes'}, results)\n"
+        "print('ready', file=sys.stderr, flush=True)\n"
+        "time.sleep(60)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    # wait for the handler to be installed before signalling
+    assert proc.stderr.readline().strip() == "ready"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 3
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert payload["value"] == 591.2
+    assert payload["stage"] == "shapes"
+    assert "signal" in payload["error"]
+
+
 def test_emit_json_orders_and_filters(capsys):
     import json
 
