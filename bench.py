@@ -315,6 +315,12 @@ def _emit_json(results, error=None, stage=None):
     if error is not None:
         payload["error"] = str(error)[:500]
         payload["stage"] = stage
+        last = _last_green()
+        if last is not None:
+            # keep the perf record visible even in a full-round outage:
+            # the most recent green run (clearly labeled with its
+            # timestamp + git rev) rides along with the diagnostic
+            payload["last_green"] = last
     for key in (
         "baseline_estimated",
         "steps_per_sec_300_per_dispatch",
@@ -328,6 +334,22 @@ def _emit_json(results, error=None, stage=None):
             payload[key] = results[key]
     print(json.dumps(payload), flush=True)
     return payload
+
+
+def _history_path():
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "artifacts", "bench_history.jsonl")
+
+
+def _last_green():
+    """Most recent committed green-run record, or None."""
+    try:
+        with open(_history_path()) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        return json.loads(lines[-1]) if lines else None
+    except (OSError, ValueError):
+        return None
 
 
 def _append_history(payload, path=None):
@@ -351,9 +373,7 @@ def _append_history(payload, path=None):
         **payload,
     }
     if path is None:
-        path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "artifacts", "bench_history.jsonl")
+        path = _history_path()
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "a") as f:

@@ -191,3 +191,26 @@ def test_append_history_records_rev(tmp_path):
     entry = json.loads(lines[-1])
     assert entry["value"] == 2.5
     assert entry["ts"] and entry["git_rev"]
+
+
+def test_error_payload_carries_last_green(tmp_path, monkeypatch, capsys):
+    """A diagnostic emission rides with the most recent committed green
+    run so a full-round outage never blanks the perf record."""
+    import json
+
+    import bench
+
+    path = tmp_path / "hist.jsonl"
+    bench._append_history({"metric": "m", "value": 591.0}, path=str(path))
+    monkeypatch.setattr(bench, "_history_path", lambda: str(path))
+    payload = bench._emit_json({}, error="outage", stage="backend-probe")
+    capsys.readouterr()
+    assert payload["last_green"]["value"] == 591.0
+    assert payload["last_green"]["ts"]
+
+    # no history -> no field (absent, not null)
+    monkeypatch.setattr(bench, "_history_path",
+                        lambda: str(tmp_path / "missing.jsonl"))
+    payload = bench._emit_json({}, error="outage", stage="backend-probe")
+    capsys.readouterr()
+    assert "last_green" not in payload
