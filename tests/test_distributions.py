@@ -62,6 +62,28 @@ def test_beta_logpdf(rng):
     x = rng.uniform(0.05, 0.95, size=10)
     got = np.asarray(dists.beta_logpdf(jnp.asarray(x), 10.0, 2.0))
     want = stats.beta.logpdf(x, 10.0, 2.0)
+    # concrete alpha/beta: log-normalizer folded host-side with
+    # math.lgamma — exact double precision
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_beta_logpdf_traced_alpha(rng):
+    """Traced alpha/beta (a SweepTrainer lane axis over Beta hypers)
+    must fall back to the jnp normalizer and still be correct to XLA's
+    lgamma accuracy."""
+    import jax
+
+    x = rng.uniform(0.05, 0.95, size=10)
+    alphas = jnp.asarray([10.0, 3.0])
+    betas = jnp.asarray([2.0, 5.0])
+    got = np.asarray(
+        jax.jit(jax.vmap(lambda a, b: dists.beta_logpdf(jnp.asarray(x), a, b)))(
+            alphas, betas
+        )
+    )
+    want = np.stack(
+        [stats.beta.logpdf(x, 10.0, 2.0), stats.beta.logpdf(x, 3.0, 5.0)]
+    )
     # jax's gammaln is a polynomial approximation — ~1e-6 relative.
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
