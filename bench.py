@@ -292,11 +292,16 @@ def measure_multiseed(seeds=5, epochs=30, warm=10):
             return orig(start, *a, **k)
 
         trainer._log_epochs = logged
+        t0 = _time.perf_counter()
         trainer.train(ds, epochs)
         t_end = _time.perf_counter()
     # steady tail: from the first block logged at/after `warm` to the
-    # end of training (bench_blocked_epochs methodology)
-    start, t_start = next((s, t) for s, t in log_times if s >= warm)
+    # end of training (bench_blocked_epochs methodology). Degenerate
+    # case (one fused block covers every epoch, so nothing logs at/after
+    # `warm`): whole-run wall incl. compile — an honest overestimate.
+    start, t_start = next(
+        ((s, t) for s, t in log_times if s >= warm), (0, t0)
+    )
     return (t_end - t_start) / (epochs - start)
 
 

@@ -20,7 +20,7 @@ datasets = [
     (Dryer, "dryer", 0.15, 100),
     (Furnace, "furnace", 0.15, 100),
 ]
-tasks = [int(sys.argv[1])] if len(sys.argv) > 1 else range(len(datasets))
+tasks = range(len(datasets))  # CLI can select one task (see __main__)
 
 
 def model_config(task_nr: int, dim_x: int = 4) -> dict:
@@ -97,4 +97,6 @@ def main(
 
 
 if __name__ == "__main__":
-    main()
+    # argv parsed only when run as a script: importers must not
+    # inherit the caller's argv
+    main(task_list=[int(sys.argv[1])] if len(sys.argv) > 1 else None)

@@ -20,7 +20,7 @@ from cbfssm_tpu.outputs import Outputs, OutputSummary, vmapped_reproduction
 from cbfssm_tpu.training import Trainer
 
 root_dir = "run_output/spring"
-iterations = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+iterations = 5  # overridable from the command line (see __main__)
 seq_len = 50
 seq_stride = 1
 dim_x = 4
@@ -91,4 +91,6 @@ def main(
 
 
 if __name__ == "__main__":
-    main()
+    # argv parsed only when run as a script: importers (bench.py's
+    # multiseed stage, pytest) must not inherit the caller's argv
+    main(iterations=int(sys.argv[1]) if len(sys.argv) > 1 else iterations)

@@ -178,6 +178,24 @@ def test_wait_for_backend_bounded_retry(monkeypatch):
     assert ok and attempts == 2
 
 
+def test_measure_multiseed_runs_tiny(monkeypatch):
+    """End-to-end plumbing of the multiseed bench stage on a shrunken
+    spring config (the real shapes are TPU-scale)."""
+    import run.run_spring as rs
+
+    import bench
+
+    monkeypatch.setattr(
+        rs, "model_config",
+        dict(rs.model_config, samples=2, ind_pnt_num=5, batch_size=20,
+             recog_len=4),
+    )
+    monkeypatch.setattr(rs, "seq_len", 30)
+    monkeypatch.setattr(rs, "seq_stride", 300)
+    s_per_epoch = bench.measure_multiseed(seeds=2, epochs=4, warm=1)
+    assert 0 < s_per_epoch < 300
+
+
 def test_append_history_records_rev(tmp_path):
     import json
 
