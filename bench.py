@@ -281,28 +281,34 @@ def measure_multiseed(seeds=5, epochs=30, warm=10):
 
     ds = SpringNonlinear(seq_len, seq_stride)
     model = CBFSSM(model_config)
-    log_times = []  # (first epoch of logged block, wall time of its log)
+    # (epochs completed when this block's log fired, wall time of log):
+    # _log_epochs(start, train_k, ...) runs after epochs
+    # [start, start + len(train_k)) are read back, so the completed
+    # count at its timestamp is start + len(train_k)
+    log_times = []
     with tempfile.TemporaryDirectory() as d, \
             contextlib.redirect_stdout(sys.stderr):
         trainer = MultiSeedTrainer(model, d, n_seeds=seeds)
         orig = trainer._log_epochs
 
-        def logged(start, *a, **k):
-            log_times.append((start, _time.perf_counter()))
-            return orig(start, *a, **k)
+        def logged(start, train_k, *a, **k):
+            log_times.append((start + len(train_k), _time.perf_counter()))
+            return orig(start, train_k, *a, **k)
 
         trainer._log_epochs = logged
         t0 = _time.perf_counter()
         trainer.train(ds, epochs)
         t_end = _time.perf_counter()
-    # steady tail: from the first block logged at/after `warm` to the
-    # end of training (bench_blocked_epochs methodology). Degenerate
-    # case (one fused block covers every epoch, so nothing logs at/after
-    # `warm`): whole-run wall incl. compile — an honest overestimate.
-    start, t_start = next(
-        ((s, t) for s, t in log_times if s >= warm), (0, t0)
+    # steady tail: from the first log with >= `warm` epochs completed to
+    # the end of training, divided by the epochs still outstanding at
+    # that point (bench_blocked_epochs methodology). Degenerate case
+    # (one fused block covers every epoch, so no anchor leaves epochs
+    # outstanding): whole-run wall incl. compile — an honest
+    # overestimate.
+    done, t_start = next(
+        ((c, t) for c, t in log_times if warm <= c < epochs), (0, t0)
     )
-    return (t_end - t_start) / (epochs - start)
+    return (t_end - t_start) / (epochs - done)
 
 
 def _emit_json(results, error=None, stage=None):
@@ -348,13 +354,37 @@ def _history_path():
 
 
 def _last_green():
-    """Most recent committed green-run record, or None."""
+    """Most recent committed fully-green run record (entries labeled
+    ``degraded`` — estimated baseline, errored shapes, missing stages —
+    don't count), or None."""
     try:
         with open(_history_path()) as f:
             lines = [ln for ln in f.read().splitlines() if ln.strip()]
-        return json.loads(lines[-1]) if lines else None
+        for line in reversed(lines):
+            entry = json.loads(line)
+            if not entry.get("degraded"):
+                return entry
+        return None
     except (OSError, ValueError):
         return None
+
+
+def _run_issues(results, headline_only):
+    """Ways a run that reached the emit stage can still be degraded —
+    recorded in its history entry so _last_green never cites it."""
+    issues = []
+    if results.get("baseline_estimated"):
+        issues.append("baseline_estimated")
+    for name, shape in sorted((results.get("shapes") or {}).items()):
+        if "error" in shape:
+            issues.append(f"shape_error:{name}")
+    if not headline_only:
+        for key in ("steps_per_sec_300_per_dispatch",
+                    "trainer_blocked_steps_per_sec",
+                    "multiseed_5x_s_per_epoch"):
+            if results.get(key) is None:
+                issues.append(f"missing:{key}")
+    return issues
 
 
 def _append_history(payload, path=None):
@@ -387,11 +417,12 @@ def _append_history(payload, path=None):
         print(f"bench history append failed: {exc}", file=sys.stderr)
 
 
-def _probe_backend(timeout_s):
+def _probe_backend(timeout_s, env=None):
     """Probe the default backend from a subprocess (a hung in-process
     backend call cannot be cancelled; a subprocess can be timed out):
     import jax, run a tiny computation, read the value back. Returns
-    (ok, diagnostic)."""
+    (ok, diagnostic). ``env`` overrides the child environment (default:
+    inherit, so the probe exercises the same backend bench.py will)."""
     code = (
         "import jax, jax.numpy as jnp;"
         "x = jnp.ones((8, 8));"
@@ -400,7 +431,7 @@ def _probe_backend(timeout_s):
     try:
         p = subprocess.run(
             [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=timeout_s,
+            capture_output=True, text=True, timeout=timeout_s, env=env,
         )
     except subprocess.TimeoutExpired:
         return False, f"probe timed out after {timeout_s:.0f}s"
@@ -412,13 +443,20 @@ def _probe_backend(timeout_s):
     return False, f"rc={p.returncode}: " + " | ".join(tail)[:300]
 
 
-def _wait_for_backend(budget_s=2700.0, probe_timeout=300.0, pause=120.0):
+def _wait_for_backend(budget_s=2700.0, probe_timeout=None, pause=120.0):
     """Bounded bring-up retry for the tunneled TPU backend. The rig's
     documented failure modes include ~10-minute transient outages (the
     in-band low-reading retry handles *slow*; this handles
     *unreachable*) and multi-hour ones (nothing survives those — the
     budget bounds how long we try before emitting a diagnostic).
-    Returns (ok, attempts, last_diagnostic)."""
+    ``probe_timeout`` defaults to 600 s (env CBFSSM_BENCH_PROBE_TIMEOUT)
+    — a healthy bring-up through the tunnel can itself take several
+    minutes, and a probe shorter than that would misclassify a slow but
+    live backend as unreachable. Returns (ok, attempts,
+    last_diagnostic)."""
+    if probe_timeout is None:
+        probe_timeout = float(
+            os.environ.get("CBFSSM_BENCH_PROBE_TIMEOUT", 600))
     t0 = time.monotonic()
     attempt = 0
     last = ""
@@ -462,7 +500,7 @@ def _install_signal_salvage(stage, results):
 
 
 def _start_watchdog(stage, results, first_timeout=900.0,
-                    total_timeout=3600.0, poll=15.0):
+                    total_timeout=3600.0, poll=15.0, emit=True):
     """The tunneled TPU backend occasionally goes unreachable for long
     windows (observed this rig); a hung backend call would otherwise
     burn the caller's entire timeout with no diagnostic. If no progress
@@ -480,7 +518,8 @@ def _start_watchdog(stage, results, first_timeout=900.0,
 
     def abort(msg):
         print(f"bench watchdog: {msg}", file=sys.stderr, flush=True)
-        _emit_json(results, error=msg, stage=stage["name"])
+        if emit:
+            _emit_json(results, error=msg, stage=stage["name"])
         os._exit(3)
 
     def run():
@@ -510,9 +549,12 @@ def main():
     if os.environ.get("CBFSSM_BENCH_CPU_CHILD"):
         # the child's first milestone IS the finished measurement; a
         # slow cold CPU compile can exceed first_timeout (900 s) while
-        # the parent budgets 1800 s — only the total budget applies
+        # the parent budgets 1800 s — only the total budget applies.
+        # No partial-results emission here: the parent parses the
+        # child's last stdout line expecting the cpu_child schema, so a
+        # watchdog abort must stay stderr-only.
         if not os.environ.get("CBFSSM_BENCH_NO_WATCHDOG"):
-            _start_watchdog(stage, results)
+            _start_watchdog(stage, results, emit=False)
         stage["name"] = "cpu-child-measuring"
         sps = measure(steps=5, warmup=2)
         print(json.dumps({"metric": "cpu_child", "value": sps, "unit": "steps/sec"}))
@@ -595,6 +637,9 @@ def main():
             print(f"multiseed measurement failed: {exc}", file=sys.stderr)
     stage["name"] = "emit"
     payload = _emit_json(results)
+    issues = _run_issues(results, headline_only)
+    if issues:
+        payload = dict(payload, degraded=issues)
     _append_history(payload)
 
 

@@ -1,10 +1,12 @@
 """Shared loader for the run/ reproduction drivers.
 
-The drivers select their task from ``sys.argv`` at module level
-(reference run_smallscale.py:17 semantics), so importing one from a
-script or test must shield it from the caller's arguments. This is the
-single implementation of that dance (previously copied in every
-artifact script and the e2e tests).
+The drivers now parse ``sys.argv`` only under ``__main__`` (they are
+importable with any caller argv), but this loader is still the single
+place that imports ``run/<script>`` as a FRESH module — artifact
+scripts and the e2e tests mutate driver module state (config dicts,
+roots) and must not leak those mutations into each other through
+``sys.modules``. The argv swap is kept as belt-and-braces for ad-hoc
+drivers that predate the ``__main__`` convention.
 """
 
 import importlib.util

@@ -75,24 +75,24 @@ def robomove_config(phase, precision):
     }
 
 
-def train_arm_robomove(precision, n_seeds, epochs):
-    """Full two-phase curriculum for one precision arm; returns
-    per-seed metrics."""
+def _train_arm(ds, phase_configs, precision, n_seeds, epochs,
+               root_prefix):
+    """Train one precision arm (one MultiSeedTrainer per phase config,
+    later phases retrain from the same directory) and collect the
+    per-seed metrics both arms are compared on."""
     import time
 
-    from cbfssm_tpu.data import RoboMove
     from cbfssm_tpu.models import CBFSSM
     from cbfssm_tpu.training import MultiSeedTrainer
 
-    ds = RoboMove(SMOKE_WINDOW.get("seq_len", 300), SMOKE_WINDOW.get("seq_stride", 50))
-    root = tempfile.mkdtemp(prefix=f"prec_{precision}_")
+    root = tempfile.mkdtemp(prefix=f"{root_prefix}_{precision}_")
     t0 = time.perf_counter()
-    for phase in range(2):
-        model = CBFSSM(robomove_config(phase, precision))
+    for phase, config in enumerate(phase_configs):
+        model = CBFSSM(config)
         trainer = MultiSeedTrainer(model, root, n_seeds=n_seeds)
-        trainer.train(ds, epochs, retrain=phase == 1)
+        trainer.train(ds, epochs, retrain=phase > 0)
     wall = time.perf_counter() - t0
-    losses = np.stack(trainer.train_all)  # [epochs, n_seeds] (phase 1)
+    losses = np.stack(trainer.train_all)  # [epochs, n_seeds] (last phase)
     rmse = trainer.evaluate_rmse(ds)
     return {
         "precision": precision,
@@ -102,6 +102,18 @@ def train_arm_robomove(precision, n_seeds, epochs):
         "free_run_rmse": rmse.tolist(),
         "wall_s": round(wall, 1),
     }
+
+
+def train_arm_robomove(precision, n_seeds, epochs):
+    """Full two-phase curriculum for one precision arm."""
+    from cbfssm_tpu.data import RoboMove
+
+    ds = RoboMove(SMOKE_WINDOW.get("seq_len", 300),
+                  SMOKE_WINDOW.get("seq_stride", 50))
+    return _train_arm(
+        ds, [robomove_config(phase, precision) for phase in range(2)],
+        precision, n_seeds, epochs, "prec",
+    )
 
 
 def sarcos_parts():
@@ -120,29 +132,10 @@ def sarcos_parts():
 
 
 def train_arm_sarcos(precision, n_seeds, epochs):
-    import time
-
-    from cbfssm_tpu.models import CBFSSM
-    from cbfssm_tpu.training import MultiSeedTrainer
-
     ds, config = sarcos_parts()
     config = dict(config, gp_matmul_precision=precision, **SMOKE)
-    root = tempfile.mkdtemp(prefix=f"prec_sarcos_{precision}_")
-    model = CBFSSM(config)
-    t0 = time.perf_counter()
-    trainer = MultiSeedTrainer(model, root, n_seeds=n_seeds)
-    trainer.train(ds, epochs)
-    wall = time.perf_counter() - t0
-    losses = np.stack(trainer.train_all)
-    rmse = trainer.evaluate_rmse(ds)
-    return {
-        "precision": precision,
-        "best_train_loss": np.asarray(trainer.best_loss).tolist(),
-        "final_epoch_loss": losses[-1].tolist(),
-        "last5_mean_loss": losses[-5:].mean(axis=0).tolist(),
-        "free_run_rmse": rmse.tolist(),
-        "wall_s": round(wall, 1),
-    }
+    return _train_arm(ds, [config], precision, n_seeds, epochs,
+                      "prec_sarcos")
 
 
 def compare(arms):

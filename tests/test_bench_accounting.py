@@ -143,12 +143,20 @@ def test_emit_json_orders_and_filters(capsys):
 
 
 def test_probe_backend_succeeds_on_cpu():
-    """The bring-up probe must pass in a healthy environment (here the
-    CPU test env) — it inherits the ambient env so it probes whatever
-    backend bench.py itself would use."""
+    """The bring-up probe must pass against a healthy backend. The
+    probe child inherits the ambient env by default (it must exercise
+    the same backend bench.py will); here we pass the clean-CPU recipe
+    explicitly — the same env cpu_baseline() builds for its child — so
+    the test is green regardless of the ambient accelerator hook's
+    state (the suite may run with the tunnel down)."""
+    import os
+
     import bench
 
-    ok, diag = bench._probe_backend(timeout_s=240.0)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    ok, diag = bench._probe_backend(timeout_s=240.0, env=env)
     assert ok, diag
     assert "probe-ok" in diag
 
@@ -209,6 +217,41 @@ def test_append_history_records_rev(tmp_path):
     entry = json.loads(lines[-1])
     assert entry["value"] == 2.5
     assert entry["ts"] and entry["git_rev"]
+
+
+def test_run_issues_flags_degraded_runs():
+    import bench
+
+    clean = {
+        "value": 1.0, "vs_baseline": 2.0,
+        "shapes": {"robomove": {"steps_per_sec": 30.0}},
+        "steps_per_sec_300_per_dispatch": 1191.0,
+        "trainer_blocked_steps_per_sec": 1300.0,
+        "multiseed_5x_s_per_epoch": 0.21,
+    }
+    assert bench._run_issues(clean, headline_only=False) == []
+    degraded = dict(clean, baseline_estimated=True,
+                    shapes={"robomove": {"error": "boom"}},
+                    multiseed_5x_s_per_epoch=None)
+    issues = bench._run_issues(degraded, headline_only=False)
+    assert issues == [
+        "baseline_estimated", "shape_error:robomove",
+        "missing:multiseed_5x_s_per_epoch",
+    ]
+    # headline-only runs aren't penalized for absent extended stages
+    assert bench._run_issues({"value": 1.0}, headline_only=True) == []
+
+
+def test_last_green_skips_degraded(tmp_path, monkeypatch):
+    import bench
+
+    path = tmp_path / "hist.jsonl"
+    bench._append_history({"metric": "m", "value": 590.0}, path=str(path))
+    bench._append_history(
+        {"metric": "m", "value": 60.0, "degraded": ["baseline_estimated"]},
+        path=str(path))
+    monkeypatch.setattr(bench, "_history_path", lambda: str(path))
+    assert bench._last_green()["value"] == 590.0
 
 
 def test_error_payload_carries_last_green(tmp_path, monkeypatch, capsys):
