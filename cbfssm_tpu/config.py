@@ -52,11 +52,19 @@ class ModelConfig:
     # dispatch / inference workloads)
     gp_impl: str = "solve_free"
     # Matmul precision for the GP predict path inside scan bodies:
-    # 'highest' (6-pass f32, default — exact), 'high' (3-pass, rel err
-    # ~2e-7, ~+5% steps/sec on compute-bound shapes), 'default'
-    # (1 bf16 pass, rel err ~4e-6, ~+12%). The Gram/Cholesky precompute
-    # always runs at HIGHEST regardless.
-    gp_matmul_precision: str = "highest"
+    # 'high' (3 bf16 MXU passes, default — rel err ~2e-7 per step,
+    # ~ f32 arithmetic noise; +21% device-side on the compute-bound
+    # RoboMove shape, floor-corrected), 'highest' (6-pass — exact),
+    # 'default' (1 bf16 pass, rel err ~4e-6, ~+27%). The default was
+    # decided by END-TO-END training evidence (BENCHMARKS.md
+    # "gp_matmul_precision default decision" / artifacts/
+    # precision_experiment.json): full-budget RoboMove-curriculum and
+    # Sarcos-shaped training under 'high' vs 'highest' with shared RNG
+    # streams are statistically equivalent in per-seed free-run RMSE
+    # and loss envelopes. The Gram/Cholesky precompute and the ELBO
+    # assembly dots always run at HIGHEST regardless; golden tests pin
+    # f64 numerics and are unaffected.
+    gp_matmul_precision: str = "high"
     # lax.scan unroll factor for the time recursions (pure perf knob:
     # >1 emits several steps per loop iteration, amortizing loop
     # overhead at the cost of code size/compile time; numerics

@@ -42,7 +42,7 @@ SHAPES = {
 
 def build_cbfssm_parts(shape, unroll=1, gp_impl="solve_free",
                        backward_mode="auto", adjoint="auto",
-                       gp_matmul_precision="highest"):
+                       gp_matmul_precision=None):
     """Model + params + optimizer + synthetic batch for a benchmark
     shape — THE config both benchmark harnesses (this script and
     decompose_step.py) share, so their numbers stay comparable."""
@@ -79,8 +79,11 @@ def build_cbfssm_parts(shape, unroll=1, gp_impl="solve_free",
         "gp_impl": gp_impl,
         "backward_mode": backward_mode,
         "adjoint": adjoint,
-        "gp_matmul_precision": gp_matmul_precision,
     }
+    if gp_matmul_precision is not None:
+        # None -> the library default, so the benchmark shapes measure
+        # what an out-of-the-box user gets
+        config["gp_matmul_precision"] = gp_matmul_precision
     model = CBFSSM(config)
     params = model.init(jax.random.PRNGKey(0))
     tx = optax.adam(shape["lr"])

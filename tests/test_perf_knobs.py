@@ -1,9 +1,10 @@
 """The performance knobs must not change semantics:
 
   * scan_unroll: pure scheduling — loss identical to unroll=1;
-  * gp_matmul_precision: 'highest' default exactly matches the
-    pre-knob behavior; 'high'/'default' stay within their documented
-    error bands (BENCHMARKS.md experiment matrix);
+  * gp_matmul_precision: 'highest' exactly matches the pre-knob
+    behavior; 'high' (the shipped default since the round-4 end-to-end
+    decision, BENCHMARKS.md "gp_matmul_precision default decision")
+    and 'default' stay within their documented error bands;
   * the merged concat(K^-1, alpha) predict matmul is element-identical
     to the two separate products.
 """
@@ -50,6 +51,21 @@ def test_precision_knob_bands(batch):
         m = CBFSSM(dataclasses.replace(cfg32, gp_matmul_precision=prec))
         got, _ = m.loss(params, u32, y32, key, True)
         np.testing.assert_allclose(float(got), float(base), rtol=rtol)
+
+
+def test_default_precision_is_high():
+    """The shipped default is 'high' — decided by the round-4
+    end-to-end training-equivalence experiment
+    (artifacts/precision_experiment.json); the benchmark-shape builder
+    follows the library default unless overridden."""
+    from cbfssm_tpu.config import ModelConfig
+
+    assert ModelConfig.gp_matmul_precision == "high"
+    from scripts.profile_mfu import SHAPES, build_cbfssm_parts
+
+    model = build_cbfssm_parts(SHAPES["smallscale"])[0]
+    assert model.config.gp_matmul_precision == "high"
+    assert model._gp_precision == jax.lax.Precision.HIGH
 
 
 def test_invalid_precision_rejected():
