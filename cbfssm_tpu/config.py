@@ -61,9 +61,12 @@ class ModelConfig:
     # precision_experiment.json): full-budget RoboMove-curriculum and
     # Sarcos-shaped training under 'high' vs 'highest' with shared RNG
     # streams are statistically equivalent in per-seed free-run RMSE
-    # and loss envelopes. The Gram/Cholesky precompute and the ELBO
-    # assembly dots always run at HIGHEST regardless; golden tests pin
-    # f64 numerics and are unaffected.
+    # and loss envelopes. 'default' was REJECTED by the same
+    # experiment (precision_experiment_default.json): at ~4e-6
+    # per-step rounding the training trajectories measurably separate
+    # on both configs for only ~+5% over 'high'. The Gram/Cholesky
+    # precompute and the ELBO assembly dots always run at HIGHEST
+    # regardless; golden tests pin f64 numerics and are unaffected.
     gp_matmul_precision: str = "high"
     # lax.scan unroll factor for the time recursions (pure perf knob:
     # >1 emits several steps per loop iteration, amortizing loop

@@ -28,6 +28,13 @@ matmuls are exact at every precision setting).
 
 Usage: python scripts/precision_experiment.py [--seeds N] [--epochs E]
        [--sarcos] [--out artifacts/precision_experiment.json]
+       [--arms highest,high]
+
+`--arms REF,CANDIDATE` compares any two precision settings with the same
+methodology (first arm is the reference); the round-4 follow-up run uses
+`--arms high,default` to decide whether the bf16-grade 'default' tier
+(~+27% device-side over 'highest' on RoboMove, rel err ~4e-6) is also
+end-to-end equivalent.
 """
 
 import argparse
@@ -40,7 +47,6 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ARMS = ("highest", "high")
 # --smoke: plumbing validation on CPU (tiny shapes; numerics are
 # precision-independent on CPU, so only the flow is being tested)
 SMOKE = {}
@@ -138,9 +144,12 @@ def train_arm_sarcos(precision, n_seeds, epochs):
                       "prec_sarcos")
 
 
-def compare(arms):
-    """Equivalence verdict from the two arms' per-seed metrics."""
-    hi, lo = (arms["highest"], arms["high"])
+def compare(arms, names=("highest", "high")):
+    """Equivalence verdict from the two arms' per-seed metrics.
+
+    ``names[0]`` is the reference arm, ``names[1]`` the candidate; the
+    historical JSON keys keep the mean-RMSE fields named by arm."""
+    hi, lo = (arms[names[0]], arms[names[1]])
     rmse_hi = np.asarray(hi["free_run_rmse"])
     rmse_lo = np.asarray(lo["free_run_rmse"])
     loss_hi = np.asarray(hi["last5_mean_loss"])
@@ -149,8 +158,8 @@ def compare(arms):
     out = {
         "rmse_mean_abs_diff": float(np.mean(np.abs(rmse_hi - rmse_lo))),
         "rmse_across_seed_spread": rmse_spread,
-        "rmse_mean_highest": float(rmse_hi.mean()),
-        "rmse_mean_high": float(rmse_lo.mean()),
+        f"rmse_mean_{names[0]}": float(rmse_hi.mean()),
+        f"rmse_mean_{names[1]}": float(rmse_lo.mean()),
         "loss_mean_diff": float(loss_hi.mean() - loss_lo.mean()),
         "loss_across_seed_std": float(
             np.std(np.concatenate([loss_hi, loss_lo]))
@@ -173,7 +182,14 @@ def main():
     ap.add_argument("--sarcos-epochs", type=int, default=50)
     ap.add_argument("--out", default=None)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument(
+        "--arms", default="highest,high",
+        help="comma-separated REF,CANDIDATE precision settings",
+    )
     args = ap.parse_args()
+    arms = tuple(args.arms.split(","))
+    if len(arms) != 2 or len(set(arms)) != 2:
+        ap.error("--arms wants exactly two distinct settings")
     if args.smoke:
         SMOKE.update(samples=4, ind_pnt_num=10, batch_size=8, recog_len=4)
         SMOKE_WINDOW.update(seq_len=30, seq_stride=30)
@@ -184,21 +200,22 @@ def main():
 
     enable_persistent_cache()
 
-    result = {"seeds": args.seeds, "epochs": args.epochs, "robomove": {}}
-    for precision in ARMS:
+    result = {"seeds": args.seeds, "epochs": args.epochs,
+              "arms": list(arms), "robomove": {}}
+    for precision in arms:
         print(f"=== robomove arm: {precision} ===", file=sys.stderr)
         result["robomove"][precision] = train_arm_robomove(
             precision, args.seeds, args.epochs
         )
-    result["robomove"]["verdict"] = compare(result["robomove"])
+    result["robomove"]["verdict"] = compare(result["robomove"], arms)
     if args.sarcos:
         result["sarcos"] = {}
-        for precision in ARMS:
+        for precision in arms:
             print(f"=== sarcos arm: {precision} ===", file=sys.stderr)
             result["sarcos"][precision] = train_arm_sarcos(
                 precision, args.seeds, args.sarcos_epochs
             )
-        result["sarcos"]["verdict"] = compare(result["sarcos"])
+        result["sarcos"]["verdict"] = compare(result["sarcos"], arms)
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
