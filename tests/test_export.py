@@ -1,0 +1,177 @@
+"""Exported-predictor artifact tests (cbfssm_tpu/export.py).
+
+The contract under test: `save_exported_predictor` writes a
+self-contained directory whose `ExportedPredictor` load serves the
+exact numbers of the in-framework AOT predictor — without building a
+model object or importing the model zoo.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from cbfssm_tpu.export import (
+    ExportedPredictor,
+    load_exported_predictor,
+    save_exported_predictor,
+)
+from cbfssm_tpu.serving import CompiledPredictor
+from tests.test_cbfssm_model import make_model
+
+
+def _export_cbfssm(tmp_path, batch=1, seq_len=8, condition=False, seed=0):
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    path = os.path.join(str(tmp_path), "artifact")
+    # f64 test model: lower for cpu only (TPU has no f64)
+    meta = save_exported_predictor(
+        path, model, params, batch, seq_len,
+        condition=condition, platforms=("cpu",), seed=seed,
+    )
+    return model, params, path, meta
+
+
+def test_roundtrip_matches_compiled_predictor(tmp_path, rng):
+    model, params, path, meta = _export_cbfssm(tmp_path)
+    pred = ExportedPredictor(path)
+    ref = CompiledPredictor(model, params, batch=1, seq_len=8)
+    u = rng.normal(size=(1, 8, 2))
+    y = rng.normal(size=(1, 8, 1))
+    out = pred(u, y)
+    ref_out = ref(u, y)
+    assert set(out) == set(meta["output_fields"])
+    for field in meta["output_fields"]:
+        np.testing.assert_allclose(
+            np.asarray(out[field]), np.asarray(getattr(ref_out, field)),
+            rtol=1e-12, err_msg=field,
+        )
+
+
+def test_keyed_call_matches_model_predict(tmp_path, rng):
+    model, params, path, _ = _export_cbfssm(tmp_path, seed=7)
+    pred = ExportedPredictor(path)
+    u = rng.normal(size=(1, 8, 2))
+    y = rng.normal(size=(1, 8, 1))
+    key = jax.random.PRNGKey(123)
+    out = pred(u, y, key=np.asarray(key))
+    ref = model.predict(params, u, y, key, condition=False)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_mean"]), np.asarray(ref.pred_mean), rtol=1e-12
+    )
+    # the keyless default is the export-time seed, not key 0
+    out_default = pred(u, y)
+    ref_seeded = model.predict(
+        params, u, y, jax.random.PRNGKey(7), condition=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_default["pred_mean"]),
+        np.asarray(ref_seeded.pred_mean), rtol=1e-12,
+    )
+
+
+def test_conditioned_export(tmp_path, rng):
+    model, params, path, meta = _export_cbfssm(tmp_path, condition=True)
+    assert meta["condition"] is True
+    pred = load_exported_predictor(path)
+    u = rng.normal(size=(1, 8, 2))
+    y = rng.normal(size=(1, 8, 1))
+    out = pred(u, y)
+    ref = model.predict(
+        params, u, y, jax.random.PRNGKey(0), condition=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_mean"]), np.asarray(ref.pred_mean), rtol=1e-12
+    )
+
+
+def test_shape_and_dtype_guards(tmp_path, rng):
+    _, _, path, _ = _export_cbfssm(tmp_path)
+    pred = ExportedPredictor(path)
+    with pytest.raises(ValueError, match="exported for u"):
+        pred(rng.normal(size=(2, 8, 2)), rng.normal(size=(2, 8, 1)))
+    with pytest.raises(ValueError, match="exported for y"):
+        pred(rng.normal(size=(1, 8, 2)), rng.normal(size=(1, 8, 2)))
+
+
+def test_rejects_dict_predict_models(tmp_path):
+    from cbfssm_tpu.models import Voliro
+    from tests.test_other_models import voliro_config
+
+    model = Voliro(voliro_config())
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(TypeError, match="PredictOutput"):
+        save_exported_predictor(
+            str(tmp_path / "v"), model, params, 1, 4, platforms=("cpu",)
+        )
+
+
+def test_meta_records_contract(tmp_path):
+    _, _, path, meta = _export_cbfssm(tmp_path, batch=2, seq_len=6)
+    on_disk = json.load(open(os.path.join(path, "meta.json")))
+    assert on_disk == meta
+    assert on_disk["batch"] == 2 and on_disk["seq_len"] == 6
+    assert on_disk["dim_u"] == 2 and on_disk["dim_y"] == 1
+    assert on_disk["model_class"] == "CBFSSM"
+    assert on_disk["requires_x64"] is True  # test model is f64
+    assert on_disk["platforms"] == ["cpu"]
+    assert sorted(os.listdir(path)) == [
+        "meta.json", "params.npz", "predictor.jaxexp",
+    ]
+
+
+def test_load_does_not_import_model_zoo(tmp_path, rng):
+    """The deployment claim: serving an artifact must not build a model
+    or import cbfssm_tpu.models / cbfssm_tpu.ops beyond what the
+    package __init__ pulls in — verified in a fresh interpreter."""
+    _, _, path, _ = _export_cbfssm(tmp_path)
+    code = f"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+from cbfssm_tpu.export import ExportedPredictor
+pred = ExportedPredictor({path!r})
+rng = np.random.default_rng(0)
+out = pred(rng.normal(size=(1, 8, 2)), rng.normal(size=(1, 8, 1)))
+assert np.isfinite(np.asarray(out["pred_mean"])).all()
+assert "cbfssm_tpu.models" not in sys.modules, "model zoo was imported"
+assert "cbfssm_tpu.serving" not in sys.modules, "serving stack was imported"
+print("STANDALONE-LOAD-OK", float(np.asarray(out["mse"])))
+"""
+    env = dict(
+        os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "STANDALONE-LOAD-OK" in proc.stdout
+
+
+def test_x64_artifact_guard(tmp_path, monkeypatch):
+    """Loading a 64-bit artifact with x64 disabled must fail with the
+    actionable message, not produce silently-downcast numerics."""
+    _, _, path, _ = _export_cbfssm(tmp_path)
+    monkeypatch.setattr(
+        "cbfssm_tpu.export.jax.config",
+        type("C", (), {"jax_enable_x64": False})(),
+    )
+    with pytest.raises(RuntimeError, match="x64"):
+        ExportedPredictor(path)
+
+
+def test_platform_guard(tmp_path):
+    _, _, path, _ = _export_cbfssm(tmp_path)
+    meta_path = os.path.join(path, "meta.json")
+    meta = json.load(open(meta_path))
+    meta["platforms"] = ["tpu"]  # artifact claims TPU-only
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(RuntimeError, match="exported for"):
+        ExportedPredictor(path)
