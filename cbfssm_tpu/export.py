@@ -130,6 +130,7 @@ def save_exported_predictor(path, model, params, batch, seq_len, *,
         **{f"p{i}": np.asarray(leaf) for i, leaf in enumerate(flat)},
     )
     meta = {
+        "kind": "predictor",
         "model_class": type(model).__name__,
         "batch": int(batch),
         "seq_len": int(seq_len),
@@ -176,6 +177,11 @@ class ExportedPredictor:
 
         with open(os.path.join(path, _META)) as f:
             self.meta = json.load(f)
+        if self.meta.get("kind", "predictor") != "predictor":
+            raise ValueError(
+                f"{path} is a {self.meta.get('kind')!r} artifact, not a "
+                "predictor (use ExportedFilter)"
+            )
         if self.meta["requires_x64"] and not jax.config.jax_enable_x64:
             raise RuntimeError(
                 "artifact was exported with 64-bit parameters; enable "
@@ -223,3 +229,250 @@ class ExportedPredictor:
 def load_exported_predictor(path):
     """Alias of :class:`ExportedPredictor` for symmetric naming."""
     return ExportedPredictor(path)
+
+
+# --- online-filter artifacts ------------------------------------------
+
+_F_INIT = "filter_init.jaxexp"
+_F_STEP = "filter_step.jaxexp"
+_F_FORECAST = "filter_forecast_{h}.jaxexp"
+_F_META = "meta.json"
+_F_STATE = "arrays.npz"
+
+
+def save_exported_filter(path, model, params, batch=1, *, horizons=(),
+                         platforms=("cpu", "tpu"), seed=0):
+    """Export the streaming-filter interface (CBFSSMHALF
+    ``filter_init`` / ``filter_step`` / ``forecast``) as a
+    self-contained artifact directory loadable by
+    :class:`ExportedFilter`.
+
+    The filter's derived operators (``filter_ops`` — e.g. the cached
+    GP factorization) are COMPUTED AT EXPORT TIME and stored as arrays,
+    so the serving host never runs the factorization code.
+    ``horizons`` lists the forecast lengths to lower (forecast shapes
+    are static; the in-framework StreamingFilter compiles per horizon
+    lazily — an artifact must choose up front).
+    """
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
+        if not hasattr(model, attr):
+            raise TypeError(
+                f"{type(model).__name__} has no streaming interface "
+                f"({attr}); exported filters support CBFSSMHALF"
+            )
+    dtype = model.dtype
+    key = jax.random.PRNGKey(seed)
+    ops = jax.jit(model.filter_ops)(params)
+    p_flat, p_def = jax.tree_util.tree_flatten(params)
+    o_flat, o_def = jax.tree_util.tree_flatten(ops)
+    p_flat = tuple(jnp.asarray(x) for x in p_flat)
+    o_flat = tuple(jnp.asarray(x) for x in o_flat)
+    p_specs = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in p_flat)
+    o_specs = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in o_flat)
+
+    recog_len = int(model.config.recog_len)
+    up_spec = jax.ShapeDtypeStruct((batch, recog_len, model.dim_u), dtype)
+    yp_spec = jax.ShapeDtypeStruct((batch, recog_len, model.dim_y), dtype)
+    x_spec = jax.ShapeDtypeStruct((batch, model.samples, model.dim_x), dtype)
+    u1 = jax.ShapeDtypeStruct((batch, model.dim_u), dtype)
+    y1 = jax.ShapeDtypeStruct((batch, model.dim_y), dtype)
+    key_spec = jax.ShapeDtypeStruct(key.shape, key.dtype)
+
+    def init_fn(pf, u, y):
+        return model.filter_init(jax.tree_util.tree_unflatten(p_def, pf), u, y)
+
+    def step_fn(pf, of, x, u, y, k):
+        x_new, (mean, var) = model.filter_step(
+            jax.tree_util.tree_unflatten(p_def, pf),
+            jax.tree_util.tree_unflatten(o_def, of), x, u, y, k,
+        )
+        return {"x": x_new, "mean": mean, "var": var}
+
+    def forecast_fn(pf, of, x, u, k):
+        mean, var = model.forecast(
+            jax.tree_util.tree_unflatten(p_def, pf),
+            jax.tree_util.tree_unflatten(o_def, of), x, u, k,
+        )
+        return {"mean": mean, "var": var}
+
+    exp = jax_export.export
+    plats = list(platforms)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, _F_INIT), "wb") as f:
+        f.write(exp(jax.jit(init_fn), platforms=plats)(
+            p_specs, up_spec, yp_spec).serialize())
+    with open(os.path.join(path, _F_STEP), "wb") as f:
+        f.write(exp(jax.jit(step_fn), platforms=plats)(
+            p_specs, o_specs, x_spec, u1, y1, key_spec).serialize())
+    for h in horizons:
+        uh = jax.ShapeDtypeStruct((batch, int(h), model.dim_u), dtype)
+        with open(os.path.join(path, _F_FORECAST.format(h=int(h))), "wb") as f:
+            f.write(exp(jax.jit(forecast_fn), platforms=plats)(
+                p_specs, o_specs, x_spec, uh, key_spec).serialize())
+    np.savez(
+        os.path.join(path, _F_STATE),
+        **{f"p{i}": np.asarray(x) for i, x in enumerate(p_flat)},
+        **{f"o{i}": np.asarray(x) for i, x in enumerate(o_flat)},
+    )
+    meta = {
+        "kind": "filter",
+        "model_class": type(model).__name__,
+        "batch": int(batch),
+        "recog_len": recog_len,
+        "samples": int(model.samples),
+        "dim_x": int(model.dim_x),
+        "dim_u": int(model.dim_u),
+        "dim_y": int(model.dim_y),
+        "dtype": np.dtype(dtype).name,
+        "n_params": len(p_flat),
+        "n_ops": len(o_flat),
+        "horizons": [int(h) for h in horizons],
+        "key_shape": list(key.shape),
+        "key_dtype": np.dtype(key.dtype).name,
+        "key_default": np.asarray(key).tolist(),
+        "requires_x64": np.dtype(dtype).itemsize == 8 or any(
+            np.dtype(x.dtype).itemsize == 8 for x in p_flat + o_flat
+        ),
+        "platforms": plats,
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(path, _F_META), "w") as f:
+        json.dump(meta, f, indent=1)
+    return meta
+
+
+class ExportedFilter:
+    """Serve a :func:`save_exported_filter` artifact with the
+    :class:`~cbfssm_tpu.serving.StreamingFilter` host API
+    (``start`` / ``update`` / ``forecast`` / ``state`` /
+    ``load_state``) — framework-free like :class:`ExportedPredictor`.
+
+    Update keys fold the step counter into the artifact's base key and
+    forecast keys live in a disjoint fold range, matching
+    StreamingFilter's stream semantics exactly (pinned by test).
+    """
+
+    def __init__(self, path):
+        from jax import export as jax_export
+
+        with open(os.path.join(path, _F_META)) as f:
+            self.meta = json.load(f)
+        m = self.meta
+        if m.get("kind") != "filter":
+            raise ValueError(f"{path} is not an exported filter artifact")
+        if m["requires_x64"] and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "artifact was exported with 64-bit arrays; enable "
+                "jax_enable_x64 before loading"
+            )
+        platform = jax.devices()[0].platform.lower()
+        if platform == "axon":
+            platform = "tpu"
+        if platform not in m["platforms"]:
+            raise RuntimeError(
+                f"artifact was exported for {m['platforms']}, "
+                f"but the default backend is '{platform}'"
+            )
+        _register_linalg_ffi(np.dtype(m["dtype"]))
+
+        def load(name):
+            with open(os.path.join(path, name), "rb") as f:
+                return jax.jit(jax_export.deserialize(f.read()).call)
+
+        self._init = load(_F_INIT)
+        self._step = load(_F_STEP)
+        self._forecasts = {
+            int(h): load(_F_FORECAST.format(h=int(h)))
+            for h in m["horizons"]
+        }
+        arrays = np.load(os.path.join(path, _F_STATE))
+        self._params = tuple(arrays[f"p{i}"] for i in range(m["n_params"]))
+        self._ops = tuple(arrays[f"o{i}"] for i in range(m["n_ops"]))
+        self._base_key = np.asarray(
+            m["key_default"], dtype=np.dtype(m["key_dtype"])
+        ).reshape(tuple(m["key_shape"]))
+        self._x = None
+        self._t = 0
+
+    # --- state management (StreamingFilter contract) -------------------
+
+    @property
+    def state(self):
+        return (None if self._x is None else np.asarray(self._x)), self._t
+
+    def load_state(self, state):
+        x, t = state
+        if x is not None:
+            m = self.meta
+            x = np.asarray(x, dtype=np.dtype(m["dtype"]))
+            want = (m["batch"], m["samples"], m["dim_x"])
+            if x.shape != want:
+                raise ValueError(
+                    f"ensemble must be {want} for this filter, got {x.shape}"
+                )
+        self._x = x
+        self._t = int(t)
+
+    def _require_started(self):
+        if self._x is None:
+            raise RuntimeError("call start(u_prefix, y_prefix) first")
+
+    # --- the programs ---------------------------------------------------
+
+    def start(self, u_prefix, y_prefix):
+        m = self.meta
+        dtype = np.dtype(m["dtype"])
+        u = np.asarray(u_prefix, dtype=dtype)
+        y = np.asarray(y_prefix, dtype=dtype)
+        want = (m["batch"], m["recog_len"])
+        if u.shape != want + (m["dim_u"],):
+            raise ValueError(
+                f"exported for prefix {want + (m['dim_u'],)}, got u {u.shape}"
+            )
+        if y.shape != want + (m["dim_y"],):
+            raise ValueError(
+                f"y_prefix must be {want + (m['dim_y'],)}, got {y.shape}"
+            )
+        self._x = self._init(self._params, u, y)
+        self._t = 0
+
+    def update(self, u_prev, y_new):
+        self._require_started()
+        m = self.meta
+        dtype = np.dtype(m["dtype"])
+        u = np.asarray(u_prev, dtype=dtype)
+        y = np.asarray(y_new, dtype=dtype)
+        if u.shape != (m["batch"], m["dim_u"]) or \
+                y.shape != (m["batch"], m["dim_y"]):
+            raise ValueError(
+                f"update expects u [{m['batch']}, {m['dim_u']}] and "
+                f"y [{m['batch']}, {m['dim_y']}], got {u.shape} / {y.shape}"
+            )
+        key = jax.random.fold_in(self._base_key, self._t)
+        out = self._step(self._params, self._ops, self._x, u, y, key)
+        self._x = out["x"]
+        self._t += 1
+        return out["mean"], out["var"]
+
+    def forecast(self, u_future):
+        self._require_started()
+        m = self.meta
+        u = np.asarray(u_future, dtype=np.dtype(m["dtype"]))
+        if u.ndim != 3 or u.shape[0] != m["batch"] or u.shape[2] != m["dim_u"]:
+            raise ValueError(
+                f"u_future must be [{m['batch']}, H, {m['dim_u']}], "
+                f"got {u.shape}"
+            )
+        h = u.shape[1]
+        if h not in self._forecasts:
+            raise ValueError(
+                f"horizon {h} not exported (available: "
+                f"{sorted(self._forecasts)}); re-export with it in "
+                "`horizons`"
+            )
+        key = jax.random.fold_in(self._base_key, 2**30 + self._t)
+        out = self._forecasts[h](self._params, self._ops, self._x, u, key)
+        return out["mean"], out["var"]

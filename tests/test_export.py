@@ -175,3 +175,116 @@ def test_platform_guard(tmp_path):
     json.dump(meta, open(meta_path, "w"))
     with pytest.raises(RuntimeError, match="exported for"):
         ExportedPredictor(path)
+
+
+# --- online-filter artifacts -------------------------------------------
+
+
+def _export_filter(tmp_path, horizons=(5,), seed=0):
+    from cbfssm_tpu.models import CBFSSMHALF
+    from tests.test_other_models import half_config
+
+    from cbfssm_tpu.export import save_exported_filter
+
+    model = CBFSSMHALF(half_config("rnn"))
+    params = model.init(jax.random.PRNGKey(0))
+    path = os.path.join(str(tmp_path), "filter")
+    meta = save_exported_filter(
+        path, model, params, batch=2, horizons=horizons,
+        platforms=("cpu",), seed=seed,
+    )
+    return model, params, path, meta
+
+
+def test_filter_lockstep_with_streaming_filter(tmp_path, rng):
+    """The exported filter must be lockstep-equal to the in-framework
+    StreamingFilter: same start, same update stream, same forecast."""
+    from cbfssm_tpu.export import ExportedFilter
+    from cbfssm_tpu.serving import StreamingFilter
+
+    model, params, path, meta = _export_filter(tmp_path, horizons=(5,))
+    exported = ExportedFilter(path)
+    ref = StreamingFilter(model, params, batch=2, seed=0)
+    recog = meta["recog_len"]
+    u_prefix = rng.normal(size=(2, recog, 2))
+    y_prefix = rng.normal(size=(2, recog, 1))
+    exported.start(u_prefix, y_prefix)
+    ref.start(u_prefix, y_prefix)
+    for _ in range(3):
+        u1 = rng.normal(size=(2, 2))
+        y1 = rng.normal(size=(2, 1))
+        got = exported.update(u1, y1)
+        want = ref.update(u1, y1)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-12, atol=1e-13
+            )
+    u_future = rng.normal(size=(2, 5, 2))
+    got_m, got_v = exported.forecast(u_future)
+    want_m, want_v = ref.forecast(u_future)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-12, atol=1e-13)
+    # ensembles advanced identically too
+    np.testing.assert_allclose(
+        np.asarray(exported.state[0]), np.asarray(ref.state[0]),
+        rtol=1e-12, atol=1e-13,
+    )
+
+
+def test_filter_state_failover(tmp_path, rng):
+    """state/load_state resumes exactly (the StreamingFilter failover
+    contract) — including into a FRESH loader instance."""
+    from cbfssm_tpu.export import ExportedFilter
+
+    _, _, path, meta = _export_filter(tmp_path)
+    f1 = ExportedFilter(path)
+    recog = meta["recog_len"]
+    f1.start(rng.normal(size=(2, recog, 2)), rng.normal(size=(2, recog, 1)))
+    u1, y1 = rng.normal(size=(2, 2)), rng.normal(size=(2, 1))
+    f1.update(u1, y1)
+    snap = f1.state
+    m_cont, _ = f1.update(u1, y1)
+
+    f2 = ExportedFilter(path)
+    f2.load_state(snap)
+    m_resumed, _ = f2.update(u1, y1)
+    np.testing.assert_array_equal(np.asarray(m_cont), np.asarray(m_resumed))
+
+
+def test_filter_guards(tmp_path, rng):
+    from cbfssm_tpu.export import ExportedFilter
+
+    _, _, path, meta = _export_filter(tmp_path, horizons=(5,))
+    f = ExportedFilter(path)
+    with pytest.raises(RuntimeError, match="start"):
+        f.update(rng.normal(size=(2, 2)), rng.normal(size=(2, 1)))
+    recog = meta["recog_len"]
+    f.start(rng.normal(size=(2, recog, 2)), rng.normal(size=(2, recog, 1)))
+    with pytest.raises(ValueError, match="update expects"):
+        f.update(rng.normal(size=(2, 3)), rng.normal(size=(2, 1)))
+    with pytest.raises(ValueError, match="horizon 7 not exported"):
+        f.forecast(rng.normal(size=(2, 7, 2)))
+    with pytest.raises(ValueError, match="ensemble must be"):
+        f.load_state((np.zeros((1, 1, 1)), 0))
+
+
+def test_artifact_kind_guards(tmp_path):
+    from cbfssm_tpu.export import ExportedFilter
+
+    _, _, pred_path, _ = _export_cbfssm(tmp_path)
+    _, _, filt_path, _ = _export_filter(tmp_path)
+    with pytest.raises(ValueError, match="not a predictor"):
+        ExportedPredictor(filt_path)
+    with pytest.raises(ValueError, match="not an exported filter"):
+        ExportedFilter(pred_path)
+
+
+def test_filter_rejects_models_without_streaming(tmp_path):
+    from cbfssm_tpu.export import save_exported_filter
+
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(TypeError, match="streaming interface"):
+        save_exported_filter(str(tmp_path / "f"), model, params)
