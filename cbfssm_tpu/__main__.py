@@ -7,6 +7,7 @@ shorter and discoverable:
     python -m cbfssm_tpu info                         # backend + registry
     python -m cbfssm_tpu reproduce spring --vmap-seeds
     python -m cbfssm_tpu reproduce smallscale --task 0
+    python -m cbfssm_tpu export run_output/x --out art --seq-len 300
     python -m cbfssm_tpu bench                        # headline steps/sec
 
 ``reproduce`` dispatches to the verbatim reproduction drivers in run/
@@ -117,6 +118,52 @@ def cmd_reproduce(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    from cbfssm_tpu import model_store
+
+    try:
+        meta = model_store.load_model_meta(args.model_dir)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    import jax
+
+    if meta["config"].get("dtype") == "float64":
+        # must happen before any array is created
+        jax.config.update("jax_enable_x64", True)
+    name = {"best": "best.ckpt", "last": "model.ckpt"}[args.checkpoint]
+    try:
+        model, params = model_store.load_trained_model(args.model_dir, name)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    from cbfssm_tpu import export as export_mod
+
+    try:
+        if args.kind == "predictor":
+            if args.seq_len is None:
+                print("error: --seq-len is required for predictor exports",
+                      file=sys.stderr)
+                return 2
+            out_meta = export_mod.save_exported_predictor(
+                args.out, model, params, args.batch, args.seq_len,
+                condition=args.condition, platforms=tuple(args.platforms),
+            )
+        else:
+            out_meta = export_mod.save_exported_filter(
+                args.out, model, params, batch=args.batch,
+                horizons=tuple(args.horizons), platforms=tuple(args.platforms),
+            )
+    except TypeError as e:  # model without the required serving contract
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(f"exported {out_meta['kind']} ({out_meta['model_class']}, "
+          f"{args.checkpoint} checkpoint) -> {args.out}")
+    print(f"  platforms: {', '.join(out_meta['platforms'])}; "
+          f"dtype: {out_meta['dtype']}")
+    return 0
+
+
 def cmd_bench(_args) -> int:
     root = repo_root()
     if root is None or not os.path.isfile(os.path.join(root, "bench.py")):
@@ -161,6 +208,28 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--seq-stride", type=int, default=None,
                    help="training window stride (default: reference value)")
     r.set_defaults(fn=cmd_reproduce)
+
+    e = sub.add_parser(
+        "export",
+        help="export a trained model directory as a framework-free "
+             "serving artifact (StableHLO + params)")
+    e.add_argument("model_dir",
+                   help="directory written by Trainer (holds "
+                        "model_meta.json + checkpoints)")
+    e.add_argument("--out", required=True, help="artifact directory to write")
+    e.add_argument("--kind", choices=["predictor", "filter"],
+                   default="predictor")
+    e.add_argument("--checkpoint", choices=["best", "last"], default="best")
+    e.add_argument("--batch", type=int, default=1)
+    e.add_argument("--seq-len", type=int, default=None,
+                   help="predictor sequence length (predictor kind only)")
+    e.add_argument("--condition", action="store_true",
+                   help="export the conditioned predict path")
+    e.add_argument("--horizons", type=int, nargs="*", default=[],
+                   help="forecast horizons to lower (filter kind only)")
+    e.add_argument("--platforms", nargs="*", default=["cpu", "tpu"],
+                   help="backends the artifact must run on")
+    e.set_defaults(fn=cmd_export)
 
     sub.add_parser("bench", help="headline ELBO steps/sec benchmark"
                    ).set_defaults(fn=cmd_bench)

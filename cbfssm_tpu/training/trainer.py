@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from cbfssm_tpu import model_store
 from cbfssm_tpu.parallel.sharding import DataParallel
 from cbfssm_tpu.training import checkpoint
 from cbfssm_tpu.utils.profiling import MetricsLogger, StepTimer, trace
@@ -96,6 +97,10 @@ class Trainer:
         self.saver = checkpoint.shared_saver()
         self._best_dev = None  # device-side running-best chain (train())
         os.makedirs(model_dir, exist_ok=True)
+        # Make the directory self-describing: the export CLI / a later
+        # re-evaluation rebuilds (model, params) from disk alone
+        # (model_store.load_trained_model) without the producing script.
+        model_store.save_model_meta(model_dir, model, seed=seed)
 
         def constrain_batch(tree):
             # Pin each batch's leading axis to the mesh's data axis (a

@@ -1,0 +1,196 @@
+"""Self-describing model directories (cbfssm_tpu/model_store.py) and the
+`python -m cbfssm_tpu export` CLI.
+
+Contracts under test:
+
+- Trainer writes ``model_meta.json`` next to its checkpoints, and
+  ``load_trained_model(dir)`` rebuilds ``(model, params)`` from the
+  directory alone — params EXACTLY equal to ``trainer.restore``, and the
+  rebuilt model's predict numerically identical to the original's
+  (config fidelity incl. numpy-array fields).
+- The export CLI turns such a directory into a framework-free artifact
+  whose served numbers match the in-framework model.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from cbfssm_tpu import model_store
+from cbfssm_tpu.__main__ import main as cli_main
+from cbfssm_tpu.models import CBFSSM, CBFSSMHALF
+from cbfssm_tpu.training import Trainer, checkpoint
+from tests.test_other_models import half_config
+from tests.test_trainer import SmokeDS, smoke_config
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    """One short real training run shared by the read-side tests."""
+    path = str(tmp_path_factory.mktemp("store") / "m")
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    trainer = Trainer(model, path, seed=4)
+    trainer.train(ds, epochs=2)
+    return path, model, trainer
+
+
+def test_trainer_writes_meta(trained_dir):
+    path, model, _ = trained_dir
+    meta = json.load(open(os.path.join(path, model_store.MODEL_META)))
+    assert meta["model_class"] == "CBFSSM"
+    assert meta["dim_u"] == SmokeDS.dim_u and meta["dim_y"] == SmokeDS.dim_y
+    assert meta["seed"] == 4
+    assert meta["ds_name"] == "SmokeDS"
+    cfg = smoke_config()
+    # numpy-array fields round-trip through the tagged encoding
+    decoded = model_store._decode(meta["config"]["var_x"])
+    np.testing.assert_array_equal(decoded, cfg["var_x"])
+    assert decoded.dtype == cfg["var_x"].dtype
+    assert meta["config"]["dtype"] == "float64"
+    assert meta["dropped_keys"] == []
+
+
+def test_load_trained_model_matches_restore(trained_dir):
+    path, _, trainer = trained_dir
+    model, params = model_store.load_trained_model(path)
+    expected = trainer.restore(checkpoint.BEST)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        params, expected,
+    )
+    # last checkpoint loads by explicit name
+    _, last = model_store.load_trained_model(path, checkpoint.LAST)
+    assert jax.tree_util.tree_structure(last) == \
+        jax.tree_util.tree_structure(params)
+
+
+def test_rebuilt_model_predicts_identically(trained_dir, rng):
+    path, original, _ = trained_dir
+    rebuilt, params = model_store.load_trained_model(path)
+    assert type(rebuilt) is type(original)
+    u = rng.normal(size=(2, 8, SmokeDS.dim_u))
+    y = rng.normal(size=(2, 8, SmokeDS.dim_y))
+    key = jax.random.PRNGKey(11)
+    a = original.predict(params, u, y, key)
+    b = rebuilt.predict(params, u, y, key)
+    np.testing.assert_array_equal(np.asarray(a.pred_mean),
+                                  np.asarray(b.pred_mean))
+    np.testing.assert_array_equal(np.asarray(a.mse), np.asarray(b.mse))
+
+
+def test_encode_decode_roundtrip():
+    values = {
+        "arr": np.asarray([1.5, 2.5], dtype=np.float32),
+        "nested": [np.asarray([1, 2]), "s", 3, {"k": np.float64(2.0)}],
+        "plain": (1.0, 2.0),
+    }
+    enc = model_store._encode(values)
+    json.dumps(enc)  # must be JSON-clean
+    dec = model_store._decode(enc)
+    np.testing.assert_array_equal(dec["arr"], values["arr"])
+    assert dec["arr"].dtype == np.float32
+    np.testing.assert_array_equal(dec["nested"][0], values["nested"][0])
+    assert dec["nested"][3]["k"] == 2.0
+    assert dec["plain"] == [1.0, 2.0]
+
+
+def test_unserializable_extra_dropped_not_fatal(tmp_path):
+    cfg = smoke_config()
+    cfg["weird"] = object()  # lands in config.extra
+    model = CBFSSM(cfg)
+    meta = model_store.save_model_meta(str(tmp_path), model)
+    assert "extra.weird" in meta["dropped_keys"]
+    assert "weird" not in meta["extra"]
+    # and the snapshot still loads
+    rebuilt = model_store.build_model(model_store.load_model_meta(str(tmp_path)))
+    assert type(rebuilt) is CBFSSM
+
+
+def test_missing_meta_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="model_meta.json"):
+        model_store.load_model_meta(str(tmp_path))
+
+
+def test_missing_checkpoint_raises(tmp_path):
+    model = CBFSSM(smoke_config())
+    model_store.save_model_meta(str(tmp_path), model)
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        model_store.load_trained_model(str(tmp_path))
+
+
+# --- CLI ----------------------------------------------------------------
+
+
+def test_cli_export_predictor_roundtrip(trained_dir, tmp_path, rng):
+    path, _, trainer = trained_dir
+    out = str(tmp_path / "artifact")
+    rc = cli_main(["export", path, "--out", out, "--seq-len", "8",
+                   "--batch", "2", "--platforms", "cpu"])
+    assert rc == 0
+    from cbfssm_tpu.export import ExportedPredictor
+
+    pred = ExportedPredictor(out)
+    model, params = model_store.load_trained_model(path)
+    u = rng.normal(size=(2, 8, SmokeDS.dim_u))
+    y = rng.normal(size=(2, 8, SmokeDS.dim_y))
+    key = jax.random.PRNGKey(5)
+    served = pred(u, y, key)
+    direct = model.predict(params, u, y, key)
+    np.testing.assert_allclose(
+        np.asarray(served["pred_mean"]), np.asarray(direct.pred_mean),
+        rtol=1e-12,
+    )
+
+
+def test_cli_export_filter(tmp_path, rng):
+    model = CBFSSMHALF(half_config("rnn"))
+    params = model.init(jax.random.PRNGKey(0))
+    mdir = str(tmp_path / "m")
+    model_store.save_model_meta(mdir, model)
+    checkpoint.save(os.path.join(mdir, checkpoint.BEST),
+                    {"params": params,
+                     "opt_state": __import__("optax").adam(
+                         model.config.learning_rate).init(params)})
+    out = str(tmp_path / "artifact")
+    rc = cli_main(["export", mdir, "--out", out, "--kind", "filter",
+                   "--horizons", "3", "--platforms", "cpu"])
+    assert rc == 0
+    from cbfssm_tpu.export import ExportedFilter
+    from cbfssm_tpu.serving import StreamingFilter
+
+    served = ExportedFilter(out)
+    ref = StreamingFilter(model, params)
+    L = model.config.recog_len
+    u_p = rng.normal(size=(1, L, model.dim_u))
+    y_p = rng.normal(size=(1, L, model.dim_y))
+    served.start(u_p, y_p)
+    ref.start(u_p, y_p)
+    u1 = rng.normal(size=(1, model.dim_u))
+    y1 = rng.normal(size=(1, model.dim_y))
+    m_s, v_s = served.update(u1, y1)
+    m_r, v_r = ref.update(u1, y1)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_r), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_r), rtol=1e-12)
+
+
+def test_cli_export_errors(trained_dir, tmp_path, capsys):
+    path, _, _ = trained_dir
+    # missing meta
+    rc = cli_main(["export", str(tmp_path / "nothing"),
+                   "--out", str(tmp_path / "a")])
+    assert rc == 2
+    assert "model_meta.json" in capsys.readouterr().err
+    # predictor without --seq-len
+    rc = cli_main(["export", path, "--out", str(tmp_path / "b")])
+    assert rc == 2
+    assert "--seq-len" in capsys.readouterr().err
+    # filter kind on a model without the streaming interface
+    rc = cli_main(["export", path, "--out", str(tmp_path / "c"),
+                   "--kind", "filter"])
+    assert rc == 2
+    assert "streaming" in capsys.readouterr().err
