@@ -127,11 +127,40 @@ def save_model_meta(model_dir: str, model, seed: int = 0) -> dict:
             ds, "__name__", type(ds).__name__),
     }
     os.makedirs(model_dir, exist_ok=True)
+    _write_meta(model_dir, meta)
+    return meta
+
+
+def _write_meta(model_dir: str, meta: dict) -> None:
     path = os.path.join(model_dir, MODEL_META)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
     os.replace(tmp, path)
+
+
+def fold_config_updates(model_dir: str, updates: dict,
+                        note: str | None = None) -> dict:
+    """Fold concrete config values into an existing ``model_meta.json``.
+
+    Used by :class:`~cbfssm_tpu.training.sweep.SweepTrainer` after
+    training: the directory's ``best.ckpt`` holds the WINNING grid
+    point's params, so the snapshot's config must carry that point's
+    hyperparameter values (the base config was written at init time).
+    The folded keys are also recorded under ``config_updates`` for
+    provenance. Returns the updated metadata dict.
+    """
+    meta = load_model_meta(model_dir)
+    applied = {}
+    for k, v in updates.items():
+        enc = _encode(v)
+        if not _json_safe(enc):
+            continue
+        target = "config" if k in meta["config"] else "extra"
+        meta[target][k] = enc
+        applied[k] = enc
+    meta["config_updates"] = {"values": applied, "note": note}
+    _write_meta(model_dir, meta)
     return meta
 
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from cbfssm_tpu import model_store
 from cbfssm_tpu.training import checkpoint
 from cbfssm_tpu.utils.profiling import MetricsLogger
 from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
@@ -89,6 +90,13 @@ class MultiSeedTrainer:
         # comes off the hot loop; see checkpoint.AsyncSaver)
         self.saver = checkpoint.shared_saver()
         os.makedirs(model_dir, exist_ok=True)
+        # best.ckpt holds the winning seed's UNstacked single-model tree,
+        # so the directory is exportable like a Trainer's (model_store /
+        # `python -m cbfssm_tpu export`). Adapter models (SweptModel)
+        # snapshot their inner template; SweepTrainer folds the winning
+        # grid point into the snapshot after training.
+        model_store.save_model_meta(
+            model_dir, getattr(model, "template", model), seed=seed)
 
         def _epoch_update_body(params_s, opt_s, data_u, data_y, idx_s, w_s, keys):
             """idx_s/w_s: [n_seeds, n_batches, B] per-seed shuffled

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from cbfssm_tpu import model_store
 from cbfssm_tpu.config import as_config
 from cbfssm_tpu.training.multiseed import MultiSeedTrainer
 
@@ -268,8 +269,15 @@ class SweepTrainer(MultiSeedTrainer):
 
     def train(self, ds, epochs: int, retrain: bool = False):
         super().train(ds, epochs, retrain)
+        best = self.best_config()
         with open(os.path.join(self.model_dir, "sweep_best.json"), "w") as f:
-            json.dump(self.best_config(), f, indent=2)
+            json.dump(best, f, indent=2)
+        # best.ckpt holds the winning point's params; fold that point's
+        # hyperparameter values into model_meta.json so
+        # model_store.load_trained_model rebuilds the WINNING model, not
+        # the base config the snapshot recorded at init time.
+        model_store.fold_config_updates(
+            self.model_dir, best, note="sweep best point (by train loss)")
 
 
     @staticmethod

@@ -123,6 +123,50 @@ def test_missing_checkpoint_raises(tmp_path):
         model_store.load_trained_model(str(tmp_path))
 
 
+def test_multiseed_dir_is_loadable(tmp_path):
+    """MultiSeedTrainer dirs carry the snapshot too: best.ckpt is the
+    winning seed's unstacked tree, so load_trained_model rebuilds it."""
+    from cbfssm_tpu.training import MultiSeedTrainer
+
+    out = str(tmp_path / "ms")
+    trainer = MultiSeedTrainer(CBFSSM(smoke_config()), out, n_seeds=2, seed=7)
+    trainer.train(SmokeDS(), epochs=2)
+    model, params = model_store.load_trained_model(out)
+    assert type(model) is CBFSSM
+    expected = trainer._single_tree(trainer.best_seed(), best=True)["params"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)),
+        params, expected,
+    )
+    meta = model_store.load_model_meta(out)
+    assert meta["model_class"] == "CBFSSM" and meta["seed"] == 7
+
+
+def test_sweep_dir_folds_winning_point(tmp_path):
+    """SweepTrainer snapshots the inner template (not the SweptModel
+    adapter) and folds the winning grid point into the meta after
+    training, so the rebuilt model IS the winning configuration."""
+    from cbfssm_tpu.training import SweepTrainer
+
+    out = str(tmp_path / "sw")
+    sweep = {"k_factor": np.asarray([1.0, 50.0, 200.0])}
+    trainer = SweepTrainer(CBFSSM, smoke_config(), sweep, out)
+    trainer.train(SmokeDS(), epochs=2)
+    best = trainer.best_config()
+    meta = model_store.load_model_meta(out)
+    assert meta["model_class"] == "CBFSSM"
+    assert meta["config"]["k_factor"] == best["k_factor"]
+    assert meta["config_updates"]["values"] == {"k_factor": best["k_factor"]}
+    model, params = model_store.load_trained_model(out)
+    assert float(model.config.k_factor) == best["k_factor"]
+    # the rebuilt winning model evaluates its own checkpoint
+    u = np.zeros((1, 8, SmokeDS.dim_u))
+    y = np.zeros((1, 8, SmokeDS.dim_y))
+    pred = model.predict(params, u, y, jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(pred.pred_mean)).all()
+
+
 # --- CLI ----------------------------------------------------------------
 
 
