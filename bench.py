@@ -373,6 +373,11 @@ def _run_issues(results, headline_only):
     """Ways a run that reached the emit stage can still be degraded —
     recorded in its history entry so _last_green never cites it."""
     issues = []
+    if headline_only:
+        # a headline-only run is a deliberate partial record: keep it
+        # out of _last_green so diagnostics never cite a record with no
+        # shapes/trainer/multiseed numbers as the last good snapshot
+        issues.append("headline_only")
     if results.get("baseline_estimated"):
         issues.append("baseline_estimated")
     for name, shape in sorted((results.get("shapes") or {}).items()):
@@ -500,7 +505,7 @@ def _install_signal_salvage(stage, results):
 
 
 def _start_watchdog(stage, results, first_timeout=900.0,
-                    total_timeout=3600.0, poll=15.0, emit=True):
+                    total_timeout=5400.0, poll=15.0, emit=True):
     """The tunneled TPU backend occasionally goes unreachable for long
     windows (observed this rig); a hung backend call would otherwise
     burn the caller's entire timeout with no diagnostic. If no progress
@@ -509,11 +514,16 @@ def _start_watchdog(stage, results, first_timeout=900.0,
     (everything measured so far) plus an error/stage diagnostic, then
     exit nonzero — a parsed partial record beats a bare rc. Budgets are
     sized for a fully COLD run: a 1-4 min compile before the first
-    milestone, then all measurement programs plus the 1800s-capped
-    CPU-baseline subprocess within the total. Backend bring-up retries
+    milestone, then all measurement programs — three shape programs,
+    the 300-step chunk, the trainer-blocked and multiseed whole-epoch
+    programs (each its own 1-4 min cold compile) — plus the
+    1800s-capped CPU-baseline subprocess within the total
+    (CBFSSM_BENCH_TOTAL_TIMEOUT overrides). Backend bring-up retries
     happen BEFORE this clock starts (_wait_for_backend)."""
     import threading
 
+    total_timeout = float(
+        os.environ.get("CBFSSM_BENCH_TOTAL_TIMEOUT", total_timeout))
     t0 = time.monotonic()
 
     def abort(msg):

@@ -128,7 +128,7 @@ def cmd_export(args) -> int:
         return 2
     import jax
 
-    if meta["config"].get("dtype") == "float64":
+    if model_store.meta_requires_x64(meta):
         # must happen before any array is created
         jax.config.update("jax_enable_x64", True)
     name = {"best": "best.ckpt", "last": "model.ckpt"}[args.checkpoint]

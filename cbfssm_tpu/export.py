@@ -73,6 +73,43 @@ def _register_linalg_ffi(dtype):
     jnp.linalg.cholesky(jnp.eye(2, dtype=dtype)).block_until_ready()
 
 
+def _load_artifact_meta(path, meta_name, kind, hint):
+    """Shared artifact-load guard for both exported kinds: read the
+    meta, validate kind / x64 / backend platform (the tunneled-TPU
+    plugin on this rig registers platform 'axon'; the hardware — and
+    the XLA lowering it wants — is TPU), and warm the LAPACK FFI
+    registration (see :func:`_register_linalg_ffi`)."""
+    with open(os.path.join(path, meta_name)) as f:
+        meta = json.load(f)
+    actual = meta.get("kind", "predictor")
+    if actual != kind:
+        raise ValueError(
+            f"{path} is a {actual!r} artifact, not an exported {kind} "
+            f"({hint})"
+        )
+    if meta["requires_x64"] and not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "artifact was exported with 64-bit arrays; enable "
+            "jax_enable_x64 before loading"
+        )
+    platform = jax.devices()[0].platform.lower()
+    if platform == "axon":
+        platform = "tpu"
+    if platform not in meta["platforms"]:
+        raise RuntimeError(
+            f"artifact was exported for {meta['platforms']}, "
+            f"but the default backend is '{platform}'"
+        )
+    _register_linalg_ffi(np.dtype(meta["dtype"]))
+    return meta
+
+
+def _artifact_base_key(meta):
+    return np.asarray(
+        meta["key_default"], dtype=np.dtype(meta["key_dtype"])
+    ).reshape(tuple(meta["key_shape"]))
+
+
 def save_exported_predictor(path, model, params, batch, seq_len, *,
                             condition=False, platforms=("cpu", "tpu"),
                             seed=0):
@@ -175,39 +212,18 @@ class ExportedPredictor:
     def __init__(self, path):
         from jax import export as jax_export
 
-        with open(os.path.join(path, _META)) as f:
-            self.meta = json.load(f)
-        if self.meta.get("kind", "predictor") != "predictor":
-            raise ValueError(
-                f"{path} is a {self.meta.get('kind')!r} artifact, not a "
-                "predictor (use ExportedFilter)"
-            )
-        if self.meta["requires_x64"] and not jax.config.jax_enable_x64:
-            raise RuntimeError(
-                "artifact was exported with 64-bit parameters; enable "
-                "jax_enable_x64 before loading"
-            )
-        platform = jax.devices()[0].platform.lower()
-        # the tunneled-TPU plugin on this rig registers platform 'axon';
-        # the hardware (and the XLA lowering it wants) is TPU
-        if platform == "axon":
-            platform = "tpu"
-        if platform not in self.meta["platforms"]:
-            raise RuntimeError(
-                f"artifact was exported for {self.meta['platforms']}, "
-                f"but the default backend is '{platform}'"
-            )
-        _register_linalg_ffi(np.dtype(self.meta["dtype"]))
+        self.meta = _load_artifact_meta(
+            path, _META, "predictor", "use ExportedFilter")
         with open(os.path.join(path, _ARTIFACT), "rb") as f:
             self._exported = jax_export.deserialize(f.read())
         loaded = np.load(os.path.join(path, _PARAMS))
-        self._params = tuple(
+        # one device_put at load time: numpy leaves would re-transfer
+        # the whole parameter set through the tunnel on EVERY call
+        # (jit does not cache host->device uploads of numpy arguments)
+        self._params = jax.device_put(tuple(
             loaded[f"p{i}"] for i in range(self.meta["n_params"])
-        )
-        self._key = np.asarray(
-            self.meta["key_default"],
-            dtype=np.dtype(self.meta["key_dtype"]),
-        ).reshape(tuple(self.meta["key_shape"]))
+        ))
+        self._key = _artifact_base_key(self.meta)
         self._call = jax.jit(self._exported.call)
 
     def __call__(self, u, y, key=None):
@@ -358,25 +374,9 @@ class ExportedFilter:
     def __init__(self, path):
         from jax import export as jax_export
 
-        with open(os.path.join(path, _F_META)) as f:
-            self.meta = json.load(f)
+        self.meta = _load_artifact_meta(
+            path, _F_META, "filter", "use ExportedPredictor")
         m = self.meta
-        if m.get("kind") != "filter":
-            raise ValueError(f"{path} is not an exported filter artifact")
-        if m["requires_x64"] and not jax.config.jax_enable_x64:
-            raise RuntimeError(
-                "artifact was exported with 64-bit arrays; enable "
-                "jax_enable_x64 before loading"
-            )
-        platform = jax.devices()[0].platform.lower()
-        if platform == "axon":
-            platform = "tpu"
-        if platform not in m["platforms"]:
-            raise RuntimeError(
-                f"artifact was exported for {m['platforms']}, "
-                f"but the default backend is '{platform}'"
-            )
-        _register_linalg_ffi(np.dtype(m["dtype"]))
 
         def load(name):
             with open(os.path.join(path, name), "rb") as f:
@@ -389,11 +389,14 @@ class ExportedFilter:
             for h in m["horizons"]
         }
         arrays = np.load(os.path.join(path, _F_STATE))
-        self._params = tuple(arrays[f"p{i}"] for i in range(m["n_params"]))
-        self._ops = tuple(arrays[f"o{i}"] for i in range(m["n_ops"]))
-        self._base_key = np.asarray(
-            m["key_default"], dtype=np.dtype(m["key_dtype"])
-        ).reshape(tuple(m["key_shape"]))
+        # one device_put at load time: numpy params/ops would re-upload
+        # the parameter set AND the cached GP factorization on every
+        # update() — the per-step serving hot path this artifact serves
+        self._params = jax.device_put(
+            tuple(arrays[f"p{i}"] for i in range(m["n_params"])))
+        self._ops = jax.device_put(
+            tuple(arrays[f"o{i}"] for i in range(m["n_ops"])))
+        self._base_key = _artifact_base_key(m)
         self._x = None
         self._t = 0
 

@@ -101,7 +101,13 @@ def save_model_meta(model_dir: str, model, seed: int = 0) -> dict:
     for f in dataclasses.fields(cfg):
         if f.name in ("ds", "extra"):
             continue
-        enc = _encode(getattr(cfg, f.name))
+        value = getattr(cfg, f.name)
+        if f.name == "dtype":
+            # any dtype-like spelling the model accepts (str, np.float64,
+            # np.dtype) canonicalizes to one name — meta_requires_x64 and
+            # the export CLI key off this field
+            value = np.dtype(value).name
+        enc = _encode(value)
         if _json_safe(enc):
             config[f.name] = enc
         else:  # never break training over an exotic config value
@@ -127,6 +133,21 @@ def save_model_meta(model_dir: str, model, seed: int = 0) -> dict:
             ds, "__name__", type(ds).__name__),
     }
     os.makedirs(model_dir, exist_ok=True)
+    # Re-instantiating a trainer on an existing directory (retrain /
+    # eval-only) must not clobber a folded sweep-winner snapshot:
+    # best.ckpt still holds the winning point's params, so carry the
+    # folded values forward. A new fold_config_updates after the next
+    # train() overwrites them again.
+    try:
+        prior = load_model_meta(model_dir)
+    except Exception:
+        prior = None
+    if (prior is not None and prior.get("config_updates")
+            and prior.get("model_class") == meta["model_class"]):
+        for k, v in prior["config_updates"].get("values", {}).items():
+            target = "config" if k in meta["config"] else "extra"
+            meta[target][k] = v
+        meta["config_updates"] = prior["config_updates"]
     _write_meta(model_dir, meta)
     return meta
 
@@ -177,6 +198,18 @@ def load_model_meta(model_dir: str) -> dict:
         )
     with open(path) as f:
         return json.load(f)
+
+
+def meta_requires_x64(meta: dict) -> bool:
+    """True when the snapshot describes a 64-bit model (the export CLI
+    enables jax_enable_x64 before touching any array when so)."""
+    dt = meta.get("config", {}).get("dtype")
+    if dt is None:
+        return False
+    try:
+        return np.dtype(dt).itemsize == 8
+    except TypeError:
+        return False
 
 
 def build_model(meta: dict):

@@ -6,6 +6,8 @@ refactor of the model shapes or the counter can't silently skew the
 reported MFU.
 """
 
+import pytest
+
 import bench
 from scripts.profile_mfu import SHAPES
 
@@ -238,8 +240,35 @@ def test_run_issues_flags_degraded_runs():
         "baseline_estimated", "shape_error:robomove",
         "missing:multiseed_5x_s_per_epoch",
     ]
-    # headline-only runs aren't penalized for absent extended stages
-    assert bench._run_issues({"value": 1.0}, headline_only=True) == []
+    # headline-only runs aren't penalized for absent extended stages,
+    # but ARE marked as deliberate partial records so _last_green never
+    # cites one as the last full perf snapshot
+    assert bench._run_issues({"value": 1.0}, headline_only=True) == [
+        "headline_only",
+    ]
+
+
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_watchdog_total_timeout_env_override(monkeypatch):
+    """The fake os._exit ends the watchdog thread via SystemExit — the
+    deliberate way to stop its infinite loop under test."""
+    import bench
+
+    monkeypatch.setenv("CBFSSM_BENCH_TOTAL_TIMEOUT", "1")
+    calls = {}
+
+    def fake_exit(rc):
+        calls["rc"] = rc
+        raise SystemExit  # ends the watchdog thread (silently ignored)
+
+    monkeypatch.setattr(bench.os, "_exit", fake_exit)
+    bench._start_watchdog({"name": "shapes"}, {"value": 1.0},
+                          poll=0.05, emit=False)
+    deadline = bench.time.monotonic() + 10
+    while "rc" not in calls and bench.time.monotonic() < deadline:
+        bench.time.sleep(0.05)
+    assert calls.get("rc") == 3  # 1 s override tripped the total budget
 
 
 def test_last_green_skips_degraded(tmp_path, monkeypatch):

@@ -36,6 +36,21 @@ def _export_cbfssm(tmp_path, batch=1, seq_len=8, condition=False, seed=0):
     return model, params, path, meta
 
 
+def test_loaded_arrays_live_on_device(tmp_path):
+    """Params (and filter ops) are device_put once at load time — numpy
+    leaves would re-upload the whole set on every call (per-step for the
+    filter hot path)."""
+    _, _, path, _ = _export_cbfssm(tmp_path)
+    pred = ExportedPredictor(path)
+    assert all(isinstance(p, jax.Array) for p in pred._params)
+    from cbfssm_tpu.export import ExportedFilter
+
+    _, _, fpath, _ = _export_filter(tmp_path)
+    filt = ExportedFilter(fpath)
+    assert all(isinstance(p, jax.Array) for p in filt._params)
+    assert all(isinstance(o, jax.Array) for o in filt._ops)
+
+
 def test_roundtrip_matches_compiled_predictor(tmp_path, rng):
     model, params, path, meta = _export_cbfssm(tmp_path)
     pred = ExportedPredictor(path)
@@ -275,7 +290,7 @@ def test_artifact_kind_guards(tmp_path):
 
     _, _, pred_path, _ = _export_cbfssm(tmp_path)
     _, _, filt_path, _ = _export_filter(tmp_path)
-    with pytest.raises(ValueError, match="not a predictor"):
+    with pytest.raises(ValueError, match="not an exported predictor"):
         ExportedPredictor(filt_path)
     with pytest.raises(ValueError, match="not an exported filter"):
         ExportedFilter(pred_path)

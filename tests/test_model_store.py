@@ -167,6 +167,42 @@ def test_sweep_dir_folds_winning_point(tmp_path):
     assert np.isfinite(np.asarray(pred.pred_mean)).all()
 
 
+def test_reinstantiation_preserves_folded_winner(tmp_path):
+    """Reopening a directory whose snapshot holds a folded sweep winner
+    (retrain / eval-only) must not clobber the winning values — best.ckpt
+    still holds the winning point's params."""
+    model = CBFSSM(smoke_config())
+    out = str(tmp_path)
+    model_store.save_model_meta(out, model)
+    model_store.fold_config_updates(out, {"k_factor": 123.0}, note="win")
+    # a fresh trainer-style snapshot of the SAME class keeps the fold
+    model_store.save_model_meta(out, model, seed=9)
+    meta = model_store.load_model_meta(out)
+    assert meta["config"]["k_factor"] == 123.0
+    assert meta["config_updates"]["values"] == {"k_factor": 123.0}
+    assert meta["seed"] == 9  # the re-stamp itself still lands
+    # a DIFFERENT model class genuinely repurposes the directory
+    half = CBFSSMHALF(half_config("rnn"))
+    model_store.save_model_meta(out, half)
+    meta = model_store.load_model_meta(out)
+    assert meta["model_class"] == "CBFSSMHALF"
+    assert "k_factor" not in meta.get("config_updates", {}).get("values", {})
+
+
+def test_dtype_spelling_canonicalized(tmp_path):
+    """Any dtype-like config spelling snapshots to the canonical name,
+    so meta_requires_x64 / the export CLI never miss an f64 model."""
+    cfg = smoke_config()
+    cfg["dtype"] = np.float64  # a type object, not the string
+    model = CBFSSM(cfg)
+    meta = model_store.save_model_meta(str(tmp_path), model)
+    assert meta["config"]["dtype"] == "float64"
+    assert model_store.meta_requires_x64(meta)
+    assert not model_store.meta_requires_x64(
+        {"config": {"dtype": "float32"}})
+    assert not model_store.meta_requires_x64({"config": {}})
+
+
 # --- CLI ----------------------------------------------------------------
 
 
