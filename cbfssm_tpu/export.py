@@ -117,12 +117,15 @@ def save_exported_predictor(path, model, params, batch, seq_len, *,
     self-contained artifact directory loadable by
     :class:`ExportedPredictor`.
 
-    ``model`` must speak the ``PredictOutput`` contract (CBFSSM /
-    CBFSSMHALF / PRSSM — same constraint as the AOT batch predictors in
-    :mod:`cbfssm_tpu.serving`, checked the same way with a trace-only
-    ``eval_shape`` before the expensive lowering). ``platforms`` lists
-    every backend the artifact must run on; lowering happens per
-    platform but no compile or device is touched at export time.
+    ``model.predict`` must return either the ``PredictOutput`` contract
+    (CBFSSM / CBFSSMHALF / PRSSM — same constraint as the AOT batch
+    predictors in :mod:`cbfssm_tpu.serving`) or a plain dict carrying a
+    ``pred_mean`` field (VoliroSSM's force-model outputs export
+    verbatim); the served dict's fields are recorded in the meta.
+    Checked with a trace-only ``eval_shape`` before the expensive
+    lowering. ``platforms`` lists every backend the artifact must run
+    on; lowering happens per platform but no compile or device is
+    touched at export time.
     """
     import jax.numpy as jnp
     from jax import export as jax_export
@@ -135,26 +138,34 @@ def save_exported_predictor(path, model, params, batch, seq_len, *,
     flat, treedef = jax.tree_util.tree_flatten(params)
     flat = tuple(jnp.asarray(leaf) for leaf in flat)
 
-    def fn(flat_params, u, y, k):
-        p = jax.tree_util.tree_unflatten(treedef, flat_params)
-        out = model.predict(p, u, y, k, condition=condition)
-        return {f: getattr(out, f) for f in _FIELDS}
-
     flat_specs = tuple(
         jax.ShapeDtypeStruct(leaf.shape, leaf.dtype) for leaf in flat
     )
-    # fail BEFORE lowering on models without the PredictOutput contract
-    # (e.g. VoliroSSM's dict predict) — eval_shape only traces
+    # establish the output contract BEFORE lowering — eval_shape only
+    # traces. PredictOutput models serve the standard field set; plain
+    # dict predicts (VoliroSSM) serve their own fields verbatim.
     out_spec = jax.eval_shape(
         lambda p, u, y, k: model.predict(p, u, y, k, condition=condition),
         params, u_spec, y_spec, key_spec,
     )
-    if not hasattr(out_spec, "pred_mean"):
+    if hasattr(out_spec, "pred_mean"):
+        fields = _FIELDS
+    elif isinstance(out_spec, dict) and "pred_mean" in out_spec:
+        fields = tuple(out_spec)
+    else:
         raise TypeError(
             f"{type(model).__name__}.predict returns "
-            f"{type(out_spec).__name__}, not a PredictOutput; exported "
-            "predictors support CBFSSM/CBFSSMHALF/PRSSM"
+            f"{type(out_spec).__name__} without a pred_mean field; "
+            "exported predictors support CBFSSM/CBFSSMHALF/PRSSM "
+            "(PredictOutput) and VoliroSSM (dict)"
         )
+
+    def fn(flat_params, u, y, k):
+        p = jax.tree_util.tree_unflatten(treedef, flat_params)
+        out = model.predict(p, u, y, k, condition=condition)
+        if isinstance(out, dict):
+            return dict(out)
+        return {f: getattr(out, f) for f in fields}
 
     exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(
         flat_specs, u_spec, y_spec, key_spec
@@ -186,7 +197,7 @@ def save_exported_predictor(path, model, params, batch, seq_len, *,
         ) or np.dtype(dtype).itemsize == 8,
         "platforms": list(platforms),
         "jax_version": jax.__version__,
-        "output_fields": list(_FIELDS),
+        "output_fields": list(fields),
     }
     with open(os.path.join(path, _META), "w") as f:
         json.dump(meta, f, indent=1)
@@ -200,9 +211,10 @@ class ExportedPredictor:
     files and deserializes the StableHLO program — no model class is
     built and none of :mod:`cbfssm_tpu.models` / :mod:`cbfssm_tpu.ops`
     is imported. Calls validate full input shapes up front (the same
-    policy as the AOT predictors) and return the prediction dict with
-    fields ``pred_mean, pred_var, internal_mean, internal_var, mse,
-    sde``.
+    policy as the AOT predictors) and return the prediction dict —
+    ``pred_mean, pred_var, internal_mean, internal_var, mse, sde`` for
+    PredictOutput models, or the model's own dict fields (VoliroSSM);
+    ``meta["output_fields"]`` records which.
 
     >>> pred = ExportedPredictor(path)
     >>> out = pred(u, y)          # or pred(u, y, key)

@@ -113,15 +113,44 @@ def test_shape_and_dtype_guards(tmp_path, rng):
         pred(rng.normal(size=(1, 8, 2)), rng.normal(size=(1, 8, 2)))
 
 
-def test_rejects_dict_predict_models(tmp_path):
+def test_voliro_dict_predict_exports(tmp_path, rng):
+    """The ★★ Voliro model's dict predict (pred moments + force-model
+    outputs) exports verbatim; served numbers equal the direct call."""
     from cbfssm_tpu.models import Voliro
-    from tests.test_other_models import voliro_config
+    from tests.test_other_models import voliro_batch, voliro_config
 
     model = Voliro(voliro_config())
     params = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "v")
+    meta = save_exported_predictor(
+        path, model, params, 2, 6, condition=True, platforms=("cpu",)
+    )
+    assert set(meta["output_fields"]) == {
+        "pred_mean", "pred_var", "force_torque", "ft_mean", "ft_var",
+    }
+    pred = ExportedPredictor(path)
+    u, y = voliro_batch(np.random.default_rng(0), b=2, t=6)
+    key = jax.random.PRNGKey(3)
+    out = pred(u, y, key)
+    direct = model.predict(params, u, y, key, condition=True)
+    for k in direct:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(direct[k]), rtol=1e-12
+        )
+
+
+def test_rejects_models_without_pred_mean(tmp_path):
+    class NoContract:
+        dim_u, dim_y = 2, 1
+        dtype = np.float64
+
+        def predict(self, params, u, y, key, condition=False):
+            return (u, y)  # neither PredictOutput nor a pred_mean dict
+
     with pytest.raises(TypeError, match="PredictOutput"):
         save_exported_predictor(
-            str(tmp_path / "v"), model, params, 1, 4, platforms=("cpu",)
+            str(tmp_path / "n"), NoContract(), {"w": np.zeros(2)}, 1, 4,
+            platforms=("cpu",)
         )
 
 
