@@ -88,13 +88,26 @@ def _json_safe(value):
 # --- save --------------------------------------------------------------
 
 
+def _unwrap(model):
+    """Adapter models (SweptModel's ``template``, ParticleParallel's
+    full-config ``model``) snapshot their inner real-model instance —
+    its class + config are what ``load_trained_model`` must rebuild."""
+    for attr in ("template", "model"):
+        inner = getattr(model, attr, None)
+        if (inner is not None and hasattr(inner, "config")
+                and hasattr(inner, "dim_u")):
+            return inner
+    return model
+
+
 def save_model_meta(model_dir: str, model, seed: int = 0) -> dict:
     """Write ``model_meta.json`` describing ``model`` into ``model_dir``.
 
     Returns the metadata dict. Called by ``Trainer.__init__`` so every
     trained directory is self-describing; safe to call repeatedly
-    (atomic overwrite).
+    (atomic overwrite). Adapter models are unwrapped (:func:`_unwrap`).
     """
+    model = _unwrap(model)
     cfg = model.config
     config = {}
     dropped = []
@@ -144,10 +157,21 @@ def save_model_meta(model_dir: str, model, seed: int = 0) -> dict:
         prior = None
     if (prior is not None and prior.get("config_updates")
             and prior.get("model_class") == meta["model_class"]):
-        for k, v in prior["config_updates"].get("values", {}).items():
+        updates = prior["config_updates"]
+        pre_fold = updates.get("prior", {})
+        kept = {}
+        for k, v in updates.get("values", {}).items():
             target = "config" if k in meta["config"] else "extra"
-            meta[target][k] = v
-        meta["config_updates"] = prior["config_updates"]
+            # carry the fold forward ONLY where the new trainer was
+            # built with the same pre-fold base value — a trainer
+            # explicitly constructed with a different value for this
+            # key supersedes the stale winner (best.ckpt will be
+            # overwritten by its training anyway)
+            if meta[target].get(k) == pre_fold.get(k, meta[target].get(k)):
+                meta[target][k] = v
+                kept[k] = v
+        if kept:
+            meta["config_updates"] = {**updates, "values": kept}
     _write_meta(model_dir, meta)
     return meta
 
@@ -173,14 +197,20 @@ def fold_config_updates(model_dir: str, updates: dict,
     """
     meta = load_model_meta(model_dir)
     applied = {}
+    pre_fold = {}
     for k, v in updates.items():
         enc = _encode(v)
         if not _json_safe(enc):
             continue
         target = "config" if k in meta["config"] else "extra"
+        pre_fold[k] = meta[target].get(k)
         meta[target][k] = enc
         applied[k] = enc
-    meta["config_updates"] = {"values": applied, "note": note}
+    # "prior" holds the pre-fold base values: a later trainer re-stamp
+    # carries the fold forward only where its config still matches them
+    meta["config_updates"] = {
+        "values": applied, "prior": pre_fold, "note": note,
+    }
     _write_meta(model_dir, meta)
     return meta
 

@@ -164,12 +164,14 @@ class Outputs:
     def prediction(self, predict_size: int = 300):
         print("  prediction")
         ds = self.ds
-        predict_size = min(ds.train_in.shape[1], predict_size)
+        # clamp each split independently: a short TRAIN experiment must
+        # not truncate the test artifact's documented 300-step window
+        train_size = min(ds.train_in.shape[1], predict_size)
         self._plot_prediction(
             "train",
-            ds.train_in[0:1, :predict_size, :],
-            ds.train_out[0:1, :predict_size, :],
-            predict_size,
+            ds.train_in[0:1, :train_size, :],
+            ds.train_out[0:1, :train_size, :],
+            train_size,
         )
         test_size = min(ds.test_in.shape[1], predict_size)
         self._plot_prediction(

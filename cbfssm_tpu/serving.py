@@ -81,7 +81,19 @@ class CompiledPredictor:
             raise ValueError(f"compiled for u {want_u}, got {u.shape}")
         if y.shape != want_y:
             raise ValueError(f"compiled for y {want_y}, got {y.shape}")
-        return self._compiled(self.params, u, y, key if key is not None else self.key)
+        if key is None:
+            key = self.key
+        else:
+            # same policy for the key: a new-style typed key (or a
+            # batched key array) would die inside the AOT executable
+            # with an opaque signature mismatch
+            key = jnp.asarray(key)
+            if key.shape != self.key.shape or key.dtype != self.key.dtype:
+                raise ValueError(
+                    f"compiled for key {self.key.dtype}{list(self.key.shape)}"
+                    f" (jax.random.PRNGKey), got {key.dtype}{list(key.shape)}"
+                )
+        return self._compiled(self.params, u, y, key)
 
 
 class StreamingFilter:
@@ -557,9 +569,25 @@ class FilterPool:
                 f"state ensemble shape {np.asarray(x).shape} != pool "
                 f"shape {self._x.shape}"
             )
+        slots = dict(slots)
+        # fail fast on a corrupt session table: a duplicate slot would
+        # silently cross-wire two sessions onto one ensemble row, an
+        # out-of-range slot would die later inside step() with a bare
+        # IndexError far from the bad load
+        bad = {s: v for s, v in slots.items()
+               if not 0 <= int(v) < self.capacity}
+        if bad:
+            raise ValueError(
+                f"state maps sessions to out-of-range slots {bad} "
+                f"(capacity {self.capacity})"
+            )
+        if len(set(slots.values())) != len(slots):
+            raise ValueError(
+                f"state maps multiple sessions to one slot: {slots}"
+            )
         self._x = self._commit_x(jnp.asarray(x, self.model.dtype))
         self._tick = int(tick)
-        self._slots = dict(slots)
+        self._slots = slots
         used = set(self._slots.values())
         self._free = [s for s in range(self.capacity - 1, -1, -1) if s not in used]
         self._next_sid = int(next_sid)

@@ -75,11 +75,15 @@ class AsyncSaver:
         self._thread = None
 
     def _ensure_worker(self):
-        if self._thread is None or not self._thread.is_alive():
-            self._thread = threading.Thread(
-                target=self._work, name="cbfssm-ckpt-writer", daemon=True
-            )
-            self._thread.start()
+        # under the lock: concurrent save() calls (the shared saver
+        # serves every trainer in the process) must never start TWO
+        # workers — the latest-wins coalescing relies on one writer
+        with self._lock:
+            if self._thread is None or not self._thread.is_alive():
+                self._thread = threading.Thread(
+                    target=self._work, name="cbfssm-ckpt-writer", daemon=True
+                )
+                self._thread.start()
 
     def _work(self):
         while True:
@@ -123,15 +127,19 @@ class AsyncSaver:
         trainer's write failure from surfacing in — and being cleared
         by — an unrelated trainer's flush."""
         self._queue.join()
-        prefix = None if prefix is None else os.path.abspath(prefix)
         with self._lock:
             if prefix is None:
                 mine, self._errors = self._errors, []
             else:
-                mine = [e for e in self._errors if e[0].startswith(prefix)]
-                self._errors = [
-                    e for e in self._errors if not e[0].startswith(prefix)
-                ]
+                # path-component scoping: 'out/m1' must not steal (and
+                # clear) errors belonging to a sibling 'out/m10'
+                root = os.path.abspath(prefix)
+
+                def owns(path):
+                    return path == root or path.startswith(root + os.sep)
+
+                mine = [e for e in self._errors if owns(e[0])]
+                self._errors = [e for e in self._errors if not owns(e[0])]
         if mine:
             raise mine[0][1]
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
 
 import jax
@@ -92,11 +93,15 @@ class MultiSeedTrainer:
         os.makedirs(model_dir, exist_ok=True)
         # best.ckpt holds the winning seed's UNstacked single-model tree,
         # so the directory is exportable like a Trainer's (model_store /
-        # `python -m cbfssm_tpu export`). Adapter models (SweptModel)
-        # snapshot their inner template; SweepTrainer folds the winning
-        # grid point into the snapshot after training.
-        model_store.save_model_meta(
-            model_dir, getattr(model, "template", model), seed=seed)
+        # `python -m cbfssm_tpu export`). Adapter models are unwrapped
+        # by save_model_meta; SweepTrainer folds the winning grid point
+        # into the snapshot after training. Best-effort: never breaks
+        # training.
+        try:
+            model_store.save_model_meta(model_dir, model, seed=seed)
+        except Exception as exc:
+            print(f"model_meta snapshot failed ({exc}); "
+                  f"{model_dir} will not be exportable", file=sys.stderr)
 
         def _epoch_update_body(params_s, opt_s, data_u, data_y, idx_s, w_s, keys):
             """idx_s/w_s: [n_seeds, n_batches, B] per-seed shuffled
@@ -471,10 +476,6 @@ class MultiSeedTrainer:
             "params": take(host["params"]),
             "opt_state": take(host["opt_state"]),
         }
-
-    def _opt_for(self, i: int, best: bool = True):
-        tree = self.best_opt if best else self.opt_state
-        return jax.tree_util.tree_map(lambda a: a[i], tree)
 
     # --- results -------------------------------------------------------
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import os
+import sys
 import time
 
 import jax
@@ -100,7 +101,13 @@ class Trainer:
         # Make the directory self-describing: the export CLI / a later
         # re-evaluation rebuilds (model, params) from disk alone
         # (model_store.load_trained_model) without the producing script.
-        model_store.save_model_meta(model_dir, model, seed=seed)
+        # Best-effort: an un-snapshottable adapter model must never
+        # break training — the directory just won't be exportable.
+        try:
+            model_store.save_model_meta(model_dir, model, seed=seed)
+        except Exception as exc:
+            print(f"model_meta snapshot failed ({exc}); "
+                  f"{model_dir} will not be exportable", file=sys.stderr)
 
         def constrain_batch(tree):
             # Pin each batch's leading axis to the mesh's data axis (a

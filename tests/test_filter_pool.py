@@ -207,6 +207,19 @@ def test_state_roundtrip(mp, rng):
 
     with pytest.raises(ValueError, match="shape"):
         FilterPool(model, params, capacity=3, seed=0).load_state(snapshot)
+    # a corrupt session table fails fast, not by silently cross-wiring
+    # two sessions onto one ensemble row (or a later bare IndexError)
+    x, tick, slots, next_sid = snapshot
+    dup = dict(slots)
+    dup[a] = dup[b]
+    with pytest.raises(ValueError, match="one slot"):
+        FilterPool(model, params, capacity=2, seed=0).load_state(
+            (x, tick, dup, next_sid))
+    oob = dict(slots)
+    oob[a] = 99
+    with pytest.raises(ValueError, match="out-of-range"):
+        FilterPool(model, params, capacity=2, seed=0).load_state(
+            (x, tick, oob, next_sid))
 
 
 def test_pool_on_mesh_matches_unsharded(mp, rng):

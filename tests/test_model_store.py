@@ -189,6 +189,44 @@ def test_reinstantiation_preserves_folded_winner(tmp_path):
     assert "k_factor" not in meta.get("config_updates", {}).get("values", {})
 
 
+def test_explicit_new_config_supersedes_stale_fold(tmp_path):
+    """A trainer explicitly constructed with a DIFFERENT value for a
+    folded key supersedes the stale sweep winner (its training will
+    overwrite best.ckpt); keys still at the pre-fold base carry the
+    fold forward."""
+    cfg = smoke_config()
+    base_k = cfg["k_factor"]
+    model = CBFSSM(cfg)
+    out = str(tmp_path)
+    model_store.save_model_meta(out, model)
+    model_store.fold_config_updates(
+        out, {"k_factor": 123.0, "zeta_pos": 9.0}, note="win")
+    cfg2 = smoke_config()
+    cfg2["k_factor"] = base_k + 1.0  # explicit override
+    model_store.save_model_meta(out, CBFSSM(cfg2))
+    meta = model_store.load_model_meta(out)
+    assert meta["config"]["k_factor"] == base_k + 1.0  # new value wins
+    assert meta["config"]["zeta_pos"] == 9.0  # unchanged base: fold kept
+    assert meta["config_updates"]["values"] == {"zeta_pos": 9.0}
+
+
+def test_adapter_models_snapshot_inner_model(tmp_path):
+    """ParticleParallel (and SweptModel via 'template') snapshot their
+    inner real-model instance — a Trainer on an adapter still produces
+    an exportable, loadable directory."""
+    from cbfssm_tpu.parallel import make_mesh
+    from cbfssm_tpu.parallel.particle import ParticleParallel
+
+    cfg = smoke_config()
+    cfg["samples"] = 4
+    pp = ParticleParallel(CBFSSM, cfg, make_mesh(4, axis_name="particle"))
+    meta = model_store.save_model_meta(str(tmp_path), pp, seed=3)
+    assert meta["model_class"] == "CBFSSM"
+    assert meta["config"]["samples"] == 4  # the FULL particle count
+    rebuilt = model_store.build_model(meta)
+    assert type(rebuilt) is CBFSSM
+
+
 def test_dtype_spelling_canonicalized(tmp_path):
     """Any dtype-like config spelling snapshots to the canonical name,
     so meta_requires_x64 / the export CLI never miss an f64 model."""

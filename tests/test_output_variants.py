@@ -94,6 +94,27 @@ def test_outputs_voliro_artifacts(tmp_path):
     assert not os.path.isfile(os.path.join(out_dir, "mse.txt"))
 
 
+def test_prediction_windows_clamp_independently():
+    """A short TRAIN experiment must not truncate the test artifact's
+    window — each split clamps to its own length (reference outputs.py
+    predicts the first 300 steps of each split's experiment 0)."""
+    from cbfssm_tpu.outputs.outputs import Outputs
+
+    o = Outputs.__new__(Outputs)
+
+    class DS:
+        train_in = np.zeros((1, 5, 2))
+        train_out = np.zeros((1, 5, 1))
+        test_in = np.zeros((1, 40, 2))
+        test_out = np.zeros((1, 40, 1))
+
+    o.ds = DS()
+    sizes = {}
+    o._plot_prediction = lambda name, u, y, size: sizes.update({name: size})
+    o.prediction(predict_size=300)
+    assert sizes == {"train": 5, "test": 40}
+
+
 def test_config_noise_length_validation():
     cfg = smoke_config(dim_x=3)
     cfg["var_y"] = np.asarray([1.0])  # wrong: CBFSSM needs dim_x entries

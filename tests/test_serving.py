@@ -28,6 +28,16 @@ def test_compiled_predictor_shape_guard(rng):
     pred = CompiledPredictor(model, params, batch=1, seq_len=8)
     with pytest.raises(ValueError):
         pred(rng.normal(size=(2, 8, 2)), rng.normal(size=(2, 8, 1)))
+    # a key the executable wasn't lowered for fails with the same clear
+    # message as shape mismatches, not an opaque AOT signature error
+    u, y = rng.normal(size=(1, 8, 2)), rng.normal(size=(1, 8, 1))
+    with pytest.raises(ValueError, match="compiled for key"):
+        pred(u, y, key=jax.random.key(0))  # new-style typed key
+    with pytest.raises(ValueError, match="compiled for key"):
+        pred(u, y, key=np.stack([np.asarray(pred.key)] * 2))  # batched
+    # an equivalent uint32[2] key still works
+    out = pred(u, y, key=np.asarray(pred.key))
+    assert np.isfinite(np.asarray(out.pred_mean)).all()
 
 
 def test_dim_h_zero_full_observation(rng):

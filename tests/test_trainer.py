@@ -344,6 +344,22 @@ def test_async_saver_flush_reraises_worker_error(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out["w"]), np.ones(2))
 
 
+def test_async_saver_flush_prefix_is_path_scoped(tmp_path, monkeypatch):
+    """flush(prefix) owns errors by PATH COMPONENT: flushing 'm1' must
+    not steal (and clear) an error belonging to the sibling dir 'm10'."""
+    saver = checkpoint.AsyncSaver()
+    m1, m10 = str(tmp_path / "m1"), str(tmp_path / "m10")
+
+    def failing(path, tree):
+        raise IOError(f"injected for {path}")
+
+    monkeypatch.setattr(checkpoint, "_write", failing)
+    saver.save(os.path.join(m10, "best.ckpt"), {"w": np.zeros(2)})
+    saver.flush(m1)  # m10's error must NOT surface (or be cleared) here
+    with pytest.raises(IOError, match="m10"):
+        saver.flush(m10)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_blocked_pipeline_on_mesh_matches_unmeshed(tmp_path):
     """The fused-epoch + one-deep-pipeline path (dispatch/process split,
