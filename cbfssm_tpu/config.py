@@ -67,6 +67,9 @@ class ModelConfig:
     # on both configs for only ~+5% over 'high'. The Gram/Cholesky
     # precompute and the ELBO assembly dots always run at HIGHEST
     # regardless; golden tests pin f64 numerics and are unaffected.
+    # Scope: governs the solve-free GP predict path; the opt-in
+    # gp_impl='pallas' kernel pins HIGHEST internally (its MXU
+    # accumulation is fixed) and does not read this knob.
     gp_matmul_precision: str = "high"
     # lax.scan unroll factor for the time recursions (pure perf knob:
     # >1 emits several steps per loop iteration, amortizing loop
@@ -98,7 +101,12 @@ class ModelConfig:
     # the reverse pass is matmul-throughput-bound, so deferring the
     # loop-invariant accumulations only adds materialization traffic).
     # Primal values are identical either way; gradients agree to float
-    # tolerance (tests/test_adjoint.py).
+    # tolerance (tests/test_adjoint.py). Scope: 'hand' covers the
+    # forward rollout and the BLOCKED recognition schedule; a
+    # sequential recognition pass (backward_mode='sequential', or
+    # 'auto' on shapes where blocked doesn't shorten the recursion)
+    # differentiates via autodiff — a tested hybrid (gradients equal),
+    # not a silent fallback of the forward schedule.
     adjoint: str = "auto"
     # extra bag for forward-compat keys
     extra: dict = field(default_factory=dict)

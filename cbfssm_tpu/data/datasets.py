@@ -164,8 +164,16 @@ class VoliroDS(BaseDS):
     dim_u = 13
     dim_y = 22
 
-    MASS = 4.04
-    INERTIA = np.asarray([0.078359127, 0.081797886, 0.1533554115])
+    # Single source of truth is the vehicle model: the dataset
+    # MULTIPLIES accelerations by mass/inertia and the model DIVIDES by
+    # the same constants (models/voliro.py mass_inv/inertia_inv) — they
+    # must agree exactly for the physics residual the force GP learns
+    # to be meaningful.
+    from cbfssm_tpu.models.voliro import Voliro as _Voliro
+
+    MASS = _Voliro.MASS
+    INERTIA = np.asarray(_Voliro.INERTIA)
+    del _Voliro
 
     def __init__(self, seq_len, seq_stride, data_dir=None):
         super().__init__(seq_len, seq_stride)

@@ -62,12 +62,21 @@ def unwrap_euler_angles(vec: np.ndarray, threshold: float = 2.0 / 3.0 * np.pi) -
     Carried-dependency loop -> native C++ when available, python
     fallback below; the two paths are equivalence-tested against each
     other in tests/test_native.py."""
-    vec = np.atleast_2d(vec)
+    vec = np.asarray(vec)
+    # a 1-D series is one CHANNEL over time; np.atleast_2d would turn
+    # [N] into a [1, N] single-time-step row and silently no-op
+    squeeze = vec.ndim == 1
+    if squeeze:
+        vec = vec[:, None]
+    if vec.ndim != 2:
+        raise ValueError(
+            f"expected [T] or [T, channels] angle series, got {vec.shape}"
+        )
     from cbfssm_tpu import native
 
     result = native.unwrap_angles(vec, threshold)
     if result is not None:
-        return result
+        return result[:, 0] if squeeze else result
     out = np.zeros_like(vec)
     out[0] = vec[0]
     for k in range(vec.shape[1]):
@@ -86,7 +95,7 @@ def unwrap_euler_angles(vec: np.ndarray, threshold: float = 2.0 / 3.0 * np.pi) -
                 cand = v
             res[i] = cand
             prev = cand
-    return out
+    return out[:, 0] if squeeze else out
 
 
 class VoliroLog:

@@ -92,6 +92,14 @@ class BaseSSM:
             raise ValueError(
                 f"adjoint={self.config.adjoint!r} requires gp_impl='solve_free'"
             )
+        if self.config.backward_mode not in ("auto", "blocked", "sequential"):
+            # fail loudly like the sibling schedule knobs: a typo
+            # ('block', 'Blocked') would otherwise silently fall through
+            # to the sequential schedule
+            raise ValueError(
+                "backward_mode must be 'auto', 'blocked', or "
+                f"'sequential', got {self.config.backward_mode!r}"
+            )
         if int(self.config.scan_unroll) < 1:
             raise ValueError(
                 f"scan_unroll must be a positive int, got {self.config.scan_unroll!r}"

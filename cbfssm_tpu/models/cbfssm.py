@@ -113,6 +113,11 @@ class CBFSSM(BaseSSM):
 
         Dispatches between the reference-shaped sequential scan and the
         block-parallel schedule (see segmentation.blocked_layout).
+        Note: only the blocked schedule carries the opt-in hand adjoint
+        (_backward_blocked checks self._hand_adjoint); the sequential
+        scan differentiates via autodiff — a tested hybrid (gradient
+        equality pinned in tests/test_adjoint.py for both modes), see
+        the config.adjoint scope note.
         """
         mode = self.config.backward_mode
         t_len = u_tm.shape[0]

@@ -62,7 +62,9 @@ def output_recognition(y, dim_x):
 
 
 def make_recognition(kind: str, dim_x: int, param_dtype):
-    """Returns (module_or_None, needs_params). 'output' is parameter-free."""
+    """Returns the recognition flax module, or None for the
+    parameter-free 'output' kind (callers use :func:`output_recognition`
+    directly in that case)."""
     if kind == "output":
         return None
     if kind == "rnn":

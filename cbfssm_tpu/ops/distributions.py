@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import betaln
 
+from cbfssm_tpu.ops import linalg
+
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
@@ -51,7 +53,7 @@ def kl_diag_vs_tril(mean_q, var_q, chol_p, kinv_p_diag, kinv_mean):
               - M + log|K| - sum_m log var_q[m, d] )
     """
     m = mean_q.shape[0]
-    logdet_k = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_p)))
+    logdet_k = linalg.log_det_from_chol(chol_p)
     trace_term = jnp.sum(kinv_p_diag[:, None] * var_q, axis=0)  # [D]
     maha = jnp.sum(mean_q * kinv_mean, axis=0)  # [D]
     logdet_q = jnp.sum(jnp.log(var_q), axis=0)  # [D]

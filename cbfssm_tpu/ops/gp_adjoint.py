@@ -71,6 +71,11 @@ def predict_batch(cache, gp_in, precision=None):
     m = cache.kinv.shape[0]
     ls = cache.kern_len
     xs = gp_in / ls
+    # NOT cache.zs: that field is z * inv_ls (a reciprocal-multiply for
+    # the Pallas kernel), which differs from the primal's z / ls in the
+    # last ulp — this module's contract is BITWISE primal reproduction
+    # (kernels.scaled_square_dist divides). The loop-invariant division
+    # is hoisted by XLA.
     zs = cache.z / ls
     xn = jnp.sum(jnp.square(xs), axis=-1)  # [P]
     zn = jnp.sum(jnp.square(zs), axis=-1)  # [M]

@@ -93,6 +93,21 @@ def test_unwrap_continuity(rng):
     np.testing.assert_allclose(out[:, 0], t, atol=1e-10)
 
 
+def test_unwrap_1d_series_is_time_major(rng):
+    """A 1-D input is one CHANNEL over time (np.atleast_2d would have
+    made it a single time step and silently no-op'd); the result matches
+    the [T, 1] call and comes back 1-D."""
+    t = np.linspace(0, 2.5 * np.pi, 400)
+    wrapped = ((t + np.pi) % (2 * np.pi)) - np.pi
+    out = voliro_loader.unwrap_euler_angles(wrapped)
+    assert out.shape == wrapped.shape
+    np.testing.assert_array_equal(
+        out, voliro_loader.unwrap_euler_angles(wrapped[:, None])[:, 0])
+    np.testing.assert_allclose(out, t, atol=1e-10)
+    with pytest.raises(ValueError, match="angle series"):
+        voliro_loader.unwrap_euler_angles(np.zeros((4, 3, 2)))
+
+
 def test_normalize_cast(rng):
     x = rng.normal(3.0, 2.0, size=(50, 4))
     mean = x.mean(axis=0)

@@ -74,6 +74,15 @@ def test_invalid_precision_rejected():
         CBFSSM(dataclasses.replace(model.config, gp_matmul_precision="fast"))
 
 
+def test_invalid_backward_mode_rejected():
+    """A typo ('Blocked', 'block') must fail loudly, not silently fall
+    through to the sequential schedule."""
+    model = make_model()
+    for bad in ("Blocked", "block", ""):
+        with pytest.raises(ValueError, match="backward_mode"):
+            CBFSSM(dataclasses.replace(model.config, backward_mode=bad))
+
+
 def test_merged_predict_matmul_identical(rng):
     params = gp.init_sparse_gp(
         jax.random.PRNGKey(1), 3, 2, num_points=7, gp_var=0.3, gp_len=1.2,
