@@ -23,5 +23,5 @@ native:
 	$(PY) -c "from cbfssm_tpu import native; assert native.available(); print('hostloader ok')"
 
 clean:
-	rm -rf build dist *.egg-info .pytest_cache cbfssm_tpu/native/_hostloader.so
+	rm -rf build dist *.egg-info .pytest_cache cbfssm_tpu/native/_hostloader*.so
 	find . -name __pycache__ -type d -exec rm -rf {} +

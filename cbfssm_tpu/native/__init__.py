@@ -15,10 +15,35 @@ import threading
 import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "hostloader.cpp")
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "_hostloader.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _host_tag() -> str:
+    """Short stable tag for this host's CPU (arch + feature flags). The
+    library is built with -march=native, so a .so from a different host
+    (shared/NFS checkout, copied tree) can SIGILL — key the binary per
+    host like the dry-run keys its XLA cache (__graft_entry__)."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{feats}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
+_LIB_PATH = os.path.join(
+    os.path.dirname(__file__), f"_hostloader_{_host_tag()}.so"
+)
 
 
 def _build() -> bool:
@@ -106,7 +131,12 @@ def unwrap_angles(vec: np.ndarray, threshold: float) -> np.ndarray:
 
 
 def normalize_cast(x: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
-    """(x - mean) / std downcast to float32 in one pass."""
+    """(x - mean) / std downcast to float32 in one pass.
+
+    Serving-ingest utility (raw f64 telemetry -> normalized f32 request
+    batch) for custom pipelines; the training pipeline itself
+    normalizes at dataset build time and casts at device staging, so
+    this has no in-repo call site by design (see hostloader.cpp)."""
     x = np.ascontiguousarray(x, dtype=np.float64)
     mean = np.ascontiguousarray(np.broadcast_to(mean, (x.shape[-1],)), dtype=np.float64)
     std = np.ascontiguousarray(np.broadcast_to(std, (x.shape[-1],)), dtype=np.float64)

@@ -10,7 +10,13 @@
 //     vectorized in numpy; reference semantics in
 //     cbfssm/datasets/voliro_loader.py:141-158).
 //  3. normalize_cast: fused (x - mean) / std with float64 -> float32
-//     conversion, the host->device staging transform.
+//     conversion — an ingest utility for serving hosts that receive
+//     RAW f64 telemetry and need normalized f32 request batches in one
+//     pass. The framework's own training pipeline deliberately does
+//     not call it (datasets normalize once at build time in f64; the
+//     trainer casts at device staging), so it has no in-repo call
+//     site by design; equivalence to the numpy path is pinned in
+//     tests/test_native.py.
 //
 // Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
 

@@ -38,7 +38,7 @@ import optax
 from cbfssm_tpu import model_store
 from cbfssm_tpu.parallel.sharding import DataParallel
 from cbfssm_tpu.training import checkpoint
-from cbfssm_tpu.utils.profiling import MetricsLogger, StepTimer, trace
+from cbfssm_tpu.utils.profiling import MetricsLogger, trace
 from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
 
 
@@ -89,7 +89,6 @@ class Trainer:
             if epochs_per_dispatch is None
             else epochs_per_dispatch
         )
-        self.step_timer = StepTimer(warmup=1)
         # Best-checkpoint saves land nearly every epoch/block while the
         # loss is improving; the ~120 ms orbax disk write is host-side
         # work that would otherwise serialize with the next dispatch
@@ -254,7 +253,6 @@ class Trainer:
         self.params, self.opt_state, losses = self._epoch_update(
             self.params, self.opt_state, data_u, data_y, idx, w, key
         )
-        self.step_timer.tick()
         return float(jnp.mean(losses))
 
     def _epoch_eval(self, ds, batch_size, key):
@@ -421,7 +419,6 @@ class Trainer:
         best train loss. Runs while the NEXT block computes."""
         start, k, t0, best_loss, best_params, best_opt, trl, tel = handles
         trl, tel = np.asarray(trl), np.asarray(tel)
-        self.step_timer.tick()
         dt = (time.perf_counter() - t0) / k
         for j in range(k):
             self._log_epoch(

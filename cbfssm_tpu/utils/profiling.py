@@ -68,14 +68,15 @@ class StepTimer:
     def __init__(self, warmup: int = 1):
         self.warmup = warmup
         self._count = 0
-        self._t0 = None
+        # warmup=0 has no warmup tick to start the clock on, so the
+        # window starts at construction (the only reference point that
+        # can time the FIRST step)
+        self._t0 = time.perf_counter() if warmup == 0 else None
         self._timed_steps = 0
 
     def tick(self) -> None:
-        # start the clock when the warmup-th tick lands (warmup=0: on
-        # the first tick, BEFORE counting it as a timed step)
-        if self._count == self.warmup and self._t0 is None:
-            self._t0 = time.perf_counter()
+        # a tick marks the END of a step; the clock starts when the
+        # warmup-th tick lands, and every later tick is a timed step
         self._count += 1
         if self._count == self.warmup:
             self._t0 = time.perf_counter()

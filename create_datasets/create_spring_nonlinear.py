@@ -29,7 +29,9 @@ def main():
     r = np.eye(1) * sigma_y
     x0 = np.asarray([1.0, 0.0, 0.0])
 
-    rand_int = rng.uniform(low=-2, high=2, size=math.floor(ds_size / 100))
+    # at least one interval: --size < 100 would make this empty and
+    # crash the first u_fn lookup
+    rand_int = rng.uniform(low=-2, high=2, size=max(1, ds_size // 100))
 
     def u_fn(ts, _):
         return np.asarray([rand_int[math.floor(ts / ds_size * len(rand_int))]])
