@@ -5,6 +5,7 @@ The reference's UX is "run a script from run/ with a task index"
 shorter and discoverable:
 
     python -m cbfssm_tpu info                         # backend + registry
+    python -m cbfssm_tpu info run_output/x           # describe a trained dir
     python -m cbfssm_tpu reproduce spring --vmap-seeds
     python -m cbfssm_tpu reproduce smallscale --task 0
     python -m cbfssm_tpu export run_output/x --out art --seq-len 300
@@ -38,7 +39,9 @@ def repo_root() -> str | None:
     return cand if os.path.isdir(os.path.join(cand, "run")) else None
 
 
-def cmd_info(_args) -> int:
+def cmd_info(args) -> int:
+    if getattr(args, "model_dir", None):
+        return _info_model_dir(args.model_dir)
     import jax
 
     import cbfssm_tpu
@@ -63,6 +66,47 @@ def cmd_info(_args) -> int:
     root = repo_root()
     print("reproduction drivers:",
           ", ".join(sorted(DRIVERS)) if root else "unavailable (no run/ dir)")
+    return 0
+
+
+def _info_model_dir(model_dir: str) -> int:
+    """Describe a trained directory from its model_meta.json snapshot
+    (written by every trainer) without building the model or touching a
+    backend."""
+    import json
+
+    from cbfssm_tpu import model_store
+    from cbfssm_tpu.training import checkpoint
+
+    try:
+        meta = model_store.load_model_meta(model_dir)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(f"{model_dir}: {meta['model_class']} "
+          f"(dim_u={meta['dim_u']}, dim_y={meta['dim_y']}, "
+          f"seed={meta.get('seed', 0)}, ds={meta.get('ds_name')})")
+    ckpts = [n for n in (checkpoint.BEST, checkpoint.LAST,
+                         "best_seeds.ckpt", "model_seeds.ckpt")
+             if checkpoint.exists(os.path.join(model_dir, n))]
+    print("checkpoints:", ", ".join(ckpts) if ckpts else "none")
+    updates = meta.get("config_updates")
+    if updates:
+        print(f"folded config updates ({updates.get('note')}): "
+              f"{json.dumps(updates.get('values', {}))}")
+    if meta.get("dropped_keys"):
+        print("dropped (un-snapshottable) keys:",
+              ", ".join(meta["dropped_keys"]))
+    def show(value):
+        value = model_store._decode(value)
+        return (value.tolist() if hasattr(value, "tolist")
+                else json.dumps(value))
+
+    print("config:")
+    for k in sorted(meta["config"]):
+        print(f"  {k}: {show(meta['config'][k])}")
+    for k in sorted(meta.get("extra", {})):
+        print(f"  extra.{k}: {show(meta['extra'][k])}")
     return 0
 
 
@@ -183,8 +227,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m cbfssm_tpu")
     sub = p.add_subparsers(dest="command", required=True)
 
-    sub.add_parser("info", help="backend, devices, model/dataset registry"
-                   ).set_defaults(fn=cmd_info)
+    i = sub.add_parser(
+        "info",
+        help="backend, devices, model/dataset registry; with a model "
+             "dir, describe its trained snapshot")
+    i.add_argument("model_dir", nargs="?", default=None,
+                   help="optional trained directory (model_meta.json) "
+                        "to describe instead")
+    i.set_defaults(fn=cmd_info)
 
     r = sub.add_parser("reproduce", help="run a reproduction driver verbatim")
     r.add_argument("experiment", choices=sorted(DRIVERS))

@@ -296,6 +296,18 @@ def test_cli_export_filter(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_r), rtol=1e-12)
 
 
+def test_cli_info_describes_trained_dir(trained_dir, tmp_path, capsys):
+    path, _, _ = trained_dir
+    rc = cli_main(["info", path])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "CBFSSM" in out and "best.ckpt" in out and "model.ckpt" in out
+    assert "dtype" in out  # config listing present
+    rc = cli_main(["info", str(tmp_path / "nothing")])
+    assert rc == 2
+    assert "model_meta.json" in capsys.readouterr().err
+
+
 def test_cli_export_errors(trained_dir, tmp_path, capsys):
     path, _, _ = trained_dir
     # missing meta
