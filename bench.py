@@ -152,8 +152,14 @@ def cpu_baseline() -> tuple:
     surfaced in the emitted JSON so a fallback-based vs_baseline can
     never masquerade as a measured one."""
     if os.path.isfile(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            return json.load(f)["cpu_jax_steps_per_sec"], False
+        try:
+            with open(BASELINE_CACHE) as f:
+                return json.load(f)["cpu_jax_steps_per_sec"], False
+        except (ValueError, KeyError, OSError) as exc:
+            # a truncated/corrupt cache (e.g. a killed writer) must
+            # remeasure, not crash-loop every future bench run
+            print(f"baseline cache unreadable ({exc}); remeasuring",
+                  file=sys.stderr)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
@@ -171,8 +177,10 @@ def cpu_baseline() -> tuple:
         print(f"cpu baseline measurement failed ({exc}); using estimate", file=sys.stderr)
         # conservative TF-1.8-CPU-like estimate, see module docstring
         return 0.5, True
-    with open(BASELINE_CACHE, "w") as f:
+    tmp = BASELINE_CACHE + ".tmp"  # atomic: never leave a torn cache
+    with open(tmp, "w") as f:
         json.dump({"cpu_jax_steps_per_sec": value}, f)
+    os.replace(tmp, BASELINE_CACHE)
     return value, False
 
 
@@ -586,8 +594,28 @@ def main():
         stage["name"] = "backend-init"
     if not os.environ.get("CBFSSM_BENCH_NO_WATCHDOG"):
         _start_watchdog(stage, results)
+    try:
+        _run_stages(stage, results)
+    except SystemExit:
+        raise
+    except BaseException as exc:
+        # the third documented outage mode: a backend error that RAISES
+        # (XlaRuntimeError UNAVAILABLE mid-run) rather than hanging or
+        # being signalled — salvage whatever was measured, like the
+        # watchdog and signal paths do. Partial beats null.
+        msg = f"{type(exc).__name__}: {exc}"
+        print(f"bench: stage '{stage['name']}' raised: {msg}",
+              file=sys.stderr, flush=True)
+        _emit_json(results, error=msg, stage=stage["name"])
+        sys.exit(3)
+
+
+def _run_stages(stage, results):
     sps = measure()
     stage["name"] = "headline-measured"
+    # record the first reading immediately: an abort during the
+    # retry window below must still carry a completed measurement
+    results["value"] = round(sps, 3)
     if sps < 150.0:
         # The tunneled TPU occasionally degrades transiently (observed:
         # a ~10x-slow window that recovers within minutes). The healthy

@@ -57,6 +57,13 @@ def build_ds():
 def run(model, ds, epd, tag, model_dir, epochs):
     from cbfssm_tpu.training.trainer import Trainer
 
+    if epochs <= WARM_EPOCHS:
+        # the steady-state window is epochs [WARM_EPOCHS, epochs); fewer
+        # would KeyError (or divide a 0-step tail) after the full run
+        raise ValueError(
+            f"epochs must exceed the {WARM_EPOCHS}-epoch warmup "
+            f"(got {epochs})"
+        )
     trainer = Trainer(model, model_dir, epochs_per_dispatch=epd, seed=0)
     t_starts = {}
     # time the post-warmup tail by wrapping _log_epoch

@@ -12,8 +12,11 @@ compile cache:
   artifact path:   ExportedPredictor(path) (deserialize + compile)
                    -> 1 request
 
-Shape: the RoboMove serving shape (batch 1, T=300, M=100, S=50) — the
-same single-sequence request the BucketedPredictor ladder serves.
+Shape: a RoboMove-SIZED serving request (batch 1, T=300, M=100, S=50;
+dim_u=3 where the real robomove task has 2) — representative of the
+single-sequence requests the BucketedPredictor ladder serves, but not
+byte-identical to the program the other serving benchmarks compile, so
+compare cold-start numbers here only against each other.
 
 Usage: python scripts/bench_export_coldstart.py [--out artifacts/...]
        (run on the backend you care about; CPU recipe:

@@ -12,10 +12,11 @@ Usage: python scripts/bench_filter_pool.py   (ambient env = real TPU)
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -12,11 +12,12 @@ Usage: python scripts/bench_microbatch.py   (ambient env = real TPU)
 """
 
 import json
+import os
 import sys
 import threading
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

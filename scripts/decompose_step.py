@@ -54,7 +54,11 @@ def main():
     enable_persistent_cache()
     shape = SHAPES[args.shape]
     dim_x = shape["dim_x"]
-    # the SAME config/model/data as the MFU harness — numbers comparable
+    # the SAME config/model/data as the MFU harness — but NOTE: this
+    # CLI defaults --precision to 'highest' (kept so r3's recorded
+    # decompositions stay reproducible) while the library default is
+    # now 'high' (r4 flip); pass --precision high before subtracting
+    # these pieces from profile_mfu/bench.py totals
     model, params, tx, opt_state, u, y = build_cbfssm_parts(
         shape, unroll=args.unroll, gp_impl=args.gp_impl,
         backward_mode=args.backward_mode, adjoint=args.adjoint,

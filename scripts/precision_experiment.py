@@ -190,6 +190,10 @@ def main():
     arms = tuple(args.arms.split(","))
     if len(arms) != 2 or len(set(arms)) != 2:
         ap.error("--arms wants exactly two distinct settings")
+    if args.out:
+        # fail on an unwritable artifact path BEFORE the multi-hour
+        # experiment, not at the final write
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     if args.smoke:
         SMOKE.update(samples=4, ind_pnt_num=10, batch_size=8, recog_len=4)
         SMOKE_WINDOW.update(seq_len=30, seq_stride=30)
@@ -218,8 +222,12 @@ def main():
         result["sarcos"]["verdict"] = compare(result["sarcos"], arms)
     print(json.dumps(result))
     if args.out:
-        with open(args.out, "w") as f:
+        out_dir = os.path.dirname(os.path.abspath(args.out))
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(result, f, indent=1)
+        os.replace(tmp, args.out)
 
 
 if __name__ == "__main__":

@@ -5,7 +5,9 @@ shapes. Optionally captures a jax.profiler device trace.
 Usage (one JAX process at a time against the TPU):
 
     python scripts/profile_mfu.py robomove [--unroll N] [--steps N]
-        [--trace DIR] [--gp-impl pallas] [--json]
+        [--trace DIR] [--gp-impl pallas]
+
+Output is one JSON line on stdout.
 
 Shapes mirror the reference drivers (run/*.py hyperparameters).
 """

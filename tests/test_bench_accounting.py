@@ -248,19 +248,21 @@ def test_run_issues_flags_degraded_runs():
     ]
 
 
-@pytest.mark.filterwarnings(
-    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
 def test_watchdog_total_timeout_env_override(monkeypatch):
-    """The fake os._exit ends the watchdog thread via SystemExit — the
-    deliberate way to stop its infinite loop under test."""
+    """The fake os._exit parks the watchdog daemon thread after
+    recording — raising from it would trip pytest's thread excepthook
+    in a LATER test."""
+    import threading
+
     import bench
 
     monkeypatch.setenv("CBFSSM_BENCH_TOTAL_TIMEOUT", "1")
     calls = {}
+    park = threading.Event()
 
     def fake_exit(rc):
-        calls["rc"] = rc
-        raise SystemExit  # ends the watchdog thread (silently ignored)
+        calls.setdefault("rc", rc)
+        park.wait()  # daemon thread; reaped at process exit
 
     monkeypatch.setattr(bench.os, "_exit", fake_exit)
     bench._start_watchdog({"name": "shapes"}, {"value": 1.0},
@@ -281,6 +283,44 @@ def test_last_green_skips_degraded(tmp_path, monkeypatch):
         path=str(path))
     monkeypatch.setattr(bench, "_history_path", lambda: str(path))
     assert bench._last_green()["value"] == 590.0
+
+
+def test_cpu_baseline_survives_corrupt_cache(tmp_path, monkeypatch, capsys):
+    """A truncated baseline cache (killed writer) must remeasure /
+    estimate, not crash-loop every future bench run."""
+    bad = tmp_path / "baseline.json"
+    bad.write_text('{"cpu_jax_steps_per_sec": 26.')  # torn write
+
+    def no_subprocess(*a, **k):
+        raise OSError("no child in this test")
+
+    monkeypatch.setattr(bench, "BASELINE_CACHE", str(bad))
+    monkeypatch.setattr(bench.subprocess, "run", no_subprocess)
+    value, estimated = bench.cpu_baseline()
+    assert estimated and value == 0.5
+    err = capsys.readouterr().err
+    assert "unreadable" in err and "remeasuring" in err
+
+
+def test_main_salvages_partial_results_on_exception(monkeypatch, capsys):
+    """The third outage mode — a backend call that RAISES mid-run — must
+    emit the partial-results JSON line like the watchdog/signal paths."""
+    import json as _json
+
+    monkeypatch.setenv("CBFSSM_BENCH_NO_PROBE", "1")
+    monkeypatch.setenv("CBFSSM_BENCH_NO_WATCHDOG", "1")
+    monkeypatch.delenv("CBFSSM_BENCH_CPU_CHILD", raising=False)
+
+    def boom(*a, **k):
+        raise RuntimeError("UNAVAILABLE: tunnel dropped mid-run")
+
+    monkeypatch.setattr(bench, "measure", boom)
+    with pytest.raises(SystemExit) as e:
+        bench.main()
+    assert e.value.code == 3
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "UNAVAILABLE" in rec["error"]
+    assert rec["stage"] == "backend-init"
 
 
 def test_error_payload_carries_last_green(tmp_path, monkeypatch, capsys):
