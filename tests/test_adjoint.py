@@ -6,45 +6,26 @@ bodies) and gradients equal to autodiff's to float64 tolerance, across
 backward schedules, conditioning modes, data cotangents, and vmap.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from cbfssm_tpu.models.cbfssm import CBFSSM
+from tests.test_cbfssm_model import make_model as make_base_model
 
 
-class TinyDS:
-    dim_u = 2
-    dim_y = 1
-
-
-def make_model(adjoint_mode, backward_mode="blocked", dim_x=3, seq_len=12,
+def make_model(adjoint_mode, backward_mode="blocked", dim_x=3,
                recog_len=2, samples=3, dtype="float64"):
-    config = {
-        "ds": TinyDS,
-        "batch_size": 2,
-        "shuffle": 100,
-        "dim_x": dim_x,
-        "ind_pnt_num": 5,
-        "samples": samples,
-        "learning_rate": 0.01,
-        "loss_factors": np.asarray([0.7, 0.3]),
-        "k_factor": 10.0,
-        "recog_len": recog_len,
-        "zeta_pos": 2.0,
-        "zeta_mean": 0.01,
-        "zeta_var": 0.0001,
-        "var_x": np.asarray([0.01] * dim_x),
-        "var_y": np.asarray([0.5] * dim_x),
-        "gp_var": 0.25,
-        "gp_len": 1.5,
-        "dtype": dtype,
-        "jitter": 1e-8,
-        "backward_mode": backward_mode,
-        "adjoint": adjoint_mode,
-    }
-    return CBFSSM(config)
+    """The canonical CBFSSM test config (tests/test_cbfssm_model.py)
+    with the adjoint knobs applied — reused, not duplicated, so the two
+    suites can't drift apart."""
+    base = make_base_model(recog_len=recog_len, samples=samples,
+                           dim_x=dim_x, backward_mode=backward_mode)
+    return CBFSSM(dataclasses.replace(
+        base.config, dtype=dtype, adjoint=adjoint_mode))
 
 
 @pytest.fixture

@@ -2,7 +2,7 @@
 paper's equations (arXiv:1907.07035, forward-only variant for stable
 systems) and the reference formulas — NOT derived from the library's
 ops or from the golden tests' literal reimplementation
-(tests/test_cbfssmhalf_model.py), which share a reading of the code
+(tests/test_half_prssm_golden.py), which share a reading of the code
 with the library. With tests/test_elbo_hand_derived.py (CBFSSM),
 tests/test_voliro_hand_derived.py, and tests/test_prssm_hand_derived.py
 this completes derivation-vs-implementation insurance for ALL FOUR

@@ -157,20 +157,29 @@ def test_close_drains_pending(rng):
 
 
 def test_close_nodrain_fails_pending(rng):
+    """Deterministic ordering: close(drain=False) runs while the
+    dispatcher is still HELD at the gate with request #1 in flight
+    (max_batch=1), so the 3 queued requests are failed by close's queue
+    drain before the dispatcher could ever serve them. Opening the gate
+    only afterwards lets the in-flight request and close's join finish."""
     gate = threading.Event()
     pred = StubPredictor(block_event=gate)
     mb = MicroBatcher(pred, max_batch=1, max_wait_ms=0.0)
-    mb.submit(*req(rng))  # in-flight: held at the gate, will complete
+    first = mb.submit(*req(rng))  # in-flight: held at the gate
     time.sleep(0.05)
     pending = [mb.submit(*req(rng)) for _ in range(3)]
-    gate.set()
-    mb.close(drain=False)
+    closer = threading.Thread(target=lambda: mb.close(drain=False))
+    closer.start()
+    # close fails the queued futures BEFORE joining the gated dispatcher
     failed = sum(
         1 for f in pending
-        if isinstance(f.exception(timeout=1), RuntimeError)
+        if isinstance(f.exception(timeout=5), RuntimeError)
     )
-    served = sum(1 for f in pending if f.exception(timeout=1) is None)
-    assert failed + served == 3 and failed >= 1
+    gate.set()
+    closer.join(timeout=5)
+    assert not closer.is_alive()
+    assert failed == 3
+    assert first.result(timeout=5).pred_mean.shape == (1, SEQ, DY)
 
 
 def test_concurrent_submitters_all_served(rng):

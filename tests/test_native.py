@@ -57,11 +57,14 @@ def python_unwrap(vec, threshold=2.0 / 3.0 * np.pi):
 
 
 def test_unwrap_matches_python_reference(rng):
-    # random walks with artificial 2-pi jumps
+    # wrapped random walks PLUS isolated injected +-2pi offsets at
+    # ~5% of samples — above-threshold single-sample jumps exercise
+    # every branch of the asymmetric correction
     base = np.cumsum(rng.normal(0, 0.3, size=(200, 3)), axis=0)
-    jumps = (rng.random(size=(200, 3)) < 0.05) * 2 * np.pi * rng.choice([-1, 1], size=(200, 3))
-    vec = base + np.cumsum(jumps, axis=0) * 0  # keep base
     vec = ((base + np.pi) % (2 * np.pi)) - np.pi  # wrapped angles
+    jumps = (rng.random(size=(200, 3)) < 0.05) * 2 * np.pi * rng.choice(
+        [-1, 1], size=(200, 3))
+    vec = vec + jumps
     got = voliro_loader.unwrap_euler_angles(vec)
     want = python_unwrap(vec)
     np.testing.assert_allclose(got, want, atol=1e-12)

@@ -39,6 +39,13 @@ def test_scan_unroll_identical_loss(batch):
 
 
 def test_precision_knob_bands(batch):
+    """Knob plumbing: every precision tier produces a loss inside the
+    documented band. HONESTY NOTE: on the CPU test backend the three
+    tiers compute identically (HIGH/DEFAULT only diverge on TPU where
+    bf16 passes exist), so the bands here are not tight evidence — the
+    real error bands are TPU-measured (BENCHMARKS.md "Matmul
+    precision"); this test pins that the knob reaches the predict path
+    and that no tier produces a wild value."""
     u, y = batch
     model = make_model()  # f64: precision knob is a no-op in f64
     cfg32 = dataclasses.replace(model.config, dtype="float32")

@@ -34,9 +34,24 @@ def test_far_from_inducing_points_reverts_to_prior(rng):
 
 
 def test_prior_kl_zero_for_prior_matched_q(rng):
-    """If q equals the prior marginals... KL is small; and KL >= 0 for
-    random perturbations (50 trials)."""
+    """KL ~ 0 when q MATCHES the prior (z spread so K ~ kern_var*I and
+    the diag-family q can represent N(0, K) exactly: mean 0, var =
+    kern_var); KL >= 0 for random perturbations (50 trials)."""
+    from cbfssm_tpu.ops import transforms
+
     params = make_gp(in_dim=2, out_dim=2, m=6)
+    kvar = float(params.kern_var)
+    spread = params.replace(
+        # 100 lengthscales apart: cross-covariances ~ exp(-2500) ~ 0
+        z=jnp.asarray(np.arange(6, dtype=np.float64)[:, None]
+                      * np.asarray([200.0, 0.0])),
+        mean=jnp.zeros_like(params.mean),
+        var_unc=jnp.full_like(
+            params.var_unc, transforms.positive_inverse(np.asarray(kvar))),
+    )
+    cache = gp.precompute(spread, jitter=1e-12)
+    kl = float(gp.prior_kl(spread, cache))
+    assert abs(kl) < 1e-6, kl
     for i in range(50):
         p = params.replace(
             mean=params.mean + jnp.asarray(rng.normal(size=(6, 2)) * rng.uniform(0, 2)),

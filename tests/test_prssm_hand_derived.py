@@ -1,7 +1,7 @@
 """An independent PR-SSM ELBO cross-check worked out from the paper's
 equations (Doerr et al. 2018, arXiv:1801.10395 eq. 11) and the reference
 formulas — NOT derived from the library's ops or from the golden tests'
-literal reimplementation (tests/test_prssm_model.py), which share a
+literal reimplementation (tests/test_half_prssm_golden.py), which share a
 reading of the code with the library. This completes the
 derivation-vs-implementation insurance across model families: CBFSSM
 (tests/test_elbo_hand_derived.py), Voliro

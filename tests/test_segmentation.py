@@ -30,9 +30,16 @@ def test_masks_match_literal_rederivation():
 
 
 def test_every_step_written_by_exactly_one_run():
-    resample, write0 = segmentation.backward_masks(64, 8)
-    covered = write0 | ~write0
-    assert covered.all()
+    """The reference's two per-run write conditions (transcribed
+    independently above) cover every timestep EXACTLY once — the
+    property the library encodes structurally as write_run1 = ~write_run0.
+    Checked from the literal transcription, not the library masks (the
+    library-side identity would be a tautology)."""
+    for recog_len in (2, 4, 8, 16):
+        for t in range(6 * recog_len + 3):
+            _, w0 = literal_reference_conditions(t, recog_len, 0)
+            _, w1 = literal_reference_conditions(t, recog_len, 1)
+            assert w0 != w1, (recog_len, t)
 
 
 def test_each_run_burns_in_before_writing():

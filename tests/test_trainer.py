@@ -120,18 +120,19 @@ def test_blocked_epochs_match_sequential(tmp_path):
         )
 
 
-def test_blocked_auto_resolution():
+def test_blocked_auto_resolution(tmp_path):
     """'auto' targets ~300 steps/dispatch and degrades to 1 for long
     epochs or profiled runs."""
     model = CBFSSM(smoke_config())
-    tr = Trainer(model, "/tmp/unused_epd")
+    tr = Trainer(model, str(tmp_path / "epd"))
     assert tr._resolve_epd(steps_per_epoch=10, epochs=1000) == 30
     assert tr._resolve_epd(steps_per_epoch=400, epochs=1000) == 1
     assert tr._resolve_epd(steps_per_epoch=1, epochs=1000) == 64
     assert tr._resolve_epd(steps_per_epoch=10, epochs=4) == 4
-    tr_prof = Trainer(model, "/tmp/unused_epd", profile_dir="/tmp/unused_trace")
+    tr_prof = Trainer(model, str(tmp_path / "epd"),
+                      profile_dir=str(tmp_path / "trace"))
     assert tr_prof._resolve_epd(steps_per_epoch=10, epochs=1000) == 1
-    tr_pin = Trainer(model, "/tmp/unused_epd", epochs_per_dispatch=7)
+    tr_pin = Trainer(model, str(tmp_path / "epd"), epochs_per_dispatch=7)
     assert tr_pin._resolve_epd(steps_per_epoch=10, epochs=1000) == 7
 
 
@@ -408,14 +409,12 @@ def test_async_saver_coalesces_same_path(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out["w"]), np.full(2, 5.0))
 
 
-def test_shared_saver_is_process_wide():
+def test_shared_saver_is_process_wide(tmp_path):
     """Trainers share one background writer (no thread per instance)."""
     assert checkpoint.shared_saver() is checkpoint.shared_saver()
     model = CBFSSM(smoke_config())
-    import tempfile
-
-    t1 = Trainer(model, tempfile.mkdtemp())
-    t2 = Trainer(model, tempfile.mkdtemp())
+    t1 = Trainer(model, str(tmp_path / "a"))
+    t2 = Trainer(model, str(tmp_path / "b"))
     assert t1.saver is t2.saver is checkpoint.shared_saver()
 
 

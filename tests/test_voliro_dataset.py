@@ -34,8 +34,6 @@ def make_log(path, n=600, seed=0):
     data["ATT_qy"], data["ATT_qz"] = q[:, 2], q[:, 3]
     for i, k in enumerate(["ATSP_qw", "ATSP_qx", "ATSP_qy", "ATSP_qz"]):
         data[k] = q[:, i]
-    for j in range(8):
-        data[f"OUT0_Out{j+2}" if j < 6 else f"OUT1_Out{j-6}"] = rng.uniform(0.3, 0.9, n)
     for j in range(6):
         data[f"OUT0_Out{j+2}"] = rng.uniform(0.3, 0.9, n)
         data[f"OUT1_Out{j}"] = rng.uniform(0.3, 0.9, n)
