@@ -196,9 +196,13 @@ def cmd_export(args) -> int:
         else:
             out_meta = export_mod.save_exported_filter(
                 args.out, model, params, batch=args.batch,
-                horizons=tuple(args.horizons), platforms=tuple(args.platforms),
+                horizons=tuple(args.horizons),
+                replay_buckets=tuple(args.replay_buckets),
+                platforms=tuple(args.platforms),
             )
-    except TypeError as e:  # model without the required serving contract
+    except (TypeError, ValueError) as e:
+        # model without the required serving contract, or invalid
+        # export options (e.g. --replay-buckets 0)
         print(f"error: {e}", file=sys.stderr)
         return 2
     print(f"exported {out_meta['kind']} ({out_meta['model_class']}, "
@@ -277,6 +281,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export the conditioned predict path")
     e.add_argument("--horizons", type=int, nargs="*", default=[],
                    help="forecast horizons to lower (filter kind only)")
+    e.add_argument("--replay-buckets", type=int, nargs="*", default=[],
+                   help="fused backlog-replay block lengths to lower "
+                        "(filter kind only)")
     e.add_argument("--platforms", nargs="*", default=["cpu", "tpu"],
                    help="backends the artifact must run on")
     e.set_defaults(fn=cmd_export)

@@ -264,28 +264,35 @@ def load_exported_predictor(path):
 _F_INIT = "filter_init.jaxexp"
 _F_STEP = "filter_step.jaxexp"
 _F_FORECAST = "filter_forecast_{h}.jaxexp"
+_F_REPLAY = "filter_replay_{k}.jaxexp"
 _F_META = "meta.json"
 _F_STATE = "arrays.npz"
 
 
 def save_exported_filter(path, model, params, batch=1, *, horizons=(),
-                         platforms=("cpu", "tpu"), seed=0):
+                         replay_buckets=(), platforms=("cpu", "tpu"),
+                         seed=0):
     """Export the streaming-filter interface (CBFSSMHALF
-    ``filter_init`` / ``filter_step`` / ``forecast``) as a
-    self-contained artifact directory loadable by
-    :class:`ExportedFilter`.
+    ``filter_init`` / ``filter_step`` / ``forecast`` /
+    ``filter_replay``) as a self-contained artifact directory loadable
+    by :class:`ExportedFilter`.
 
     The filter's derived operators (``filter_ops`` — e.g. the cached
     GP factorization) are COMPUTED AT EXPORT TIME and stored as arrays,
     so the serving host never runs the factorization code.
     ``horizons`` lists the forecast lengths to lower (forecast shapes
     are static; the in-framework StreamingFilter compiles per horizon
-    lazily — an artifact must choose up front).
+    lazily — an artifact must choose up front). ``replay_buckets``
+    likewise lists the fused backlog-catch-up block lengths to lower
+    (e.g. ``(16, 128)``); :meth:`ExportedFilter.replay` chunks any
+    backlog over that ladder exactly like
+    :meth:`~cbfssm_tpu.serving.StreamingFilter.replay`.
     """
     import jax.numpy as jnp
     from jax import export as jax_export
 
-    for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
+    for attr in ("filter_ops", "filter_init", "filter_step", "forecast",
+                 "filter_replay"):
         if not hasattr(model, attr):
             raise TypeError(
                 f"{type(model).__name__} has no streaming interface "
@@ -326,6 +333,14 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
         )
         return {"mean": mean, "var": var}
 
+    def replay_fn(pf, of, x, u, y, bk, t0, a):
+        x_new, (mean, var) = model.filter_replay(
+            jax.tree_util.tree_unflatten(p_def, pf),
+            jax.tree_util.tree_unflatten(o_def, of), x, u, y, bk, t0,
+            active=a,
+        )
+        return {"x": x_new, "mean": mean, "var": var}
+
     exp = jax_export.export
     plats = list(platforms)
     os.makedirs(path, exist_ok=True)
@@ -340,6 +355,20 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
         with open(os.path.join(path, _F_FORECAST.format(h=int(h))), "wb") as f:
             f.write(exp(jax.jit(forecast_fn), platforms=plats)(
                 p_specs, o_specs, x_spec, uh, key_spec).serialize())
+    buckets = sorted(int(k) for k in replay_buckets)
+    if buckets and buckets[0] < 1:
+        raise ValueError(
+            f"replay_buckets must be lengths >= 1, got {replay_buckets!r}"
+        )
+    t0_spec = jax.ShapeDtypeStruct((), np.uint32)
+    for k in buckets:
+        uk = jax.ShapeDtypeStruct((batch, k, model.dim_u), dtype)
+        yk = jax.ShapeDtypeStruct((batch, k, model.dim_y), dtype)
+        ak = jax.ShapeDtypeStruct((k,), np.bool_)
+        with open(os.path.join(path, _F_REPLAY.format(k=k)), "wb") as f:
+            f.write(exp(jax.jit(replay_fn), platforms=plats)(
+                p_specs, o_specs, x_spec, uk, yk, key_spec, t0_spec, ak
+            ).serialize())
     np.savez(
         os.path.join(path, _F_STATE),
         **{f"p{i}": np.asarray(x) for i, x in enumerate(p_flat)},
@@ -358,6 +387,7 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
         "n_params": len(p_flat),
         "n_ops": len(o_flat),
         "horizons": [int(h) for h in horizons],
+        "replay_buckets": buckets,
         "key_shape": list(key.shape),
         "key_dtype": np.dtype(key.dtype).name,
         "key_default": np.asarray(key).tolist(),
@@ -399,6 +429,11 @@ class ExportedFilter:
         self._forecasts = {
             int(h): load(_F_FORECAST.format(h=int(h)))
             for h in m["horizons"]
+        }
+        # absent in pre-replay artifacts: they still load and serve
+        self._replays = {
+            int(k): load(_F_REPLAY.format(k=int(k)))
+            for k in m.get("replay_buckets", ())
         }
         arrays = np.load(os.path.join(path, _F_STATE))
         # one device_put at load time: numpy params/ops would re-upload
@@ -471,6 +506,60 @@ class ExportedFilter:
         self._x = out["x"]
         self._t += 1
         return out["mean"], out["var"]
+
+    def replay(self, u_block, y_block):
+        """Catch up on a K-step backlog in one fused dispatch per
+        exported bucket chunk — the failover path: a replica that
+        restored ``state`` from a snapshot replays the observations
+        accumulated since. Matches K sequential :meth:`update` calls
+        (same key schedule) to f64 last-ulp scan-fusion noise; pinned
+        at rtol 1e-12 by test.
+        Returns (mean [B, K, dy], var [B, K, dy]) numpy."""
+        from cbfssm_tpu.serving import plan_replay_chunks
+
+        self._require_started()
+        if not self._replays:
+            raise ValueError(
+                "no replay programs in this artifact; re-export with "
+                "save_exported_filter(..., replay_buckets=(...))"
+            )
+        m = self.meta
+        dtype = np.dtype(m["dtype"])
+        u = np.asarray(u_block, dtype=dtype)
+        y = np.asarray(y_block, dtype=dtype)
+        if u.ndim != 3 or u.shape[0] != m["batch"] or u.shape[2] != m["dim_u"]:
+            raise ValueError(
+                f"u_block must be [{m['batch']}, K, {m['dim_u']}], "
+                f"got {u.shape}"
+            )
+        k_total = u.shape[1]
+        if y.shape != (m["batch"], k_total, m["dim_y"]):
+            raise ValueError(
+                f"y_block must be [{m['batch']}, {k_total}, {m['dim_y']}] "
+                f"to match u_block, got {y.shape}"
+            )
+        means, vars_ = [], []
+        off = 0
+        for k_act, k_prog in plan_replay_chunks(k_total, sorted(self._replays)):
+            u_c = u[:, off:off + k_act]
+            y_c = y[:, off:off + k_act]
+            if k_prog != k_act:
+                pad = ((0, 0), (0, k_prog - k_act), (0, 0))
+                u_c = np.pad(u_c, pad)
+                y_c = np.pad(y_c, pad)
+            active = np.arange(k_prog, dtype=np.int64) < k_act
+            out = self._replays[k_prog](
+                self._params, self._ops, self._x, u_c, y_c,
+                self._base_key, np.uint32(self._t), active,
+            )
+            self._x = out["x"]
+            self._t += k_act
+            means.append(np.asarray(out["mean"])[:, :k_act])
+            vars_.append(np.asarray(out["var"])[:, :k_act])
+            off += k_act
+        mean = means[0] if len(means) == 1 else np.concatenate(means, axis=1)
+        var = vars_[0] if len(vars_) == 1 else np.concatenate(vars_, axis=1)
+        return mean, var
 
     def forecast(self, u_future):
         self._require_started()

@@ -19,6 +19,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def plan_replay_chunks(k_total, buckets):
+    """Split a K-step backlog into (k_active, k_program) chunks over a
+    bucket ladder of compiled replay-program lengths.
+
+    Full chunks of the largest bucket run exactly; the remainder pads
+    up to the smallest bucket that fits (padded steps are masked
+    inactive, so they hold the ensemble and their outputs are sliced
+    off). ``buckets`` empty/None means one exact-length program.
+    Shared by :meth:`StreamingFilter.replay` and the exported-filter
+    replay (:class:`cbfssm_tpu.export.ExportedFilter`), so both sides
+    of the failover pair chunk a backlog identically.
+    """
+    if k_total < 1:
+        raise ValueError(f"backlog must have at least one step, got {k_total}")
+    if not buckets:
+        return [(k_total, k_total)]
+    ladder = sorted(int(b) for b in buckets)
+    if ladder[0] < 1:
+        raise ValueError(f"replay buckets must be >= 1, got {buckets}")
+    plan = []
+    remaining = k_total
+    while remaining > ladder[-1]:
+        plan.append((ladder[-1], ladder[-1]))
+        remaining -= ladder[-1]
+    k_prog = next(b for b in ladder if b >= remaining)
+    plan.append((remaining, k_prog))
+    return plan
+
+
 class CompiledPredictor:
     """AOT-compiled free-running prediction for one (batch, seq_len)
     shape.
@@ -110,15 +139,25 @@ class StreamingFilter:
     >>> f.start(u_prefix, y_prefix)          # recognition net -> x_0
     >>> mean, var = f.update(u_prev, y_new)  # one conditioned transition
     >>> mean, var = f.forecast(u_future)     # free-run ahead, state kept
+    >>> mean, var = f.replay(u_blk, y_blk)   # K backlog steps, ONE dispatch
 
     The start/update programs are AOT-compiled at construction (no
     first-request compile latency); forecast compiles once per distinct
     horizon and caches the executable. ``state``/``load_state`` expose
-    the (ensemble, step counter) for checkpointing/failover.
+    the (ensemble, step counter) for checkpointing/failover; ``replay``
+    catches a restored replica up on the observation backlog in one
+    fused dispatch (same trajectory as sequential updates to f64
+    last-ulp scan-fusion noise; pinned at rtol 1e-12 by test). Pass
+    ``replay_buckets`` (e.g. ``(16, 128)``) to AOT-lower
+    a fixed ladder of replay lengths at construction — failover is
+    exactly when a first-use compile is unaffordable; without it,
+    replay compiles one exact-length program per distinct backlog size.
     """
 
-    def __init__(self, model, params, batch: int = 1, seed: int = 0):
-        for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
+    def __init__(self, model, params, batch: int = 1, seed: int = 0,
+                 replay_buckets=None):
+        for attr in ("filter_ops", "filter_init", "filter_step", "forecast",
+                     "filter_replay"):
             if not hasattr(model, attr):
                 raise TypeError(
                     f"{type(model).__name__} has no streaming interface "
@@ -153,6 +192,19 @@ class StreamingFilter:
             .compile()
         )
         self._forecast_c = {}
+        self._replay_c = {}
+        if replay_buckets is not None:
+            ladder = tuple(sorted(int(b) for b in replay_buckets))
+            if not ladder or ladder[0] < 1:
+                raise ValueError(
+                    f"replay_buckets must be a non-empty collection of "
+                    f"lengths >= 1, got {replay_buckets!r}"
+                )
+            self._replay_buckets = ladder
+            for k in ladder:  # AOT: failover-time compiles are unaffordable
+                self._replay_compiled(k)
+        else:
+            self._replay_buckets = ()
 
     # --- state management ----------------------------------------------
 
@@ -225,6 +277,83 @@ class StreamingFilter:
         )
         self._t += 1
         return mean, var
+
+    def _replay_compiled(self, k: int):
+        """AOT replay program for a K-step block (cached per length).
+        The start counter ``t0`` and the active mask are runtime
+        ARGUMENTS, so one program serves every point in the stream and
+        every padding amount."""
+        if k not in self._replay_c:
+            model = self.model
+            dtype = model.dtype
+            x_spec = jax.ShapeDtypeStruct(
+                (self.batch, model.samples, model.dim_x), dtype
+            )
+            u_spec = jax.ShapeDtypeStruct((self.batch, k, model.dim_u), dtype)
+            y_spec = jax.ShapeDtypeStruct((self.batch, k, model.dim_y), dtype)
+            key_spec = jax.ShapeDtypeStruct(
+                self._base_key.shape, self._base_key.dtype
+            )
+            t0_spec = jax.ShapeDtypeStruct((), np.uint32)
+            a_spec = jax.ShapeDtypeStruct((k,), np.bool_)
+            self._replay_c[k] = (
+                jax.jit(
+                    lambda p, ops, x, u, y, bk, t0, a:
+                        model.filter_replay(p, ops, x, u, y, bk, t0, a)
+                )
+                .lower(self.params, self._ops, x_spec, u_spec, y_spec,
+                       key_spec, t0_spec, a_spec)
+                .compile()
+            )
+        return self._replay_c[k]
+
+    def replay(self, u_block, y_block):
+        """Catch up on a K-step backlog — ``u_block`` [B, K, du] /
+        ``y_block`` [B, K, dy] — in one fused dispatch per bucket chunk
+        instead of K single-step dispatches. The trajectory, final
+        state, and per-step (mean, var) outputs match K sequential
+        :meth:`update` calls — same key schedule, equal to f64
+        last-ulp scan-vs-per-call fusion noise (pinned at rtol 1e-12
+        by test). Returns (mean [B, K, dy], var [B, K, dy])."""
+        self._require_started()
+        model = self.model
+        dtype = model.dtype
+        u = np.asarray(u_block, dtype=dtype)
+        y = np.asarray(y_block, dtype=dtype)
+        if u.ndim != 3 or u.shape[0] != self.batch or \
+                u.shape[2] != model.dim_u:
+            raise ValueError(
+                f"u_block must be [{self.batch}, K, {model.dim_u}], "
+                f"got {u.shape}"
+            )
+        k_total = u.shape[1]
+        if y.shape != (self.batch, k_total, model.dim_y):
+            raise ValueError(
+                f"y_block must be [{self.batch}, {k_total}, "
+                f"{model.dim_y}] to match u_block, got {y.shape}"
+            )
+        means, vars_ = [], []
+        off = 0
+        for k_act, k_prog in plan_replay_chunks(k_total, self._replay_buckets):
+            u_c = u[:, off:off + k_act]
+            y_c = y[:, off:off + k_act]
+            if k_prog != k_act:
+                pad = ((0, 0), (0, k_prog - k_act), (0, 0))
+                u_c = np.pad(u_c, pad)
+                y_c = np.pad(y_c, pad)
+            active = np.arange(k_prog, dtype=np.int64) < k_act
+            self._x, (m, v) = self._replay_compiled(k_prog)(
+                self.params, self._ops, self._x,
+                jnp.asarray(u_c), jnp.asarray(y_c),
+                self._base_key, np.uint32(self._t), active,
+            )
+            self._t += k_act
+            means.append(m[:, :k_act])
+            vars_.append(v[:, :k_act])
+            off += k_act
+        if len(means) == 1:
+            return means[0], vars_[0]
+        return jnp.concatenate(means, axis=1), jnp.concatenate(vars_, axis=1)
 
     def forecast(self, u_future):
         """Free-run prediction from the current ensemble over
@@ -301,8 +430,9 @@ class FilterPool:
     """
 
     def __init__(self, model, params, capacity: int, seed: int = 0,
-                 mesh=None, axis_name: str = "data"):
-        for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
+                 mesh=None, axis_name: str = "data", replay_buckets=None):
+        for attr in ("filter_ops", "filter_init", "filter_step", "forecast",
+                     "filter_replay"):
             if not hasattr(model, attr):
                 raise TypeError(
                     f"{type(model).__name__} has no streaming interface "
@@ -333,10 +463,16 @@ class FilterPool:
                 for nd in range(1, 4)
             )
             self._rep_sharding = NamedSharding(mesh, PartitionSpec())
+            # the replay active mask is [K, capacity]: time replicated,
+            # session rows sharded like every other per-slot array
+            self._mask_t_sharding = NamedSharding(
+                mesh, PartitionSpec(None, axis_name)
+            )
             params = jax.device_put(params, self._rep_sharding)
         else:
             self._row_shardings = None
             self._rep_sharding = None
+            self._mask_t_sharding = None
         self.params = params
         self._base_key = jax.random.PRNGKey(seed)
         self._ops = jax.jit(model.filter_ops)(params)
@@ -382,6 +518,19 @@ class FilterPool:
             .compile()
         )
         self._forecast_c = {}
+        self._replay_c = {}
+        if replay_buckets is not None:
+            ladder = tuple(sorted(int(b) for b in replay_buckets))
+            if not ladder or ladder[0] < 1:
+                raise ValueError(
+                    f"replay_buckets must be a non-empty collection of "
+                    f"lengths >= 1, got {replay_buckets!r}"
+                )
+            self._replay_buckets = ladder
+            for k in ladder:  # AOT: failover-time compiles are unaffordable
+                self._replay_compiled(k)
+        else:
+            self._replay_buckets = ()
 
         self._x = self._commit_x(
             jnp.zeros((self.capacity, model.samples, model.dim_x), dtype)
@@ -486,6 +635,119 @@ class FilterPool:
             sid: (mean[self._slots[sid]], var[self._slots[sid]])
             for sid in inputs
         }
+
+    def _replay_compiled(self, k: int):
+        """AOT pool-replay program for a K-tick block (cached per
+        length): the model's fused scan with a per-(tick, slot) active
+        mask, so sessions with ragged backlog lengths catch up in the
+        same dispatch. Start tick and mask are runtime arguments."""
+        if k not in self._replay_c:
+            model = self.model
+            dtype = model.dtype
+            x_spec = jax.ShapeDtypeStruct(
+                (self.capacity, model.samples, model.dim_x), dtype
+            )
+            u_spec = jax.ShapeDtypeStruct((self.capacity, k, model.dim_u), dtype)
+            y_spec = jax.ShapeDtypeStruct((self.capacity, k, model.dim_y), dtype)
+            a_spec = jax.ShapeDtypeStruct((k, self.capacity), np.bool_)
+            key_spec = jax.ShapeDtypeStruct(
+                self._base_key.shape, self._base_key.dtype
+            )
+            t0_spec = jax.ShapeDtypeStruct((), np.uint32)
+
+            def pool_replay(p, ops, x, u, y, a, bk, t0):
+                return model.filter_replay(p, ops, x, u, y, bk, t0, active=a)
+
+            if self.mesh is None:
+                rp_jit = jax.jit(pool_replay)
+            else:
+                _, _, row3 = self._row_shardings
+                rep = self._rep_sharding
+                rp_jit = jax.jit(
+                    pool_replay,
+                    in_shardings=(rep, rep, row3, row3, row3,
+                                  self._mask_t_sharding, rep, rep),
+                    out_shardings=(row3, (row3, row3)),
+                )
+            self._replay_c[k] = (
+                rp_jit
+                .lower(self.params, self._ops, x_spec, u_spec, y_spec,
+                       a_spec, key_spec, t0_spec)
+                .compile()
+            )
+        return self._replay_c[k]
+
+    def replay(self, inputs: dict) -> dict:
+        """Catch the sessions in ``inputs`` — ``{sid: (u [K_i, du],
+        y [K_i, dy])}``, per-session backlog lengths may differ — up on
+        their backlogs in ONE fused dispatch per bucket chunk; sessions
+        not listed hold their state throughout. Matches the sequential
+        schedule where tick t carries exactly the sessions with
+        K_i > t, to f64 last-ulp scan-fusion noise (pinned at rtol
+        1e-12 by test). Returns ``{sid:
+        (mean [K_i, dy], var [K_i, dy])}`` (numpy)."""
+        if not inputs:
+            raise ValueError("replay() needs at least one session input")
+        model = self.model
+        dtype = model.dtype
+        staged = {}
+        for sid, (u, y) in inputs.items():
+            slot = self._slots[sid]  # KeyError on unknown sid
+            u = np.asarray(u, dtype=dtype)
+            y = np.asarray(y, dtype=dtype)
+            if u.ndim != 2 or u.shape[1] != model.dim_u or u.shape[0] < 1:
+                raise ValueError(
+                    f"session {sid}: backlog u must be [K>=1, "
+                    f"{model.dim_u}], got {u.shape}"
+                )
+            if y.shape != (u.shape[0], model.dim_y):
+                raise ValueError(
+                    f"session {sid}: backlog y must be [{u.shape[0]}, "
+                    f"{model.dim_y}] to match u, got {y.shape}"
+                )
+            staged[slot] = (sid, u, y)
+        k_total = max(u.shape[0] for _, u, _ in staged.values())
+        u_full = np.zeros((self.capacity, k_total, model.dim_u), dtype)
+        y_full = np.zeros((self.capacity, k_total, model.dim_y), dtype)
+        act = np.zeros((k_total, self.capacity), np.bool_)
+        for slot, (_, u, y) in staged.items():
+            ki = u.shape[0]
+            u_full[slot, :ki] = u
+            y_full[slot, :ki] = y
+            act[:ki, slot] = True
+        means, vars_ = [], []
+        off = 0
+        for k_act, k_prog in plan_replay_chunks(k_total, self._replay_buckets):
+            u_c = u_full[:, off:off + k_act]
+            y_c = y_full[:, off:off + k_act]
+            a_c = act[off:off + k_act]
+            if k_prog != k_act:
+                pad3 = ((0, 0), (0, k_prog - k_act), (0, 0))
+                u_c = np.pad(u_c, pad3)
+                y_c = np.pad(y_c, pad3)
+                a_c = np.pad(a_c, ((0, k_prog - k_act), (0, 0)))
+            if self.mesh is None:
+                u_d, y_d = jnp.asarray(u_c), jnp.asarray(y_c)
+                a_d = jnp.asarray(a_c)
+            else:
+                u_d = jax.device_put(u_c, self._row_shardings[2])
+                y_d = jax.device_put(y_c, self._row_shardings[2])
+                a_d = jax.device_put(a_c, self._mask_t_sharding)
+            self._x, (m, v) = self._replay_compiled(k_prog)(
+                self.params, self._ops, self._x, u_d, y_d, a_d,
+                self._base_key, np.uint32(self._tick),
+            )
+            self._tick += k_act
+            means.append(np.asarray(m)[:, :k_act])
+            vars_.append(np.asarray(v)[:, :k_act])
+            off += k_act
+        mean = means[0] if len(means) == 1 else np.concatenate(means, axis=1)
+        var = vars_[0] if len(vars_) == 1 else np.concatenate(vars_, axis=1)
+        out = {}
+        for slot, (sid, u, _) in staged.items():
+            ki = u.shape[0]
+            out[sid] = (mean[slot, :ki], var[slot, :ki])
+        return out
 
     def forecast(self, inputs: dict) -> dict:
         """Free-run the sessions in ``inputs`` — ``{sid: u_future

@@ -314,6 +314,80 @@ def test_filter_guards(tmp_path, rng):
         f.load_state((np.zeros((1, 1, 1)), 0))
 
 
+def test_filter_replay_matches_sequential(tmp_path, rng):
+    """The exported fused-replay programs reproduce K sequential
+    exported updates (same key schedule), chunked + padded over the
+    exported bucket ladder; counters and ensembles agree."""
+    from cbfssm_tpu.export import ExportedFilter
+
+    model, params, path, meta = _export_filter(tmp_path)
+    from cbfssm_tpu.export import save_exported_filter
+
+    rpath = os.path.join(str(tmp_path), "filter_replay")
+    meta = save_exported_filter(
+        rpath, model, params, batch=2, replay_buckets=(2, 4),
+        platforms=("cpu",), seed=0,
+    )
+    assert meta["replay_buckets"] == [2, 4]
+    recog = meta["recog_len"]
+    u = rng.normal(size=(2, 20, 2))
+    y = rng.normal(size=(2, 20, 1))
+
+    seq = ExportedFilter(rpath)
+    seq.start(u[:, :recog], y[:, :recog])
+    ms = []
+    for t in range(recog, recog + 7):
+        m, _ = seq.update(u[:, t - 1], y[:, t])
+        ms.append(np.asarray(m))
+    seq_m = np.stack(ms, axis=1)
+
+    rep = ExportedFilter(rpath)
+    rep.start(u[:, :recog], y[:, :recog])
+    # K=7 over (2, 4): chunks 4 (exact) + 3 (padded to 4)
+    m, v = rep.replay(u[:, recog - 1:recog + 6], y[:, recog:recog + 7])
+    assert m.shape == (2, 7, 1) and v.shape == (2, 7, 1)
+    np.testing.assert_allclose(m, seq_m, rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(rep.state[0]), np.asarray(seq.state[0]),
+        rtol=1e-12, atol=1e-13,
+    )
+    assert rep.state[1] == seq.state[1] == 7
+    # continuation from the same counter
+    m_s, _ = seq.update(u[:, recog + 6], y[:, recog + 7])
+    m_r, _ = rep.update(u[:, recog + 6], y[:, recog + 7])
+    np.testing.assert_allclose(
+        np.asarray(m_r), np.asarray(m_s), rtol=1e-11, atol=1e-12
+    )
+
+
+def test_filter_replay_guards(tmp_path, rng):
+    """Artifacts without replay programs load fine but name the fix;
+    replay validates backlog shapes like update does."""
+    from cbfssm_tpu.export import ExportedFilter, save_exported_filter
+
+    model, params, path, meta = _export_filter(tmp_path)  # no buckets
+    f = ExportedFilter(path)
+    recog = meta["recog_len"]
+    f.start(rng.normal(size=(2, recog, 2)), rng.normal(size=(2, recog, 1)))
+    with pytest.raises(ValueError, match="replay_buckets"):
+        f.replay(rng.normal(size=(2, 3, 2)), rng.normal(size=(2, 3, 1)))
+
+    rpath = os.path.join(str(tmp_path), "fr")
+    save_exported_filter(rpath, model, params, batch=2,
+                         replay_buckets=(4,), platforms=("cpu",))
+    g = ExportedFilter(rpath)
+    with pytest.raises(RuntimeError, match="start"):
+        g.replay(rng.normal(size=(2, 3, 2)), rng.normal(size=(2, 3, 1)))
+    g.start(rng.normal(size=(2, recog, 2)), rng.normal(size=(2, recog, 1)))
+    with pytest.raises(ValueError, match="u_block"):
+        g.replay(rng.normal(size=(3, 2)), rng.normal(size=(2, 3, 1)))
+    with pytest.raises(ValueError, match="y_block"):
+        g.replay(rng.normal(size=(2, 3, 2)), rng.normal(size=(2, 2, 1)))
+    with pytest.raises(ValueError, match=">= 1"):
+        save_exported_filter(os.path.join(str(tmp_path), "bad"), model,
+                             params, replay_buckets=(0,), platforms=("cpu",))
+
+
 def test_artifact_kind_guards(tmp_path):
     from cbfssm_tpu.export import ExportedFilter
 

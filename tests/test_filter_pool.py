@@ -276,6 +276,132 @@ def test_pool_on_mesh_matches_unsharded(mp, rng):
     )
 
 
+def _pool_with_sessions(mp, rng_seed=7, **kw):
+    model, params = mp
+    rng = np.random.default_rng(rng_seed)
+    data = {
+        i: (rng.normal(size=(20, DU)), rng.normal(size=(20, DY)))
+        for i in range(3)
+    }
+    pool = FilterPool(model, params, capacity=4, seed=0, **kw)
+    sids = {i: pool.attach(u[:RECOG], y[:RECOG]) for i, (u, y) in data.items()}
+    return pool, sids, data
+
+
+def _sequential_pool_catchup(pool, sids, data, backlogs):
+    """The reference schedule replay must match: tick t carries exactly
+    the sessions with backlog length > t. Returns {i: [(mean, var)..]}."""
+    out = {i: [] for i in backlogs}
+    for t in range(max(backlogs.values())):
+        ins = {}
+        for i, k in backlogs.items():
+            if t < k:
+                u, y = data[i]
+                ins[sids[i]] = (u[RECOG - 1 + t], y[RECOG + t])
+        res = pool.step(ins)
+        for i in backlogs:
+            if sids[i] in res:
+                out[i].append(res[sids[i]])
+    return out
+
+
+BACKLOGS = {0: 5, 1: 3}  # session 2 holds throughout
+
+
+def _backlog_inputs(sids, data):
+    return {
+        sids[i]: (
+            data[i][0][RECOG - 1:RECOG - 1 + k],
+            data[i][1][RECOG:RECOG + k],
+        )
+        for i, k in BACKLOGS.items()
+    }
+
+
+def test_pool_replay_matches_sequential_ragged(mp):
+    """Ragged per-session backlogs catch up in one fused dispatch,
+    matching the sequential tick schedule; unlisted sessions hold."""
+    model, params = mp
+    p_seq, s_seq, data = _pool_with_sessions(mp)
+    seq = _sequential_pool_catchup(p_seq, s_seq, data, BACKLOGS)
+
+    p_rep, s_rep, _ = _pool_with_sessions(mp)
+    res = p_rep.replay(_backlog_inputs(s_rep, data))
+    for i, k in BACKLOGS.items():
+        m, v = res[s_rep[i]]
+        assert m.shape == (k, DY) and v.shape == (k, DY)
+        np.testing.assert_allclose(
+            m, np.stack([mm for mm, _ in seq[i]]), rtol=1e-12, atol=1e-14
+        )
+        np.testing.assert_allclose(
+            v, np.stack([vv for _, vv in seq[i]]), rtol=1e-12, atol=1e-14
+        )
+    np.testing.assert_allclose(
+        p_rep.state[0], p_seq.state[0], rtol=1e-12, atol=1e-14
+    )
+    assert p_rep._tick == p_seq._tick == max(BACKLOGS.values())
+    # the held session's ensemble row is bitwise untouched
+    held = s_rep[2]
+    slot = p_rep._slots[held]
+    p_fresh, s_fresh, _ = _pool_with_sessions(mp)
+    np.testing.assert_array_equal(
+        p_rep.state[0][slot], p_fresh.state[0][p_fresh._slots[s_fresh[2]]]
+    )
+
+
+def test_pool_replay_bucketed(mp):
+    """A bucket ladder chunks + pads the pool replay identically."""
+    model, params = mp
+    p_seq, s_seq, data = _pool_with_sessions(mp)
+    seq = _sequential_pool_catchup(p_seq, s_seq, data, BACKLOGS)
+    p_b, s_b, _ = _pool_with_sessions(mp, replay_buckets=(2,))
+    res = p_b.replay(_backlog_inputs(s_b, data))
+    for i in BACKLOGS:
+        np.testing.assert_allclose(
+            res[s_b[i]][0], np.stack([mm for mm, _ in seq[i]]),
+            rtol=1e-12, atol=1e-14,
+        )
+    np.testing.assert_allclose(
+        p_b.state[0], p_seq.state[0], rtol=1e-12, atol=1e-14
+    )
+    assert p_b._tick == p_seq._tick
+
+
+def test_pool_replay_on_mesh_matches_unsharded(mp):
+    """Replay on a 4-device mesh equals the unsharded pool (scan
+    partitioning may differ in the last f64 ulp, like every other
+    mesh-vs-flat pin in this suite that crosses a scan)."""
+    model, params = mp
+    p_flat, s_flat, data = _pool_with_sessions(mp)
+    res_flat = p_flat.replay(_backlog_inputs(s_flat, data))
+    mesh = make_mesh(4)
+    p_mesh, s_mesh, _ = _pool_with_sessions(mp, mesh=mesh)
+    res_mesh = p_mesh.replay(_backlog_inputs(s_mesh, data))
+    for i in BACKLOGS:
+        np.testing.assert_allclose(
+            res_mesh[s_mesh[i]][0], res_flat[s_flat[i]][0],
+            rtol=1e-12, atol=1e-14,
+        )
+    np.testing.assert_allclose(
+        p_mesh.state[0], p_flat.state[0], rtol=1e-12, atol=1e-14
+    )
+
+
+def test_pool_replay_guards(mp):
+    model, params = mp
+    pool, sids, data = _pool_with_sessions(mp)
+    with pytest.raises(ValueError, match="at least one session"):
+        pool.replay({})
+    with pytest.raises(KeyError):
+        pool.replay({9999: (data[0][0][:2], data[0][1][:2])})
+    with pytest.raises(ValueError, match="backlog u"):
+        pool.replay({sids[0]: (data[0][0][0], data[0][1][:1])})  # 1-D u
+    with pytest.raises(ValueError, match="backlog y"):
+        pool.replay({sids[0]: (data[0][0][:3], data[0][1][:2])})
+    with pytest.raises(ValueError, match="replay_buckets"):
+        FilterPool(model, params, capacity=2, replay_buckets=(0,))
+
+
 def test_pool_mesh_validation(mp):
     model, params = mp
     mesh = make_mesh(4)

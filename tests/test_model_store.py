@@ -276,12 +276,14 @@ def test_cli_export_filter(tmp_path, rng):
                          model.config.learning_rate).init(params)})
     out = str(tmp_path / "artifact")
     rc = cli_main(["export", mdir, "--out", out, "--kind", "filter",
-                   "--horizons", "3", "--platforms", "cpu"])
+                   "--horizons", "3", "--replay-buckets", "4",
+                   "--platforms", "cpu"])
     assert rc == 0
     from cbfssm_tpu.export import ExportedFilter
     from cbfssm_tpu.serving import StreamingFilter
 
     served = ExportedFilter(out)
+    assert served.meta["replay_buckets"] == [4]
     ref = StreamingFilter(model, params)
     L = model.config.recog_len
     u_p = rng.normal(size=(1, L, model.dim_u))
@@ -294,6 +296,14 @@ def test_cli_export_filter(tmp_path, rng):
     m_r, v_r = ref.update(u1, y1)
     np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_r), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_r), rtol=1e-12)
+    # the CLI-exported replay programs serve the backlog path too
+    ub = rng.normal(size=(1, 3, model.dim_u))
+    yb = rng.normal(size=(1, 3, model.dim_y))
+    m_blk, _ = served.replay(ub, yb)
+    for t in range(3):
+        m_seq, _ = ref.update(ub[:, t], yb[:, t])
+        np.testing.assert_allclose(m_blk[:, t], np.asarray(m_seq),
+                                   rtol=1e-12, atol=1e-13)
 
 
 def test_cli_info_describes_trained_dir(trained_dir, tmp_path, capsys):
@@ -324,3 +334,19 @@ def test_cli_export_errors(trained_dir, tmp_path, capsys):
                    "--kind", "filter"])
     assert rc == 2
     assert "streaming" in capsys.readouterr().err
+
+
+def test_cli_export_rejects_bad_replay_bucket(tmp_path, capsys):
+    model = CBFSSMHALF(half_config("rnn"))
+    params = model.init(jax.random.PRNGKey(0))
+    mdir = str(tmp_path / "m")
+    model_store.save_model_meta(mdir, model)
+    checkpoint.save(os.path.join(mdir, checkpoint.BEST),
+                    {"params": params,
+                     "opt_state": __import__("optax").adam(
+                         model.config.learning_rate).init(params)})
+    rc = cli_main(["export", mdir, "--out", str(tmp_path / "a"),
+                   "--kind", "filter", "--replay-buckets", "0",
+                   "--platforms", "cpu"])
+    assert rc == 2
+    assert "replay_buckets" in capsys.readouterr().err

@@ -135,6 +135,129 @@ def test_load_state_validates_ensemble_shape(setup):
     f.load_state(saved)  # the real state still loads
 
 
+def _sequential_updates(f, u, y, t_from, t_to):
+    """Drive `f` with single-step updates over [t_from, t_to); returns
+    stacked (mean [B, K, dy], var [B, K, dy])."""
+    ms, vs = [], []
+    for t in range(t_from, t_to):
+        m, v = f.update(u[:, t - 1], y[:, t])
+        ms.append(np.asarray(m))
+        vs.append(np.asarray(v))
+    return np.stack(ms, axis=1), np.stack(vs, axis=1)
+
+
+@pytest.fixture
+def replay_setup(rng):
+    model = CBFSSMHALF(half_config("rnn"))
+    params = model.init(jax.random.PRNGKey(0))
+    u = rng.normal(size=(2, 20, 2))
+    y = rng.normal(size=(2, 20, 1))
+    r = int(model.config.recog_len)
+    ref = StreamingFilter(model, params, batch=2)
+    ref.start(u[:, :r], y[:, :r])
+    seq_m, seq_v = _sequential_updates(ref, u, y, r, r + 8)
+    return model, params, u, y, r, ref, seq_m, seq_v
+
+
+def test_replay_matches_sequential_updates(replay_setup):
+    """One fused replay dispatch reproduces K sequential updates —
+    outputs, final ensemble, and step counter — to the documented f64
+    last-ulp scan-vs-per-call fusion noise."""
+    model, params, u, y, r, ref, seq_m, seq_v = replay_setup
+    f = StreamingFilter(model, params, batch=2)
+    f.start(u[:, :r], y[:, :r])
+    m, v = f.replay(u[:, r - 1:r + 7], y[:, r:r + 8])
+    np.testing.assert_allclose(np.asarray(m), seq_m, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(v), seq_v, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(f.state[0]), np.asarray(ref.state[0]),
+        rtol=1e-12, atol=1e-14,
+    )
+    assert f.state[1] == ref.state[1] == 8
+
+
+def test_replay_bucketed_chunks_and_padding(replay_setup):
+    """A bucket ladder smaller than the backlog chunks it (full
+    max-bucket chunks + one padded remainder); padded steps hold the
+    ensemble and are sliced out of the outputs. The stream continues
+    from the same counter afterwards."""
+    model, params, u, y, r, ref, seq_m, seq_v = replay_setup
+    # K=8 over ladder (2, 3): chunks 3+3+2 (exact), no padding
+    f = StreamingFilter(model, params, batch=2, replay_buckets=(2, 3))
+    f.start(u[:, :r], y[:, :r])
+    m, v = f.replay(u[:, r - 1:r + 7], y[:, r:r + 8])
+    np.testing.assert_allclose(np.asarray(m), seq_m, rtol=1e-12, atol=1e-14)
+    # K=8 over ladder (16,): one padded program
+    g = StreamingFilter(model, params, batch=2, replay_buckets=(16,))
+    g.start(u[:, :r], y[:, :r])
+    gm, gv = g.replay(u[:, r - 1:r + 7], y[:, r:r + 8])
+    assert gm.shape == (2, 8, 1)
+    np.testing.assert_allclose(np.asarray(gm), seq_m, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(
+        np.asarray(g.state[0]), np.asarray(ref.state[0]),
+        rtol=1e-12, atol=1e-14,
+    )
+    assert g.state[1] == 8  # padding must not advance the counter
+    # continuation: the next update matches the sequential stream
+    m_ref, _ = ref.update(u[:, r + 7], y[:, r + 8])
+    m_g, _ = g.update(u[:, r + 7], y[:, r + 8])
+    np.testing.assert_allclose(
+        np.asarray(m_g), np.asarray(m_ref), rtol=1e-11, atol=1e-13
+    )
+
+
+def test_replay_failover_catchup(replay_setup):
+    """The failover story: a replica restores a snapshot, replays the
+    backlog accumulated since, and lands on the primary's state."""
+    model, params, u, y, r, ref, seq_m, _ = replay_setup
+    primary = StreamingFilter(model, params, batch=2)
+    primary.start(u[:, :r], y[:, :r])
+    primary.update(u[:, r - 1], y[:, r])
+    snapshot = primary.state
+    _sequential_updates(primary, u, y, r + 1, r + 6)  # backlog forms
+
+    replica = StreamingFilter(model, params, batch=2, replay_buckets=(4,))
+    replica.load_state(snapshot)
+    replica.replay(u[:, r:r + 5], y[:, r + 1:r + 6])
+    np.testing.assert_allclose(
+        np.asarray(replica.state[0]), np.asarray(primary.state[0]),
+        rtol=1e-12, atol=1e-14,
+    )
+    assert replica.state[1] == primary.state[1]
+
+
+def test_replay_guards(replay_setup):
+    model, params, u, y, r, *_ = replay_setup
+    with pytest.raises(ValueError, match="replay_buckets"):
+        StreamingFilter(model, params, batch=2, replay_buckets=())
+    with pytest.raises(ValueError, match="replay_buckets"):
+        StreamingFilter(model, params, batch=2, replay_buckets=(0,))
+    f = StreamingFilter(model, params, batch=2)
+    with pytest.raises(RuntimeError, match="start"):
+        f.replay(u[:, :2], y[:, :2])
+    f.start(u[:, :r], y[:, :r])
+    with pytest.raises(ValueError, match="u_block"):
+        f.replay(u[0, :2], y[:, :2])  # batch dim forgotten
+    with pytest.raises(ValueError, match="y_block"):
+        f.replay(u[:, :3], y[:, :2])  # length mismatch
+    with pytest.raises(ValueError, match="at least one step"):
+        f.replay(u[:, :0], y[:, :0])
+
+
+def test_plan_replay_chunks():
+    from cbfssm_tpu.serving import plan_replay_chunks
+
+    assert plan_replay_chunks(5, ()) == [(5, 5)]
+    assert plan_replay_chunks(8, (2, 3)) == [(3, 3), (3, 3), (2, 2)]
+    assert plan_replay_chunks(8, (16,)) == [(8, 16)]
+    assert plan_replay_chunks(7, (2, 4)) == [(4, 4), (3, 4)]
+    assert plan_replay_chunks(4, (4,)) == [(4, 4)]
+    with pytest.raises(ValueError, match="at least one step"):
+        plan_replay_chunks(0, (4,))
+    with pytest.raises(ValueError, match=">= 1"):
+        plan_replay_chunks(3, (0, 4))
+
+
 def test_forecast_shape_guard(setup):
     """A u_future missing its batch dim must raise the clear error, not
     poison the per-horizon executable cache with a bogus shape."""
