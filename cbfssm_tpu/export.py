@@ -291,13 +291,25 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
     import jax.numpy as jnp
     from jax import export as jax_export
 
-    for attr in ("filter_ops", "filter_init", "filter_step", "forecast",
-                 "filter_replay"):
+    from cbfssm_tpu.serving import normalize_replay_ladder
+
+    # validate EVERYTHING before the first file write: a failure
+    # mid-export would otherwise leave a half-written artifact (or
+    # corrupt a pre-existing one at the same path, since makedirs is
+    # exist_ok) that ExportedFilter would happily load with stale
+    # params/meta
+    for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
         if not hasattr(model, attr):
             raise TypeError(
                 f"{type(model).__name__} has no streaming interface "
                 f"({attr}); exported filters support CBFSSMHALF"
             )
+    buckets = list(normalize_replay_ladder(replay_buckets or None))
+    if buckets and not hasattr(model, "filter_replay"):
+        raise TypeError(
+            f"{type(model).__name__} has no filter_replay; export "
+            "without replay_buckets or use CBFSSMHALF"
+        )
     dtype = model.dtype
     key = jax.random.PRNGKey(seed)
     ops = jax.jit(model.filter_ops)(params)
@@ -355,11 +367,6 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
         with open(os.path.join(path, _F_FORECAST.format(h=int(h))), "wb") as f:
             f.write(exp(jax.jit(forecast_fn), platforms=plats)(
                 p_specs, o_specs, x_spec, uh, key_spec).serialize())
-    buckets = sorted(int(k) for k in replay_buckets)
-    if buckets and buckets[0] < 1:
-        raise ValueError(
-            f"replay_buckets must be lengths >= 1, got {replay_buckets!r}"
-        )
     t0_spec = jax.ShapeDtypeStruct((), np.uint32)
     for k in buckets:
         uk = jax.ShapeDtypeStruct((batch, k, model.dim_u), dtype)
@@ -515,7 +522,7 @@ class ExportedFilter:
         (same key schedule) to f64 last-ulp scan-fusion noise; pinned
         at rtol 1e-12 by test.
         Returns (mean [B, K, dy], var [B, K, dy]) numpy."""
-        from cbfssm_tpu.serving import plan_replay_chunks
+        from cbfssm_tpu.serving import iter_replay_chunks
 
         self._require_started()
         if not self._replays:
@@ -539,16 +546,9 @@ class ExportedFilter:
                 f"to match u_block, got {y.shape}"
             )
         means, vars_ = [], []
-        off = 0
-        for k_act, k_prog in plan_replay_chunks(k_total, sorted(self._replays)):
-            u_c = u[:, off:off + k_act]
-            y_c = y[:, off:off + k_act]
-            if k_prog != k_act:
-                pad = ((0, 0), (0, k_prog - k_act), (0, 0))
-                u_c = np.pad(u_c, pad)
-                y_c = np.pad(y_c, pad)
-            active = np.arange(k_prog, dtype=np.int64) < k_act
-            out = self._replays[k_prog](
+        for u_c, y_c, active, k_act in iter_replay_chunks(
+                u, y, sorted(self._replays)):
+            out = self._replays[u_c.shape[1]](
                 self._params, self._ops, self._x, u_c, y_c,
                 self._base_key, np.uint32(self._t), active,
             )
@@ -556,7 +556,6 @@ class ExportedFilter:
             self._t += k_act
             means.append(np.asarray(out["mean"])[:, :k_act])
             vars_.append(np.asarray(out["var"])[:, :k_act])
-            off += k_act
         mean = means[0] if len(means) == 1 else np.concatenate(means, axis=1)
         var = vars_[0] if len(vars_) == 1 else np.concatenate(vars_, axis=1)
         return mean, var

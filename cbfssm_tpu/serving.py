@@ -19,6 +19,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def normalize_replay_ladder(replay_buckets):
+    """Validated sorted ladder tuple from a ``replay_buckets`` arg
+    (``None`` -> ``()`` = compile exact-length programs on demand).
+    Shared by both filter front-ends and the artifact exporter so the
+    validation rules cannot drift."""
+    if replay_buckets is None:
+        return ()
+    ladder = tuple(sorted(int(b) for b in replay_buckets))
+    if not ladder or ladder[0] < 1:
+        raise ValueError(
+            f"replay_buckets must be a non-empty collection of "
+            f"lengths >= 1, got {replay_buckets!r}"
+        )
+    return ladder
+
+
+def iter_replay_chunks(u, y, buckets, active_full=None):
+    """Drive a backlog through the bucket ladder: yields
+    ``(u_c, y_c, active, k_act)`` per chunk — arrays sliced on their
+    time axis (axis 1), padded to the program length, with the active
+    mask marking real steps (``[k_prog]`` by default, or
+    ``active_full`` [K, ...] sliced/padded the same way for the pool's
+    per-(tick, slot) masks). The single implementation of the
+    chunk/pad/mask logic used by StreamingFilter.replay,
+    FilterPool.replay, and ExportedFilter.replay — counter semantics
+    and padding cannot drift apart."""
+    k_total = u.shape[1]
+    off = 0
+    for k_act, k_prog in plan_replay_chunks(k_total, buckets):
+        u_c = u[:, off:off + k_act]
+        y_c = y[:, off:off + k_act]
+        if k_prog != k_act:
+            pad3 = ((0, 0), (0, k_prog - k_act), (0, 0))
+            u_c = np.pad(u_c, pad3)
+            y_c = np.pad(y_c, pad3)
+        if active_full is None:
+            active = np.arange(k_prog, dtype=np.int64) < k_act
+        else:
+            active = active_full[off:off + k_act]
+            if k_prog != k_act:
+                active = np.pad(
+                    active,
+                    ((0, k_prog - k_act),) + ((0, 0),) * (active.ndim - 1),
+                )
+        yield u_c, y_c, active, k_act
+        off += k_act
+
+
 def plan_replay_chunks(k_total, buckets):
     """Split a K-step backlog into (k_active, k_program) chunks over a
     bucket ladder of compiled replay-program lengths.
@@ -156,8 +204,10 @@ class StreamingFilter:
 
     def __init__(self, model, params, batch: int = 1, seed: int = 0,
                  replay_buckets=None):
-        for attr in ("filter_ops", "filter_init", "filter_step", "forecast",
-                     "filter_replay"):
+        # filter_replay is NOT in this list: a model satisfying the
+        # four-method streaming contract keeps serving (and exporting)
+        # without it — replay use checks for it when first needed
+        for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
             if not hasattr(model, attr):
                 raise TypeError(
                     f"{type(model).__name__} has no streaming interface "
@@ -193,18 +243,10 @@ class StreamingFilter:
         )
         self._forecast_c = {}
         self._replay_c = {}
-        if replay_buckets is not None:
-            ladder = tuple(sorted(int(b) for b in replay_buckets))
-            if not ladder or ladder[0] < 1:
-                raise ValueError(
-                    f"replay_buckets must be a non-empty collection of "
-                    f"lengths >= 1, got {replay_buckets!r}"
-                )
-            self._replay_buckets = ladder
-            for k in ladder:  # AOT: failover-time compiles are unaffordable
-                self._replay_compiled(k)
-        else:
-            self._replay_buckets = ()
+        self._replay_buckets = normalize_replay_ladder(replay_buckets)
+        for k in self._replay_buckets:
+            # AOT: failover-time compiles are unaffordable
+            self._replay_compiled(k)
 
     # --- state management ----------------------------------------------
 
@@ -285,6 +327,11 @@ class StreamingFilter:
         every padding amount."""
         if k not in self._replay_c:
             model = self.model
+            if not hasattr(model, "filter_replay"):
+                raise TypeError(
+                    f"{type(model).__name__} has no filter_replay; "
+                    "fused backlog replay supports CBFSSMHALF"
+                )
             dtype = model.dtype
             x_spec = jax.ShapeDtypeStruct(
                 (self.batch, model.samples, model.dim_x), dtype
@@ -333,16 +380,9 @@ class StreamingFilter:
                 f"{model.dim_y}] to match u_block, got {y.shape}"
             )
         means, vars_ = [], []
-        off = 0
-        for k_act, k_prog in plan_replay_chunks(k_total, self._replay_buckets):
-            u_c = u[:, off:off + k_act]
-            y_c = y[:, off:off + k_act]
-            if k_prog != k_act:
-                pad = ((0, 0), (0, k_prog - k_act), (0, 0))
-                u_c = np.pad(u_c, pad)
-                y_c = np.pad(y_c, pad)
-            active = np.arange(k_prog, dtype=np.int64) < k_act
-            self._x, (m, v) = self._replay_compiled(k_prog)(
+        for u_c, y_c, active, k_act in iter_replay_chunks(
+                u, y, self._replay_buckets):
+            self._x, (m, v) = self._replay_compiled(u_c.shape[1])(
                 self.params, self._ops, self._x,
                 jnp.asarray(u_c), jnp.asarray(y_c),
                 self._base_key, np.uint32(self._t), active,
@@ -350,7 +390,6 @@ class StreamingFilter:
             self._t += k_act
             means.append(m[:, :k_act])
             vars_.append(v[:, :k_act])
-            off += k_act
         if len(means) == 1:
             return means[0], vars_[0]
         return jnp.concatenate(means, axis=1), jnp.concatenate(vars_, axis=1)
@@ -431,8 +470,9 @@ class FilterPool:
 
     def __init__(self, model, params, capacity: int, seed: int = 0,
                  mesh=None, axis_name: str = "data", replay_buckets=None):
-        for attr in ("filter_ops", "filter_init", "filter_step", "forecast",
-                     "filter_replay"):
+        # filter_replay deliberately not required here (see
+        # StreamingFilter.__init__) — checked at replay use instead
+        for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
             if not hasattr(model, attr):
                 raise TypeError(
                     f"{type(model).__name__} has no streaming interface "
@@ -519,18 +559,10 @@ class FilterPool:
         )
         self._forecast_c = {}
         self._replay_c = {}
-        if replay_buckets is not None:
-            ladder = tuple(sorted(int(b) for b in replay_buckets))
-            if not ladder or ladder[0] < 1:
-                raise ValueError(
-                    f"replay_buckets must be a non-empty collection of "
-                    f"lengths >= 1, got {replay_buckets!r}"
-                )
-            self._replay_buckets = ladder
-            for k in ladder:  # AOT: failover-time compiles are unaffordable
-                self._replay_compiled(k)
-        else:
-            self._replay_buckets = ()
+        self._replay_buckets = normalize_replay_ladder(replay_buckets)
+        for k in self._replay_buckets:
+            # AOT: failover-time compiles are unaffordable
+            self._replay_compiled(k)
 
         self._x = self._commit_x(
             jnp.zeros((self.capacity, model.samples, model.dim_x), dtype)
@@ -643,6 +675,11 @@ class FilterPool:
         same dispatch. Start tick and mask are runtime arguments."""
         if k not in self._replay_c:
             model = self.model
+            if not hasattr(model, "filter_replay"):
+                raise TypeError(
+                    f"{type(model).__name__} has no filter_replay; "
+                    "fused backlog replay supports CBFSSMHALF"
+                )
             dtype = model.dtype
             x_spec = jax.ShapeDtypeStruct(
                 (self.capacity, model.samples, model.dim_x), dtype
@@ -716,16 +753,8 @@ class FilterPool:
             y_full[slot, :ki] = y
             act[:ki, slot] = True
         means, vars_ = [], []
-        off = 0
-        for k_act, k_prog in plan_replay_chunks(k_total, self._replay_buckets):
-            u_c = u_full[:, off:off + k_act]
-            y_c = y_full[:, off:off + k_act]
-            a_c = act[off:off + k_act]
-            if k_prog != k_act:
-                pad3 = ((0, 0), (0, k_prog - k_act), (0, 0))
-                u_c = np.pad(u_c, pad3)
-                y_c = np.pad(y_c, pad3)
-                a_c = np.pad(a_c, ((0, k_prog - k_act), (0, 0)))
+        for u_c, y_c, a_c, k_act in iter_replay_chunks(
+                u_full, y_full, self._replay_buckets, active_full=act):
             if self.mesh is None:
                 u_d, y_d = jnp.asarray(u_c), jnp.asarray(y_c)
                 a_d = jnp.asarray(a_c)
@@ -733,14 +762,13 @@ class FilterPool:
                 u_d = jax.device_put(u_c, self._row_shardings[2])
                 y_d = jax.device_put(y_c, self._row_shardings[2])
                 a_d = jax.device_put(a_c, self._mask_t_sharding)
-            self._x, (m, v) = self._replay_compiled(k_prog)(
+            self._x, (m, v) = self._replay_compiled(u_c.shape[1])(
                 self.params, self._ops, self._x, u_d, y_d, a_d,
                 self._base_key, np.uint32(self._tick),
             )
             self._tick += k_act
             means.append(np.asarray(m)[:, :k_act])
             vars_.append(np.asarray(v)[:, :k_act])
-            off += k_act
         mean = means[0] if len(means) == 1 else np.concatenate(means, axis=1)
         var = vars_[0] if len(vars_) == 1 else np.concatenate(vars_, axis=1)
         out = {}

@@ -386,6 +386,23 @@ def test_filter_replay_guards(tmp_path, rng):
     with pytest.raises(ValueError, match=">= 1"):
         save_exported_filter(os.path.join(str(tmp_path), "bad"), model,
                              params, replay_buckets=(0,), platforms=("cpu",))
+    # invalid options must fail BEFORE any file write — re-exporting
+    # over an existing artifact with a bad bucket must not corrupt it
+    # (mtimes catch same-name overwrites, not just added files)
+    def snapshot():
+        return {
+            n: os.stat(os.path.join(path, n)).st_mtime_ns
+            for n in sorted(os.listdir(path))
+        }
+
+    before = snapshot()
+    with pytest.raises(ValueError, match=">= 1"):
+        save_exported_filter(path, model, params, batch=2,
+                             replay_buckets=(0,), platforms=("cpu",))
+    assert snapshot() == before
+    still = ExportedFilter(path)  # loads and serves unchanged
+    still.start(rng.normal(size=(2, recog, 2)),
+                rng.normal(size=(2, recog, 1)))
 
 
 def test_artifact_kind_guards(tmp_path):

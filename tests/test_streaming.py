@@ -244,6 +244,34 @@ def test_replay_guards(replay_setup):
         f.replay(u[:, :0], y[:, :0])
 
 
+class _FourMethodModel:
+    """The pre-replay streaming contract: everything but
+    filter_replay delegates to a real model."""
+
+    def __init__(self, model):
+        object.__setattr__(self, "_m", model)
+
+    def __getattr__(self, name):
+        if name == "filter_replay":
+            raise AttributeError(name)
+        return getattr(self._m, name)
+
+
+def test_four_method_models_still_serve_without_replay(replay_setup):
+    """A model satisfying the original four-method streaming contract
+    constructs and serves; only replay use demands filter_replay."""
+    model, params, u, y, r, *_ = replay_setup
+    f = StreamingFilter(_FourMethodModel(model), params, batch=2)
+    f.start(u[:, :r], y[:, :r])
+    mean, _ = f.update(u[:, r - 1], y[:, r])
+    assert np.isfinite(np.asarray(mean)).all()
+    with pytest.raises(TypeError, match="filter_replay"):
+        f.replay(u[:, r:r + 2], y[:, r + 1:r + 3])
+    with pytest.raises(TypeError, match="filter_replay"):
+        StreamingFilter(_FourMethodModel(model), params, batch=2,
+                        replay_buckets=(4,))
+
+
 def test_plan_replay_chunks():
     from cbfssm_tpu.serving import plan_replay_chunks
 
