@@ -105,6 +105,55 @@ def main():
             reps.append(time.perf_counter() - t0)
         exported_ms = 1e3 * float(np.median(reps))
 
+    # --- whole-fleet catch-up (FilterPool, ragged backlogs) ------------
+    from cbfssm_tpu.serving import FilterPool
+
+    cap = 32
+    lens = (rng.integers(1, K + 1, size=cap)).tolist()  # ragged
+    prefixes = [
+        (rng.normal(size=(recog, model.dim_u)).astype(np.float32),
+         rng.normal(size=(recog, model.dim_y)).astype(np.float32))
+        for _ in range(cap)
+    ]
+    backlogs = [
+        (rng.normal(size=(k, model.dim_u)).astype(np.float32),
+         rng.normal(size=(k, model.dim_y)).astype(np.float32))
+        for k in lens
+    ]
+
+    def fresh_pool():
+        pool = FilterPool(model, params, capacity=cap, seed=0)
+        sids = [pool.attach(u, y) for u, y in prefixes]
+        return pool, sids
+
+    # sequential schedule: tick t carries the sessions with K_i > t
+    pool_s, sids_s = fresh_pool()
+    pool_s.step({sids_s[0]: (backlogs[0][0][0], backlogs[0][1][0])})  # warmup
+    p_state = pool_s.state
+    pool_s.load_state(p_state)
+    t0 = time.perf_counter()
+    for t in range(max(lens)):
+        ins = {
+            sids_s[i]: (backlogs[i][0][t], backlogs[i][1][t])
+            for i in range(cap) if t < lens[i]
+        }
+        out = pool_s.step(ins)
+    pool_seq_ms = 1e3 * (time.perf_counter() - t0)
+
+    pool_f, sids_f = fresh_pool()
+    pool_f.load_state(p_state)
+    ins_all = {sids_f[i]: backlogs[i] for i in range(cap)}
+    pool_f.replay(ins_all)  # warmup staging + compile
+    pool_f.load_state(p_state)
+    t0 = time.perf_counter()
+    res = pool_f.replay(ins_all)
+    pool_fused_ms = 1e3 * (time.perf_counter() - t0)
+    # agreement at the last tick of the longest session
+    i_max = int(np.argmax(lens))
+    pool_rel = float(np.max(np.abs(
+        res[sids_f[i_max]][0][-1] - out[sids_s[i_max]][0]
+    ) / (np.abs(out[sids_s[i_max]][0]) + 1e-6)))
+
     print(json.dumps({
         "shape": "cbfssmhalf_stream_S50_M100_f32",
         "backlog_steps": K,
@@ -115,6 +164,12 @@ def main():
         "speedup_vs_sequential": round(seq_ms_per_step * K / fused_ms, 1),
         "fused_compile_s": round(fused_compile_s, 2),
         "final_step_rel_err": rel,
+        "pool_streams": cap,
+        "pool_backlog_max": int(max(lens)),
+        "pool_sequential_ms": round(pool_seq_ms, 1),
+        "pool_fused_ms": round(pool_fused_ms, 1),
+        "pool_speedup": round(pool_seq_ms / pool_fused_ms, 1),
+        "pool_final_rel_err": pool_rel,
     }))
 
 

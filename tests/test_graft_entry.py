@@ -102,6 +102,7 @@ def test_dryrun_inline(capsys):
     assert "mesh up: 2 cpu devices verified" in out
     assert "one sharded train step OK" in out
     assert "2-D (data x particle) mesh" in out
+    assert "mesh FilterPool serving OK" in out
 
 
 @pytest.mark.slow
