@@ -42,6 +42,12 @@ class ModelConfig:
     n_beta: Sequence[float] = (10.0, 2.0, 10.0)
     l_beta: Sequence[float] = (1.0, 10.0, 10.0)
     var_z: np.ndarray = None
+    # Sampling period for Voliro's ONLINE filter (serving only): the
+    # training pass infers dt from each sequence's time channel
+    # (models/voliro.py infer_dt — training assumes uniform sampling);
+    # a deployed stream declares the same uniform rate here. Ignored by
+    # training and by every other model.
+    filter_dt: Optional[float] = None
     # numerics (new knobs, absent in the reference: TPU compute dtype and
     # Cholesky jitter)
     dtype: str = "float32"

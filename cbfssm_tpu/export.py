@@ -302,7 +302,7 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
         if not hasattr(model, attr):
             raise TypeError(
                 f"{type(model).__name__} has no streaming interface "
-                f"({attr}); exported filters support CBFSSMHALF"
+                f"({attr}); exported filters support CBFSSMHALF and Voliro"
             )
     buckets = list(normalize_replay_ladder(replay_buckets or None))
     if buckets and not hasattr(model, "filter_replay"):

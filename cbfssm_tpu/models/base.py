@@ -183,5 +183,82 @@ class BaseSSM:
         and broadcasts it over dims (cbfssm.py:149,209)."""
         return jax.random.normal(key, shape + (1,), dtype=dtype)
 
+    # --- fused backlog replay (streaming models) -------------------------
+
+    def filter_replay(self, params, ops, x, u_block, y_block, base_key, t0,
+                      active=None):
+        """Fused K-step catch-up: one ``lax.scan`` program semantically
+        identical to K sequential ``filter_step`` calls whose keys are
+        ``fold_in(base_key, t0 + i)`` — the exact key schedule
+        :class:`~cbfssm_tpu.serving.StreamingFilter` uses per update.
+        Generic over the subclass's ``filter_step`` (CBFSSMHALF, Voliro):
+        the scan body IS that method, so the per-step math is shared by
+        construction.
+
+        A deployed estimator restoring failover state must replay the
+        observation backlog accumulated since the snapshot; serially
+        that pays one device dispatch per step (~29 ms through this
+        rig's tunnel — the serving latency floor, BENCHMARKS.md
+        "Dispatch floor"), so a K-step backlog costs K dispatches of
+        floor. This program replays the whole block in ONE dispatch,
+        equal to the sequential schedule up to XLA's scan-vs-per-call
+        fusion differences (last-ulp f64; the same noise documented in
+        tests/test_streaming.py's header) — pinned at rtol 1e-12.
+
+        Args:
+          u_block / y_block: ``[B, K, du]`` / ``[B, K, dy]`` — the
+            backlog, batch-major like the host API.
+          base_key / t0: the stream's base PRNG key and the step
+            counter at the start of the block. ``t0`` may be a traced
+            scalar, so ONE compiled program serves any counter value.
+          active: optional bool ``[K]`` (shared across the batch) or
+            ``[K, B]``; inactive steps HOLD the ensemble (their
+            mean/var outputs are placeholders computed from the held
+            transition — callers slice them off). This is what lets a
+            bucketed/padded replay and the pool's ragged per-session
+            backlogs run as one static-shape program.
+
+        Returns ``(x_final [B, S, dx], (mean [B, K, dy], var [B, K,
+        dy]))``.
+        """
+        if not hasattr(self, "filter_step"):
+            raise TypeError(
+                f"{type(self).__name__} has no filter_step; filter_replay "
+                "needs the streaming interface"
+            )
+        b = x.shape[0]
+        u_tm = jnp.transpose(jnp.asarray(u_block, self.dtype), (1, 0, 2))
+        y_tm = jnp.transpose(jnp.asarray(y_block, self.dtype), (1, 0, 2))
+        k_len = u_tm.shape[0]
+        if active is None:
+            active = jnp.ones((k_len,), dtype=bool)
+        active = jnp.asarray(active)
+        if active.shape not in ((k_len,), (k_len, b)):
+            raise ValueError(
+                f"active must be [{k_len}] or [{k_len}, {b}], "
+                f"got {active.shape}"
+            )
+        # absolute step indices: fold_in(key, t) is deterministic in the
+        # VALUE of t (traced or concrete), so these match the host-side
+        # fold_in(base_key, python_int) of sequential updates exactly
+        idx = jnp.asarray(t0, jnp.uint32) + jnp.arange(k_len, dtype=jnp.uint32)
+
+        def body(x_c, inp):
+            u_t, y_t, t_t, a_t = inp
+            key_t = jax.random.fold_in(base_key, t_t)
+            x_next, (mean, var) = self.filter_step(
+                params, ops, x_c, u_t, y_t, key_t
+            )
+            a_bc = a_t if a_t.ndim == 0 else a_t[:, None, None]
+            return jnp.where(a_bc, x_next, x_c), (mean, var)
+
+        x_fin, (means, vars_) = jax.lax.scan(
+            body, x, (u_tm, y_tm, idx, active),
+            unroll=self.config.scan_unroll,
+        )
+        return x_fin, (
+            jnp.transpose(means, (1, 0, 2)), jnp.transpose(vars_, (1, 0, 2))
+        )
+
 
 LOG_2PI_E = math.log(2.0 * math.pi * math.e)

@@ -264,71 +264,6 @@ class CBFSSMHALF(BaseSSM):
         var = jnp.mean(jnp.square(y_part - mean[:, :, None, :]), axis=2) + var_y
         return jnp.transpose(mean, (1, 0, 2)), jnp.transpose(var, (1, 0, 2))
 
-    def filter_replay(self, params, ops, x, u_block, y_block, base_key, t0,
-                      active=None):
-        """Fused K-step catch-up: one ``lax.scan`` program semantically
-        identical to K sequential :meth:`filter_step` calls whose keys
-        are ``fold_in(base_key, t0 + i)`` — the exact key schedule
-        :class:`~cbfssm_tpu.serving.StreamingFilter` uses per update.
-
-        A deployed estimator restoring failover state must replay the
-        observation backlog accumulated since the snapshot; serially
-        that pays one device dispatch per step (~29 ms through this
-        rig's tunnel — the serving latency floor, BENCHMARKS.md
-        "Dispatch floor"), so a K-step backlog costs K dispatches of
-        floor. This program replays the whole block in ONE dispatch.
-        The per-step math is :meth:`filter_step` itself (called inside
-        the scan body), so equality is by construction up to XLA's
-        scan-vs-per-call fusion differences (last-ulp f64; the same
-        noise documented in tests/test_streaming.py's header) — pinned
-        at rtol 1e-12 against the sequential schedule.
-
-        Args:
-          u_block / y_block: ``[B, K, du]`` / ``[B, K, dy]`` — the
-            backlog, batch-major like the host API.
-          base_key / t0: the stream's base PRNG key and the step
-            counter at the start of the block. ``t0`` may be a traced
-            scalar, so ONE compiled program serves any counter value.
-          active: optional bool ``[K]`` (shared across the batch) or
-            ``[K, B]``; inactive steps HOLD the ensemble (their
-            mean/var outputs are placeholders computed from the held
-            transition — callers slice them off). This is what lets a
-            bucketed/padded replay and the pool's ragged per-session
-            backlogs run as one static-shape program.
-
-        Returns ``(x_final [B, S, dx], (mean [B, K, dy], var [B, K,
-        dy]))``.
-        """
-        b = x.shape[0]
-        u_tm = jnp.transpose(jnp.asarray(u_block, self.dtype), (1, 0, 2))
-        y_tm = jnp.transpose(jnp.asarray(y_block, self.dtype), (1, 0, 2))
-        k_len = u_tm.shape[0]
-        if active is None:
-            active = jnp.ones((k_len,), dtype=bool)
-        active = jnp.asarray(active)
-        if active.shape not in ((k_len,), (k_len, b)):
-            raise ValueError(
-                f"active must be [{k_len}] or [{k_len}, {b}], "
-                f"got {active.shape}"
-            )
-        # absolute step indices: fold_in(key, t) is deterministic in the
-        # VALUE of t (traced or concrete), so these match the host-side
-        # fold_in(base_key, python_int) of sequential updates exactly
-        idx = jnp.asarray(t0, jnp.uint32) + jnp.arange(k_len, dtype=jnp.uint32)
-
-        def body(x_c, inp):
-            u_t, y_t, t_t, a_t = inp
-            key_t = jax.random.fold_in(base_key, t_t)
-            x_next, (mean, var) = self.filter_step(
-                params, ops, x_c, u_t, y_t, key_t
-            )
-            a_bc = a_t if a_t.ndim == 0 else a_t[:, None, None]
-            return jnp.where(a_bc, x_next, x_c), (mean, var)
-
-        x_fin, (means, vars_) = jax.lax.scan(
-            body, x, (u_tm, y_tm, idx, active),
-            unroll=self.config.scan_unroll,
-        )
-        return x_fin, (
-            jnp.transpose(means, (1, 0, 2)), jnp.transpose(vars_, (1, 0, 2))
-        )
+    # filter_replay — the fused K-step backlog catch-up — is inherited
+    # from BaseSSM: its scan body is this class's filter_step, so the
+    # per-step math is shared by construction.

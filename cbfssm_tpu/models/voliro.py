@@ -387,3 +387,182 @@ class Voliro(BaseSSM):
             "ft_mean": ex["ft_mean"],
             "ft_var": ex["ft_var"],
         }
+
+    # --- streaming/online filtering (serving.StreamingFilter) -----------
+    #
+    # The trained model's asset is the physics + force-GP dynamics; its
+    # TRAINING-time conditioning target y_tilde comes from the backward
+    # smoother (reverse-time recognition over FUTURE observations,
+    # voliro.py:139-186) and is therefore not computable online. The
+    # deployment estimator below is the CAUSAL counterpart: the exact
+    # training transition (local_coordinates -> allocation matrix ->
+    # force-GP sample -> symplectic Euler, shared code paths) with the
+    # Kalman-style conditioning restricted to the information a flying
+    # vehicle actually has — the arriving pos(3)+quat(4) observation —
+    # zero-gain on the hidden velocity dims (the CBFSSMHALF observed-
+    # dims pattern, reference cbfssmhalf.py:147-155). This is standard
+    # particle FILTERING under the learned dynamics, clearly distinct
+    # from the training-time SMOOTHING; forecast (no conditioning) is
+    # semantically exact free-run prediction under the trained model.
+
+    def _filter_dt(self):
+        dt = self.config.filter_dt
+        if dt is None:
+            raise ValueError(
+                "Voliro online filtering needs config['filter_dt'] (the "
+                "stream's uniform sampling period; training infers it "
+                "from each sequence's time channel — infer_dt)"
+            )
+        dt = float(dt)
+        if dt <= 0:
+            raise ValueError(f"filter_dt must be positive, got {dt}")
+        return dt
+
+    def filter_ops(self, params):
+        """Loop-invariant operators: (force-GP cache, var_x, var_y,
+        var_z, dt). The backward GP is deliberately absent — it is the
+        training-time smoother, unusable online."""
+        return (
+            gp.precompute(params.gp_f, self.jitter),
+            transforms.positive(params.var_x_unc),
+            transforms.positive(params.var_y_unc),
+            transforms.positive(params.var_z_unc),
+            jnp.asarray(self._filter_dt(), dtype=self.dtype),
+        )
+
+    def filter_init(self, params, u_prefix, y_prefix):
+        """Ensemble x_0 [B, S, 13] from the last two observations of a
+        warmup window: pos/quat read off directly, velocities by finite
+        differences (linvel from positions; angvel by inverting the
+        integrator's small-angle quaternion update rot1 ~ normalize(
+        rot0 + dt*0.5*quat(w) x rot0)  =>  w ~ (2/dt) vec((rot1-rot0)
+        x conj(rot0))). Deterministic; the first conditioned update's
+        shared-eps draw spreads the particles."""
+        del params
+        if y_prefix.shape[1] < 2:
+            raise ValueError(
+                "Voliro filter_init needs a warmup window of >= 2 "
+                f"observations for velocity estimates, got {y_prefix.shape}"
+            )
+        dt = jnp.asarray(self._filter_dt(), dtype=self.dtype)
+        yh = self.out_to_hidden(jnp.asarray(y_prefix, dtype=self.dtype))
+        pos0, pos1 = yh[:, -2, :3], yh[:, -1, :3]
+        q0 = quaternion.normalize(yh[:, -2, 3:7])
+        q1 = quaternion.normalize(yh[:, -1, 3:7])
+        linvel = (pos1 - pos0) / dt
+        dq = quaternion.multiply(q1 - q0, quaternion.conjugate(q0))
+        angvel = (2.0 / dt) * dq[..., 1:4]
+        x0 = jnp.concatenate((pos1, q1, linvel, angvel), axis=-1)
+        b = y_prefix.shape[0]
+        return jnp.broadcast_to(
+            x0[:, None, :], (b, self.samples, self.DIM_X)
+        ).astype(self.dtype)
+
+    def filter_step(self, params, ops, x, u_prev, y_new, key, eps=None):
+        """One ONLINE conditioned transition of the particle ensemble.
+
+        u_prev [B, 13] (the applied rotor PWM/tilt row; the time channel
+        is ignored — dt comes from ops), y_new [B, 22] (the arriving
+        dataset-layout observation; only pos+quat are used, exactly
+        what telemetry provides). The propagation is the training
+        transition verbatim (shared local_coordinates/physical_model/
+        _gp_predict/symplectic_euler); conditioning touches only the 7
+        observed dims. ``eps`` overrides the (force, state) noise pair
+        ([B, S, 1] each; tests use it to pin the hand reference).
+        Returns (x_next [B, S, 13], (mean [B, 7], var [B, 7])) —
+        filtered pos+quat moments incl. observation noise.
+        """
+        del params
+        cache_f, var_x, var_y, var_z, dt = ops
+        b, s = x.shape[0], x.shape[1]
+        if eps is None:
+            kf, kx = jax.random.split(key)
+            eps_ft = self._shared_eps(kf, (b, s), self.dtype)
+            eps_x = self._shared_eps(kx, (b, s), self.dtype)
+        else:
+            eps_ft, eps_x = eps
+
+        # force/torque distribution for this control row (the per-step
+        # form of gp_forces, voliro.py:106-123)
+        local_coo = self.local_coordinates(
+            jnp.asarray(u_prev, dtype=self.dtype)
+        )
+        ft_phys = self.physical_model(local_coo)
+        fmean_f, fvar_f = self._gp_predict(cache_f, local_coo)
+        ft_mean = jnp.concatenate(
+            (fmean_f + ft_phys[..., :3], ft_phys[..., 3:]), axis=-1
+        )
+        ft_var = jnp.concatenate(
+            (fvar_f, jnp.zeros_like(ft_phys[..., 3:])), axis=-1
+        ) + var_z
+        ft_gp = ft_mean[:, None, :] + eps_ft * jnp.sqrt(ft_var[:, None, :])
+
+        fmean = self.symplectic_euler(x, ft_gp, dt)
+        fvar = jnp.broadcast_to(var_x, (b, s, self.DIM_X))
+
+        # conditioning on the observed dims only (pos+quat = x[..., :7])
+        dy = self.DIM_Y
+        yh = self.out_to_hidden(jnp.asarray(y_new, dtype=self.dtype))
+        y_bs = jnp.broadcast_to(yh[:, None, :], (b, s, dy))
+
+        def pad_h(a):
+            return jnp.pad(a, ((0, 0), (0, 0), (0, self.DIM_X - dy)))
+
+        fvar_o = fvar[..., :dy]
+        var_y_o = var_y[:dy]
+        gain = fvar_o / (var_y_o + fvar_o)
+        mu = fmean + pad_h(gain * (y_bs - fmean[..., :dy]))
+        sig = jnp.square(1.0 - pad_h(gain)) * fvar + pad_h(
+            jnp.square(gain) * var_y_o
+        )
+        x_next = mu + eps_x * jnp.sqrt(sig)
+
+        y_part = x_next[..., :dy]
+        mean = jnp.mean(y_part, axis=1)
+        var = jnp.mean(jnp.square(y_part - mean[:, None, :]), axis=1) + var_y_o
+        return x_next, (mean, var)
+
+    def forecast(self, params, ops, x, u_future, key):
+        """Free-run rollout from the current ensemble under planned
+        controls — semantically exact prediction under the trained
+        dynamics (physics + force-GP sampling, process noise, no
+        conditioning). u_future [B, H, 13] -> (mean [B, H, 7],
+        var [B, H, 7]); the caller's ensemble is NOT advanced."""
+        del params
+        cache_f, var_x, var_y, var_z, dt = ops
+        b, s = x.shape[0], x.shape[1]
+        u_tm = jnp.transpose(
+            jnp.asarray(u_future, dtype=self.dtype), (1, 0, 2)
+        )
+        h = u_tm.shape[0]
+        kf, kx = jax.random.split(key)
+        eps_ft = self._shared_eps(kf, (h, b, s), self.dtype)
+        eps_x = self._shared_eps(kx, (h, b, s), self.dtype)
+
+        def step(x_c, inp):
+            u_t, e_ft, e_x = inp
+            local_coo = self.local_coordinates(u_t)
+            ft_phys = self.physical_model(local_coo)
+            fmean_f, fvar_f = self._gp_predict(cache_f, local_coo)
+            ft_mean = jnp.concatenate(
+                (fmean_f + ft_phys[..., :3], ft_phys[..., 3:]), axis=-1
+            )
+            ft_var = jnp.concatenate(
+                (fvar_f, jnp.zeros_like(ft_phys[..., 3:])), axis=-1
+            ) + var_z
+            ft_gp = ft_mean[:, None, :] + e_ft * jnp.sqrt(ft_var[:, None, :])
+            fmean = self.symplectic_euler(x_c, ft_gp, dt)
+            x_next = fmean + e_x * jnp.sqrt(
+                jnp.broadcast_to(var_x, (b, s, self.DIM_X))
+            )
+            return x_next, x_next
+
+        _, x_path = jax.lax.scan(
+            step, x, (u_tm, eps_ft, eps_x), unroll=self.config.scan_unroll
+        )
+        y_part = x_path[..., : self.DIM_Y]  # [H, B, S, 7]
+        mean = jnp.mean(y_part, axis=2)
+        var = jnp.mean(
+            jnp.square(y_part - mean[:, :, None, :]), axis=2
+        ) + var_y[: self.DIM_Y]
+        return jnp.transpose(mean, (1, 0, 2)), jnp.transpose(var, (1, 0, 2))

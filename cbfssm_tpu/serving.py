@@ -181,7 +181,12 @@ class StreamingFilter:
     This wraps a trained :class:`~cbfssm_tpu.models.CBFSSMHALF` — whose
     conditioning update touches only the OBSERVED dims, i.e. exactly the
     information available online (reference cbfssmhalf.py:147-155) — as
-    a particle filter with device-resident ensemble state:
+    a particle filter with device-resident ensemble state. A trained
+    :class:`~cbfssm_tpu.models.Voliro` serves the same interface (its
+    causal deployment filter: the trained physics + force-GP transition
+    with conditioning on the observed pos+quat dims; set
+    ``config['filter_dt']`` — see models/voliro.py's streaming
+    section):
 
     >>> f = StreamingFilter(model, params, batch=1)
     >>> f.start(u_prefix, y_prefix)          # recognition net -> x_0
@@ -211,7 +216,7 @@ class StreamingFilter:
             if not hasattr(model, attr):
                 raise TypeError(
                     f"{type(model).__name__} has no streaming interface "
-                    f"({attr}); StreamingFilter supports CBFSSMHALF"
+                    f"({attr}); StreamingFilter supports CBFSSMHALF and Voliro"
                 )
         self.model = model
         self.params = params
@@ -330,7 +335,7 @@ class StreamingFilter:
             if not hasattr(model, "filter_replay"):
                 raise TypeError(
                     f"{type(model).__name__} has no filter_replay; "
-                    "fused backlog replay supports CBFSSMHALF"
+                    "fused backlog replay supports CBFSSMHALF and Voliro"
                 )
             dtype = model.dtype
             x_spec = jax.ShapeDtypeStruct(
@@ -476,7 +481,7 @@ class FilterPool:
             if not hasattr(model, attr):
                 raise TypeError(
                     f"{type(model).__name__} has no streaming interface "
-                    f"({attr}); FilterPool supports CBFSSMHALF"
+                    f"({attr}); FilterPool supports CBFSSMHALF and Voliro"
                 )
         if capacity < 1:
             raise ValueError("capacity must be >= 1")
@@ -678,7 +683,7 @@ class FilterPool:
             if not hasattr(model, "filter_replay"):
                 raise TypeError(
                     f"{type(model).__name__} has no filter_replay; "
-                    "fused backlog replay supports CBFSSMHALF"
+                    "fused backlog replay supports CBFSSMHALF and Voliro"
                 )
             dtype = model.dtype
             x_spec = jax.ShapeDtypeStruct(
