@@ -114,6 +114,22 @@ class ModelConfig:
     # differentiates via autodiff — a tested hybrid (gradients equal),
     # not a silent fallback of the forward schedule.
     adjoint: str = "auto"
+    # Production robustness: when True, every optimizer step checks the
+    # batch loss and every gradient leaf for NaN/Inf ON DEVICE and, if
+    # any is non-finite, leaves params AND opt_state (Adam moments +
+    # step count) untouched for that batch instead of poisoning the
+    # run — one bad batch costs one skipped step, not the training run.
+    # Skipped-step counts surface per epoch (stdout + metrics.jsonl
+    # ``skipped_steps``). On clean data the update VALUES are unchanged
+    # — losses match the unguarded path to compiled-program
+    # reassociation noise (rtol 1e-12 at f64, pinned by test; the
+    # guard's isfinite reductions change the XLA program, so exact
+    # bitwise equality across the two programs is not a meaningful
+    # claim); the in-device best tracking
+    # is NaN-safe either way (IEEE ``NaN < best`` is False). Off by
+    # default: the guard adds a handful of reductions per step and the
+    # reference semantics have no such rescue.
+    skip_nonfinite_updates: bool = False
     # extra bag for forward-compat keys
     extra: dict = field(default_factory=dict)
 

@@ -33,6 +33,7 @@ import optax
 
 from cbfssm_tpu import model_store
 from cbfssm_tpu.training import checkpoint
+from cbfssm_tpu.training.trainer import apply_update_guarded
 from cbfssm_tpu.utils.profiling import MetricsLogger
 from cbfssm_tpu.utils.xla_cache import enable_persistent_cache
 
@@ -103,6 +104,15 @@ class MultiSeedTrainer:
             print(f"model_meta snapshot failed ({exc}); "
                   f"{model_dir} will not be exportable", file=sys.stderr)
 
+        # skip_nonfinite_updates applies PER LANE here: a diverging
+        # seed (or grid point — SweepTrainer inherits these bodies)
+        # skips only its own non-finite batches; healthy lanes train
+        # bit-identically. Structurally gated at trace time so the
+        # default path compiles the exact programs it always did.
+        guard = bool(model.config.skip_nonfinite_updates)
+        self._guard = guard
+        self.skipped_steps = 0  # cumulative skipped batches, all lanes
+
         def _epoch_update_body(params_s, opt_s, data_u, data_y, idx_s, w_s, keys):
             """idx_s/w_s: [n_seeds, n_batches, B] per-seed shuffled
             gather indices + pad weights; keys: [n_seeds]."""
@@ -116,15 +126,24 @@ class MultiSeedTrainer:
                     (loss, _), grads = jax.value_and_grad(
                         model.loss, has_aux=True
                     )(params, u, y, jax.random.fold_in(key, i), True, w_b)
+                    if guard:
+                        params, opt_state, ok = apply_update_guarded(
+                            self.tx, params, opt_state, grads, loss
+                        )
+                        return (params, opt_state), (loss, ok)
                     updates, opt_state = self.tx.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
                     return (params, opt_state), loss
 
                 n_batches = idx.shape[0]
-                (params, opt_state), losses = jax.lax.scan(
+                (params, opt_state), out = jax.lax.scan(
                     step, (params, opt_state), (idx, w, jnp.arange(n_batches))
                 )
-                return params, opt_state, jnp.mean(losses)
+                if guard:
+                    losses, oks = out
+                    skipped = n_batches - jnp.sum(oks.astype(jnp.int32))
+                    return params, opt_state, jnp.mean(losses), skipped
+                return params, opt_state, jnp.mean(out)
 
             return jax.vmap(one_seed)(params_s, opt_s, idx_s, w_s, keys)
 
@@ -175,9 +194,13 @@ class MultiSeedTrainer:
             def one_epoch(carry, inp):
                 params_s, opt_s, best_params, best_opt, best_loss = carry
                 idx_s, w_s, keys, tkeys = inp
-                params_s, opt_s, train_losses = _epoch_update_body(
+                upd = _epoch_update_body(
                     params_s, opt_s, data_u, data_y, idx_s, w_s, keys
                 )
+                if guard:
+                    params_s, opt_s, train_losses, skipped_s = upd
+                else:
+                    params_s, opt_s, train_losses = upd
                 test_losses = _epoch_eval_body(
                     params_s, test_u, test_y, tidx, tw, tkeys
                 )
@@ -185,16 +208,25 @@ class MultiSeedTrainer:
                     best_params, best_opt, best_loss,
                     params_s, opt_s, train_losses,
                 )
+                ys = (
+                    (train_losses, test_losses, skipped_s)
+                    if guard
+                    else (train_losses, test_losses)
+                )
                 return (
                     (params_s, opt_s, best_params, best_opt, best_loss),
-                    (train_losses, test_losses),
+                    ys,
                 )
 
-            carry, (trl, tel) = jax.lax.scan(
+            carry, ys = jax.lax.scan(
                 one_epoch,
                 (params_s, opt_s, best_params, best_opt, best_loss),
                 (idx_ks, w_ks, keys_k, tkeys_k),
             )
+            if guard:
+                trl, tel, skl = ys
+                return carry, trl, tel, skl
+            trl, tel = ys
             return carry, trl, tel
 
         self._epoch_update = jax.jit(_epoch_update_body, donate_argnums=(0, 1))
@@ -320,7 +352,7 @@ class MultiSeedTrainer:
                     for _ in range(k)
                 ]
                 best_in = self._chain_best_loss
-                carry, trl, tel = self._block_update(
+                out = self._block_update(
                     self.params, self.opt_state,
                     self._chain_best_params, self._chain_best_opt, best_in,
                     data_u, data_y, test_u, test_y,
@@ -328,6 +360,11 @@ class MultiSeedTrainer:
                     np.stack([p[1] for p in pairs]),
                     tidx, tw, keys_k, tkeys_k,
                 )
+                if self._guard:
+                    carry, trl, tel, skl = out
+                else:
+                    carry, trl, tel = out
+                    skl = None
                 (
                     self.params, self.opt_state,
                     self._chain_best_params, self._chain_best_opt,
@@ -336,6 +373,7 @@ class MultiSeedTrainer:
                 handles = (
                     epoch, k, t0, best_in, self._chain_best_params,
                     self._chain_best_opt, self._chain_best_loss, trl, tel,
+                    skl,
                 )
                 if pending is not None:
                     self._process_block(pending)
@@ -355,9 +393,16 @@ class MultiSeedTrainer:
             idx_s, w_s = self._epoch_indices(
                 ds.train_in_batch.shape[0], batch_size, shuffle=True
             )
-            self.params, self.opt_state, train_losses = self._epoch_update(
+            upd = self._epoch_update(
                 self.params, self.opt_state, data_u, data_y, idx_s, w_s, keys
             )
+            if self._guard:
+                self.params, self.opt_state, train_losses, skipped_s = upd
+                skipped_k = np.asarray(skipped_s)[None]
+                self._note_skipped(skipped_k)
+            else:
+                self.params, self.opt_state, train_losses = upd
+                skipped_k = None
             tkeys = self._lane_keys(jax.random.fold_in(ekey, 1))
             test_losses = self._epoch_eval_fn(
                 self.params, test_u, test_y, tidx, tw, tkeys
@@ -375,7 +420,9 @@ class MultiSeedTrainer:
             test_np = np.asarray(test_losses)
             improved = bool((train_np < prev_best).any())
             dt = time.perf_counter() - t0
-            self._log_epochs(epoch, train_np[None], test_np[None], dt)
+            self._log_epochs(
+                epoch, train_np[None], test_np[None], dt, skipped_k=skipped_k
+            )
             epoch += 1
             if improved:
                 # Trainer-parity cadence (per dispatch): best saved on
@@ -402,9 +449,21 @@ class MultiSeedTrainer:
             best_train=np.asarray(self.best_loss).tolist(),
         )
 
-    def _log_epochs(self, start, train_k, test_k, dt_total):
+    def _note_skipped(self, skipped_k):
+        """Track batches skipped by the non-finite guard
+        (``skipped_k``: [k, n_seeds]); warn when any lane skipped."""
+        total = int(skipped_k.sum())
+        if total:
+            self.skipped_steps += total
+            print(
+                f"  [guard] skipped {total} non-finite batch update(s) "
+                f"across lanes", file=sys.stderr,
+            )
+
+    def _log_epochs(self, start, train_k, test_k, dt_total, skipped_k=None):
         """Log ``train_k/test_k`` ([k, n_seeds]) as epochs
-        [start, start+k)."""
+        [start, start+k); ``skipped_k`` ([k, n_seeds], guard only) adds
+        per-lane skipped-batch counts to metrics.jsonl."""
         k = train_k.shape[0]
         dt = dt_total / k
         for j in range(k):
@@ -416,12 +475,18 @@ class MultiSeedTrainer:
             )
             self.train_all.append(train_np)
             self.test_all.append(test_np)
+            extra = (
+                {"skipped_steps": skipped_k[j].tolist()}
+                if skipped_k is not None
+                else {}
+            )
             self.metrics.log(
                 event="epoch",
                 epoch=start + j,
                 train_loss=train_np.tolist(),
                 test_loss=test_np.tolist(),
                 seconds=dt,
+                **extra,
             )
 
     def _process_block(self, handles):
@@ -430,15 +495,20 @@ class MultiSeedTrainer:
         ``self.best_*`` at this block's best state, and save it if the
         block improved any lane."""
         (start, k, t0, best_in, best_params, best_opt, best_loss,
-         trl, tel) = handles
+         trl, tel, skl) = handles
         train_k, test_k = np.asarray(trl), np.asarray(tel)
+        if skl is not None:
+            skl = np.asarray(skl)
+            self._note_skipped(skl)
         improved = bool(
             (np.asarray(best_loss) < np.asarray(best_in)).any()
         )
         self.best_params, self.best_opt, self.best_loss = (
             best_params, best_opt, best_loss,
         )
-        self._log_epochs(start, train_k, test_k, time.perf_counter() - t0)
+        self._log_epochs(
+            start, train_k, test_k, time.perf_counter() - t0, skipped_k=skl
+        )
         if improved:
             # Trainer-parity cadence (per dispatch): best saved on
             # every improvement, so an interrupted run is resumable

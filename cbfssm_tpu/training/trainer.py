@@ -59,6 +59,29 @@ def epoch_indices(rng, n, batch_size, shuffle: bool, dtype):
     )
 
 
+def apply_update_guarded(tx, params, opt_state, grads, loss):
+    """One optimizer step that self-protects against non-finite
+    batches (``skip_nonfinite_updates``): if the batch loss or ANY
+    gradient leaf is NaN/Inf, params and opt_state (Adam moments and
+    step count included) pass through unchanged, so one divergent
+    batch costs one skipped step instead of poisoning the run.
+    Entirely device-side (a few ``isfinite`` reductions + selects —
+    no host sync), vmap-safe (per-lane scalar ``ok`` broadcasts
+    against each leaf). Returns ``(params, opt_state, ok)`` with
+    ``ok`` a boolean scalar (per lane under vmap)."""
+    ok = jnp.isfinite(loss)
+    for g in jax.tree_util.tree_leaves(grads):
+        ok = ok & jnp.all(jnp.isfinite(g))
+    updates, new_opt = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    keep = lambda n, o: jnp.where(ok, n, o)  # noqa: E731
+    return (
+        jax.tree_util.tree_map(keep, new_params, params),
+        jax.tree_util.tree_map(keep, new_opt, opt_state),
+        ok,
+    )
+
+
 def resolve_epochs_per_dispatch(epd, steps_per_epoch: int, epochs: int) -> int:
     """'auto' -> ~300 optimizer steps per dispatch, clamped to [1, 64]
     and to the run's epoch count (shared by Trainer and
@@ -96,6 +119,14 @@ class Trainer:
         # checkpoint.AsyncSaver). train() flushes before returning.
         self.saver = checkpoint.shared_saver()
         self._best_dev = None  # device-side running-best chain (train())
+        # skip_nonfinite_updates: structurally gate the guard at trace
+        # time so the default path compiles the exact same programs as
+        # before (keeps the persistent XLA cache warm and the bitwise
+        # pins trivially intact).
+        self._guard = bool(model.config.skip_nonfinite_updates)
+        guard = self._guard
+        self.skipped_steps = 0  # cumulative non-finite batches skipped
+        self._last_skipped = 0
         os.makedirs(model_dir, exist_ok=True)
         # Make the directory self-describing: the export CLI / a later
         # re-evaluation rebuilds (model, params) from disk alone
@@ -135,15 +166,24 @@ class Trainer:
                 (loss, _), grads = jax.value_and_grad(model.loss, has_aux=True)(
                     params, u, y, jax.random.fold_in(key, i), True, w_b
                 )
+                if guard:
+                    params, opt_state, ok = apply_update_guarded(
+                        self.tx, params, opt_state, grads, loss
+                    )
+                    return (params, opt_state), (loss, ok)
                 updates, opt_state = self.tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
 
             n_batches = idx.shape[0]
-            (params, opt_state), losses = jax.lax.scan(
+            (params, opt_state), out = jax.lax.scan(
                 step, (params, opt_state), (idx, w, jnp.arange(n_batches))
             )
-            return params, opt_state, losses
+            if guard:
+                losses, oks = out
+                skipped = n_batches - jnp.sum(oks.astype(jnp.int32))
+                return params, opt_state, losses, skipped
+            return params, opt_state, out
 
         @jax.jit
         def _epoch_eval(params, data_u, data_y, idx, w, key):
@@ -184,15 +224,25 @@ class Trainer:
                     (loss, _), grads = jax.value_and_grad(
                         model.loss, has_aux=True
                     )(params, u, y, jax.random.fold_in(tkey, i), True, w_b)
+                    if guard:
+                        params, opt_state, ok = apply_update_guarded(
+                            self.tx, params, opt_state, grads, loss
+                        )
+                        return (params, opt_state), (loss, ok)
                     updates, opt_state = self.tx.update(grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
                     return (params, opt_state), loss
 
                 nb = idx_e.shape[0]
-                (params, opt_state), losses = jax.lax.scan(
+                (params, opt_state), tr_out = jax.lax.scan(
                     train_step, (params, opt_state),
                     (idx_e, w_e, jnp.arange(nb)),
                 )
+                if guard:
+                    losses, oks = tr_out
+                    skipped_e = nb - jnp.sum(oks.astype(jnp.int32))
+                else:
+                    losses = tr_out
                 train_loss = jnp.mean(losses)
 
                 def eval_step(_, inp2):
@@ -214,16 +264,24 @@ class Trainer:
                 sel = lambda a, b: jnp.where(improved, a, b)
                 best_params = jax.tree_util.tree_map(sel, params, best_params)
                 best_opt = jax.tree_util.tree_map(sel, opt_state, best_opt)
+                ys = (
+                    (train_loss, test_loss, skipped_e)
+                    if guard
+                    else (train_loss, test_loss)
+                )
                 return (
                     (params, opt_state, best_loss, best_params, best_opt),
-                    (train_loss, test_loss),
+                    ys,
                 )
 
             carry0 = (params, opt_state, best_loss, params, opt_state)
-            carry, (trl, tel) = jax.lax.scan(
-                one_epoch, carry0, (idx, w, epoch_ids)
-            )
+            carry, ys = jax.lax.scan(one_epoch, carry0, (idx, w, epoch_ids))
             params, opt_state, best_loss, best_params, best_opt = carry
+            if guard:
+                trl, tel, skl = ys
+                return (params, opt_state, best_loss, best_params, best_opt,
+                        trl, tel, skl)
+            trl, tel = ys
             return params, opt_state, best_loss, best_params, best_opt, trl, tel
 
         self._epoch_update = _epoch_update
@@ -250,10 +308,27 @@ class Trainer:
     def _epoch_train(self, ds, batch_size, key):
         data_u, data_y = self._stage("train", ds.train_in_batch, ds.train_out_batch)
         idx, w = self._epoch_indices(ds.train_in_batch.shape[0], batch_size, shuffle=True)
-        self.params, self.opt_state, losses = self._epoch_update(
+        out = self._epoch_update(
             self.params, self.opt_state, data_u, data_y, idx, w, key
         )
+        if self._guard:
+            self.params, self.opt_state, losses, skipped = out
+            self._note_skipped(int(skipped))
+        else:
+            self.params, self.opt_state, losses = out
         return float(jnp.mean(losses))
+
+    def _note_skipped(self, skipped: int):
+        """Record non-finite batches skipped by the guard (stdout +
+        cumulative counter; per-epoch counts also land in
+        metrics.jsonl via _log_epoch)."""
+        self._last_skipped = skipped
+        if skipped:
+            self.skipped_steps += skipped
+            print(
+                f"  [guard] skipped {skipped} non-finite batch "
+                f"update(s) this epoch", file=sys.stderr,
+            )
 
     def _epoch_eval(self, ds, batch_size, key):
         data_u, data_y = self._stage("test", ds.test_in_batch, ds.test_out_batch)
@@ -290,7 +365,8 @@ class Trainer:
             self.epochs_per_dispatch, steps_per_epoch, epochs
         )
 
-    def _log_epoch(self, epoch, train_loss, test_loss, dt, steps_per_epoch):
+    def _log_epoch(self, epoch, train_loss, test_loss, dt, steps_per_epoch,
+                   skipped=None):
         print(
             "[{epoch:04}]: Train {train}, Test {test}  ({dt:.2f}s)".format(
                 epoch=epoch, train=train_loss, test=test_loss, dt=dt
@@ -298,6 +374,11 @@ class Trainer:
         )
         self.train_all.append(train_loss)
         self.test_all.append(test_loss)
+        extra = {}
+        if self._guard:
+            extra["skipped_steps"] = (
+                self._last_skipped if skipped is None else int(skipped)
+            )
         self.metrics.log(
             event="epoch",
             epoch=epoch,
@@ -305,6 +386,7 @@ class Trainer:
             test_loss=test_loss,
             seconds=dt,
             steps_per_sec=steps_per_epoch / dt,
+            **extra,
         )
 
     def train(self, ds, epochs: int, retrain: bool = False):
@@ -375,7 +457,12 @@ class Trainer:
             )
         self._save(checkpoint.LAST)
         self.saver.flush(self.model_dir)
-        self.metrics.log(event="done", epochs=epochs, best_train=lowest_train)
+        done_extra = (
+            {"skipped_steps": self.skipped_steps} if self._guard else {}
+        )
+        self.metrics.log(
+            event="done", epochs=epochs, best_train=lowest_train, **done_extra
+        )
 
     def _dispatch_block(self, ds, batch_size, base_key, start, k,
                         lowest_train):
@@ -400,29 +487,37 @@ class Trainer:
         )
         if self._best_dev is None:
             self._best_dev = jnp.asarray(lowest_train, dtype=self.model.dtype)
-        (
-            self.params, self.opt_state, best_loss, best_params, best_opt,
-            trl, tel,
-        ) = self._block_update(
+        out = self._block_update(
             self.params, self.opt_state, data_u, data_y, test_u, test_y,
             np.stack(idxs), np.stack(ws), tidx, tw,
             np.arange(start, start + k, dtype=np.int32),
             self._best_dev, base_key,
         )
+        if self._guard:
+            (self.params, self.opt_state, best_loss, best_params, best_opt,
+             trl, tel, skl) = out
+        else:
+            (self.params, self.opt_state, best_loss, best_params, best_opt,
+             trl, tel) = out
+            skl = None
         self._best_dev = best_loss
-        return (start, k, t0, best_loss, best_params, best_opt, trl, tel)
+        return (start, k, t0, best_loss, best_params, best_opt, trl, tel, skl)
 
     def _process_block(self, handles, lowest_train, steps_per_epoch):
         """Host-side half of a block: read back the losses (blocks
         until that block's device work drains), log each epoch, save
         the best checkpoint if the block improved, return the updated
         best train loss. Runs while the NEXT block computes."""
-        start, k, t0, best_loss, best_params, best_opt, trl, tel = handles
+        start, k, t0, best_loss, best_params, best_opt, trl, tel, skl = handles
         trl, tel = np.asarray(trl), np.asarray(tel)
+        if skl is not None:
+            skl = np.asarray(skl)
+            self._note_skipped(int(skl.sum()))
         dt = (time.perf_counter() - t0) / k
         for j in range(k):
             self._log_epoch(
-                start + j, float(trl[j]), float(tel[j]), dt, steps_per_epoch
+                start + j, float(trl[j]), float(tel[j]), dt, steps_per_epoch,
+                skipped=None if skl is None else int(skl[j]),
             )
         new_best = float(best_loss)
         if new_best < lowest_train:
