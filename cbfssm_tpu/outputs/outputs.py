@@ -100,6 +100,7 @@ class Outputs:
         self.training_stats()
         self.prediction()
         self.test_mse()
+        self.calibration()
         self.var_dump()
 
     @property
@@ -199,6 +200,34 @@ class Outputs:
             f.write("MSE:  %f\n" % mse)
             f.write("RMSE: %f\n" % rmse)
         self.last_rmse = rmse
+
+    def calibration(self, levels=None):
+        """calibration.txt — does the plotted band mean anything?
+        Predictive NLL + central-interval coverage of the same free-run
+        moment-matched Gaussian the prediction artifacts draw
+        (denormalized, all test experiments; see outputs/calibration.py).
+        Beyond-reference artifact: the reference plots 1.96-sigma bands
+        but never scores them. Returns and stores the stats dict
+        (``self.last_calibration``)."""
+        from cbfssm_tpu.outputs import calibration as cal
+
+        print("  calibration")
+        ds = self.ds
+        levels = cal.LEVELS if levels is None else levels
+        parts = []
+        for i in range(ds.test_in.shape[0]):
+            pred, var = self._predict(
+                ds.test_in[i : i + 1], ds.test_out[i : i + 1], condition=False
+            )
+            mean = ds.denormalize(pred, "out")[0]
+            std = ds.denormalize(np.sqrt(var), "out", shift=False)[0]
+            gt = ds.denormalize(ds.test_out[i : i + 1], "out")[0]
+            parts.append(cal.summarize(mean, np.square(std), gt, levels))
+        stats = cal.accumulate(parts)
+        with open(os.path.join(self.out_dir, "calibration.txt"), "w") as f:
+            f.write(cal.format_report(stats))
+        self.last_calibration = stats
+        return stats
 
     def var_dump(self):
         print("  var dump")

@@ -2,7 +2,9 @@
 
 Capability parity with reference cbfssm/outputs/output_summary.py:7-31:
 copies the invoking script into the output directory (provenance
-snapshot) and writes per-run / mean / std RMSE to summary.txt.
+snapshot) and writes per-run / mean / std RMSE to summary.txt — plus,
+beyond the reference, per-run predictive NLL and 95%-band coverage
+when the runs produced calibration stats (outputs/calibration.py).
 """
 
 from __future__ import annotations
@@ -18,6 +20,7 @@ class OutputSummary:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
         self.rmse_all = []
+        self.calibration_all = []
         os.makedirs(out_dir, exist_ok=True)
         script = os.path.abspath(sys.argv[0])
         if os.path.isfile(script):
@@ -25,6 +28,9 @@ class OutputSummary:
 
     def add_outputs(self, outputs):
         self.rmse_all.append(outputs.get_last_rmse())
+        self.calibration_all.append(
+            getattr(outputs, "last_calibration", None)
+        )
 
     def write_summary(self):
         if not self.rmse_all or self.rmse_all[0] is None:
@@ -38,6 +44,22 @@ class OutputSummary:
                 f.write("  %f\n" % val)
             f.write("Mean: %f\n" % np.mean(rmse))
             f.write("Std:  %f\n" % np.std(rmse))
+            if all(c is not None for c in self.calibration_all):
+                nll = np.asarray(
+                    [c["nll"] for c in self.calibration_all], dtype=np.float64
+                )
+                cov = np.asarray(
+                    [c["coverage"].get(0.95, np.nan)
+                     for c in self.calibration_all],
+                    dtype=np.float64,
+                )
+                f.write("\nNLL/point\n=========\n\n")
+                f.write("Runs:\n")
+                for val in nll:
+                    f.write("  %f\n" % val)
+                f.write("Mean: %f\n" % np.mean(nll))
+                f.write("Std:  %f\n" % np.std(nll))
+                f.write("\n95%%-band coverage mean: %f\n" % np.mean(cov))
 
 
 def vmapped_reproduction(model, ds, root, iterations, epochs,

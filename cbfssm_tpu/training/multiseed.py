@@ -581,6 +581,46 @@ class MultiSeedTrainer:
             mse += np.mean((pred[:, 0] - gt) ** 2, axis=(1, 2))
         return np.sqrt(mse / n_exp)
 
+    def evaluate_calibration(self, ds, key=None, best: bool = True,
+                             condition: bool = False, levels=None):
+        """Probabilistic metrics of every lane in the same vmapped
+        programs :meth:`evaluate_rmse` uses: per-lane predictive NLL,
+        central-interval coverage, ECE, and standardized-error RMS of
+        the free-run moment-matched Gaussian predictive (denormalized;
+        semantics match ``Outputs.calibration`` — parity pinned by
+        test). Returns a list of ``n_seeds`` stats dicts (see
+        outputs/calibration.py) so a sweep can rank lanes by NLL
+        instead of point RMSE."""
+        from cbfssm_tpu.outputs import calibration as cal
+
+        key = jax.random.PRNGKey(0) if key is None else key
+        params = self.best_params if best else self.params
+        cache = self.__dict__.setdefault("_eval_predict_cache", {})
+        if condition not in cache:
+            cache[condition] = jax.jit(
+                jax.vmap(
+                    lambda p, u, y, k: self.model.predict(p, u, y, k, condition),
+                    in_axes=(0, None, None, None),
+                )
+            )
+        predict = cache[condition]
+        levels = cal.LEVELS if levels is None else levels
+        parts = [[] for _ in range(self.n_seeds)]
+        for i in range(ds.test_in.shape[0]):
+            u = jnp.asarray(np.asarray(ds.test_in[i : i + 1]), dtype=self.model.dtype)
+            y = jnp.asarray(np.asarray(ds.test_out[i : i + 1]), dtype=self.model.dtype)
+            out = predict(params, u, y, key)
+            mean = ds.denormalize(np.asarray(out.pred_mean), "out")  # [n, 1, T, dy]
+            std = ds.denormalize(
+                np.sqrt(np.asarray(out.pred_var)), "out", shift=False
+            )
+            gt = ds.denormalize(np.asarray(ds.test_out[i : i + 1]), "out")[0]
+            for s in range(self.n_seeds):
+                parts[s].append(
+                    cal.summarize(mean[s, 0], np.square(std[s, 0]), gt, levels)
+                )
+        return [cal.accumulate(p) for p in parts]
+
     def best_seed(self) -> int:
         return int(np.argmin(np.asarray(self.best_loss)))
 
