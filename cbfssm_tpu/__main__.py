@@ -212,6 +212,75 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Trainerless re-evaluation of a trained directory: rebuild
+    (model, params) via model_store, rebuild the dataset from the
+    ``dataset`` recipe the trainer stamped into model_meta.json (or
+    the --dataset/--seq-len/--seq-stride overrides), and run the full
+    Outputs artifact set — mse.txt, calibration.txt, predict plots —
+    without the producing script (reference counterpart: template.py's
+    train=False path, which still needs the script)."""
+    from cbfssm_tpu import model_store
+
+    try:
+        meta = model_store.load_model_meta(args.model_dir)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    recipe = meta.get("dataset") or {}
+    ds_name = args.dataset or recipe.get("name") or meta.get("ds_name")
+    seq_len = args.seq_len or recipe.get("seq_len")
+    seq_stride = args.seq_stride or recipe.get("seq_stride")
+    if not ds_name or not seq_len or not seq_stride:
+        print("error: no dataset recipe in model_meta.json (directory "
+              "predates the stamp?) — pass --dataset/--seq-len/"
+              "--seq-stride explicitly", file=sys.stderr)
+        return 2
+    from cbfssm_tpu import data as data_mod
+    from cbfssm_tpu.data.base import BaseDS
+
+    ds_cls = getattr(data_mod, ds_name, None)
+    if not (isinstance(ds_cls, type) and issubclass(ds_cls, BaseDS)):
+        print(f"error: unknown dataset class {ds_name!r} (not in "
+              "cbfssm_tpu.data) — pass --dataset", file=sys.stderr)
+        return 2
+    import jax
+
+    if model_store.meta_requires_x64(meta):
+        jax.config.update("jax_enable_x64", True)  # before any array
+    name = {"best": "best.ckpt", "last": "model.ckpt"}[args.checkpoint]
+    try:
+        model, params = model_store.load_trained_model(args.model_dir, name)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    try:
+        ds = ds_cls(int(seq_len), int(seq_stride), data_dir=args.data_dir)
+    except Exception as e:
+        print(f"error: could not build {ds_name}({seq_len}, {seq_stride}): "
+              f"{e}", file=sys.stderr)
+        return 2
+    from cbfssm_tpu.outputs import Outputs, OutputsVoliro
+
+    out_dir = args.out or args.model_dir
+    outputs_cls = (
+        OutputsVoliro if meta["model_class"] == "Voliro" else Outputs
+    )
+    outputs = outputs_cls(out_dir)
+    outputs.set_ds(ds)
+    outputs.set_model(model, args.model_dir)
+    outputs.create_all(params=params)
+    rmse = outputs.get_last_rmse()
+    if rmse is not None:
+        print(f"RMSE: {rmse:f}")
+    cal = getattr(outputs, "last_calibration", None)
+    if cal is not None:
+        print(f"NLL/point: {cal['nll']:f}  "
+              f"95%-band coverage: {cal['coverage'][0.95]:f}")
+    print(f"artifacts -> {out_dir}")
+    return 0
+
+
 def cmd_bench(_args) -> int:
     root = repo_root()
     if root is None or not os.path.isfile(os.path.join(root, "bench.py")):
@@ -287,6 +356,25 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--platforms", nargs="*", default=["cpu", "tpu"],
                    help="backends the artifact must run on")
     e.set_defaults(fn=cmd_export)
+
+    v = sub.add_parser(
+        "eval",
+        help="re-evaluate a trained directory from disk alone (mse, "
+             "calibration, prediction plots) — no producing script")
+    v.add_argument("model_dir",
+                   help="directory written by a trainer (model_meta.json "
+                        "+ checkpoints)")
+    v.add_argument("--out", default=None,
+                   help="artifact directory (default: the model dir)")
+    v.add_argument("--checkpoint", choices=["best", "last"], default="best")
+    v.add_argument("--dataset", default=None,
+                   help="dataset class name (default: the recipe stamped "
+                        "by the trainer)")
+    v.add_argument("--seq-len", type=int, default=None)
+    v.add_argument("--seq-stride", type=int, default=None)
+    v.add_argument("--data-dir", default=None,
+                   help="directory holding the raw benchmark files")
+    v.set_defaults(fn=cmd_eval)
 
     sub.add_parser("bench", help="headline ELBO steps/sec benchmark"
                    ).set_defaults(fn=cmd_bench)

@@ -218,6 +218,22 @@ def fold_config_updates(model_dir: str, updates: dict,
 # --- load --------------------------------------------------------------
 
 
+def record_dataset(model_dir: str, ds) -> None:
+    """Stamp the trained directory's ``model_meta.json`` with the
+    dataset's reconstruction recipe (class name + windowing): every
+    dataset class shares the ``(seq_len, seq_stride, data_dir=None)``
+    constructor, so ``python -m cbfssm_tpu eval <dir>`` can rebuild
+    the exact evaluation dataset from disk alone. Called best-effort
+    by the trainers' ``train()`` (never breaks training)."""
+    meta = load_model_meta(model_dir)
+    meta["dataset"] = {
+        "name": type(ds).__name__,
+        "seq_len": int(ds.seq_len),
+        "seq_stride": int(ds.seq_stride),
+    }
+    _write_meta(model_dir, meta)
+
+
 def load_model_meta(model_dir: str) -> dict:
     path = os.path.join(model_dir, MODEL_META)
     if not os.path.isfile(path):

@@ -89,10 +89,13 @@ class Outputs:
             f"no trained parameters: neither a trainer nor {best} available"
         )
 
-    def create_all(self):
+    def create_all(self, params=None):
+        """Generate every artifact. ``params`` overrides the default
+        best-checkpoint restore (the eval CLI passes the checkpoint the
+        user picked; default semantics unchanged)."""
         assert self.model is not None
         assert self.ds is not None
-        self.params = self._restore_params()
+        self.params = self._restore_params() if params is None else params
         print("Generating outputs...")
         self._create_all()
 

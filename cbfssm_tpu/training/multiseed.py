@@ -295,6 +295,10 @@ class MultiSeedTrainer:
 
     def train(self, ds, epochs: int, retrain: bool = False):
         print(f"\nTraining {self.n_seeds} seeds (vmapped)...\n")
+        try:  # dataset recipe for `python -m cbfssm_tpu eval <dir>`
+            model_store.record_dataset(self.model_dir, ds)
+        except Exception:
+            pass  # a snapshot-less dir / exotic ds must not break training
         self.init_state(retrain)
         dtype = self.model.dtype
         data_u = jax.device_put(np.asarray(ds.train_in_batch, dtype=dtype))

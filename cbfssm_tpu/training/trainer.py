@@ -391,6 +391,10 @@ class Trainer:
 
     def train(self, ds, epochs: int, retrain: bool = False):
         print("\nTraining...\n")
+        try:  # dataset recipe for `python -m cbfssm_tpu eval <dir>`
+            model_store.record_dataset(self.model_dir, ds)
+        except Exception:
+            pass  # a snapshot-less dir / exotic ds must not break training
         self.init_state(retrain)
         self._device_data = {}
         batch_size = self.dp.round_up_batch(self.model.config.batch_size)

@@ -65,3 +65,38 @@ def test_info_registry_lists_only_loadable_datasets(capsys):
     ds_line = [line for line in out.splitlines() if line.startswith("datasets:")][0]
     assert "BaseDS" not in ds_line and "DSManager" not in ds_line
     assert "Actuator" in ds_line
+
+
+def test_eval_reevaluates_from_disk(tmp_path, sysid_dir, capsys):
+    """`eval <dir>` rebuilds model + dataset from model_meta.json alone
+    (the trainer-stamped dataset recipe) and regenerates the full
+    artifact set — incl. calibration.txt — into --out."""
+    import os
+
+    root = str(tmp_path / "out")
+    assert main([
+        "reproduce", "spring",
+        "--root", root, "--data-dir", sysid_dir,
+        "--iterations", "1", "--train-iterations", "1",
+        "--seq-len", "20", "--seq-stride", "100",
+    ]) == 0
+    evaldir = str(tmp_path / "reeval")
+    rc = main(["eval", root, "--out", evaldir, "--data-dir", sysid_dir])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    for f in ("mse.txt", "calibration.txt", "predict_test.pdf"):
+        assert os.path.exists(os.path.join(evaldir, f)), f
+    assert "RMSE:" in out and "NLL/point:" in out
+    # the recipe round-trips: eval used the stamped class + windowing
+    from cbfssm_tpu import model_store
+
+    recipe = model_store.load_model_meta(root)["dataset"]
+    assert recipe == {
+        "name": "SpringNonlinear", "seq_len": 20, "seq_stride": 100,
+    }
+
+
+def test_eval_requires_meta(tmp_path, capsys):
+    rc = main(["eval", str(tmp_path / "nothing_here")])
+    assert rc == 2
+    assert "error" in capsys.readouterr().err
