@@ -216,8 +216,10 @@ def cmd_eval(args) -> int:
     """Trainerless re-evaluation of a trained directory: rebuild
     (model, params) via model_store, rebuild the dataset from the
     ``dataset`` recipe the trainer stamped into model_meta.json (or
-    the --dataset/--seq-len/--seq-stride overrides), and run the full
-    Outputs artifact set — mse.txt, calibration.txt, predict plots —
+    the --dataset/--seq-len/--seq-stride overrides), and run the same
+    Outputs artifact set the producing driver writes — mse.txt,
+    calibration.txt, predict plots (+ trajectory plots for RoboMove;
+    Voliro's dict-predict model gets its force plots + var dump) —
     without the producing script (reference counterpart: template.py's
     train=False path, which still needs the script)."""
     from cbfssm_tpu import model_store
@@ -260,12 +262,22 @@ def cmd_eval(args) -> int:
         print(f"error: could not build {ds_name}({seq_len}, {seq_stride}): "
               f"{e}", file=sys.stderr)
         return 2
-    from cbfssm_tpu.outputs import Outputs, OutputsVoliro
+    from cbfssm_tpu.outputs import Outputs, OutputsRoboMove, OutputsVoliro
 
     out_dir = args.out or args.model_dir
-    outputs_cls = (
-        OutputsVoliro if meta["model_class"] == "Voliro" else Outputs
-    )
+    # same Outputs variant the producing driver uses: Voliro's
+    # dict-predict model has no generic prediction path (forces plot +
+    # var dump only — say so instead of silently writing less than the
+    # help text promises); RoboMove datasets add the trajectory plots
+    # on top of the full generic set
+    if meta["model_class"] == "Voliro":
+        outputs_cls = OutputsVoliro
+        print("note: Voliro is a dict-predict model — eval writes the "
+              "force plots + var dump (no generic mse/calibration)")
+    elif ds_name in ("RoboMove", "RoboMoveSimple"):
+        outputs_cls = OutputsRoboMove
+    else:
+        outputs_cls = Outputs
     outputs = outputs_cls(out_dir)
     outputs.set_ds(ds)
     outputs.set_model(model, args.model_dir)
@@ -273,7 +285,7 @@ def cmd_eval(args) -> int:
     rmse = outputs.get_last_rmse()
     if rmse is not None:
         print(f"RMSE: {rmse:f}")
-    cal = getattr(outputs, "last_calibration", None)
+    cal = outputs.last_calibration
     if cal is not None:
         print(f"NLL/point: {cal['nll']:f}  "
               f"95%-band coverage: {cal['coverage'][0.95]:f}")

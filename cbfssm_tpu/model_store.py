@@ -155,6 +155,13 @@ def save_model_meta(model_dir: str, model, seed: int = 0) -> dict:
         prior = load_model_meta(model_dir)
     except Exception:
         prior = None
+    # carry the dataset recipe (record_dataset stamp) forward too:
+    # re-instantiating a trainer on a trained directory (retrain /
+    # eval-only flows) must not erase what `eval <dir>` depends on;
+    # the next train() re-stamps it with the dataset actually used
+    if (prior is not None and prior.get("dataset")
+            and prior.get("model_class") == meta["model_class"]):
+        meta["dataset"] = prior["dataset"]
     if (prior is not None and prior.get("config_updates")
             and prior.get("model_class") == meta["model_class"]):
         updates = prior["config_updates"]

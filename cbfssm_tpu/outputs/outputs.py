@@ -48,6 +48,8 @@ class Outputs:
         self.trainer = None
         self.params = None
         self.last_rmse = None
+        self.last_calibration = None
+        self._test_preds = None  # shared test_mse/calibration pass
         self.seed = seed
         os.makedirs(out_dir, exist_ok=True)
 
@@ -96,6 +98,7 @@ class Outputs:
         assert self.model is not None
         assert self.ds is not None
         self.params = self._restore_params() if params is None else params
+        self._test_preds = None  # params may have changed
         print("Generating outputs...")
         self._create_all()
 
@@ -185,18 +188,33 @@ class Outputs:
             test_size,
         )
 
+    def _test_predictions(self):
+        """One free-run prediction pass over every test experiment,
+        shared by test_mse and calibration (each full-T predict costs a
+        whole-scan device program — running it twice doubled eval time).
+        Returns [(mean, std, gt)] denormalized; cached until params
+        change (create_all resets the cache)."""
+        if self._test_preds is None:
+            ds = self.ds
+            preds = []
+            for i in range(ds.test_in.shape[0]):
+                pred, var = self._predict(
+                    ds.test_in[i : i + 1], ds.test_out[i : i + 1],
+                    condition=False,
+                )
+                mean = ds.denormalize(pred, "out")[0]
+                std = ds.denormalize(np.sqrt(var), "out", shift=False)[0]
+                gt = ds.denormalize(ds.test_out[i : i + 1], "out")[0]
+                preds.append((mean, std, gt))
+            self._test_preds = preds
+        return self._test_preds
+
     def test_mse(self):
         print("  test mse")
-        ds = self.ds
-        mse_all = []
-        for i in range(ds.test_in.shape[0]):
-            pred, _ = self._predict(
-                ds.test_in[i : i + 1], ds.test_out[i : i + 1], condition=False
-            )
-            pred = self.ds.denormalize(pred, "out")[0]
-            gt = self.ds.denormalize(ds.test_out[i : i + 1], "out")[0]
-            mse_all.append(float(np.mean((gt - pred) ** 2)))
-
+        mse_all = [
+            float(np.mean((gt - mean) ** 2))
+            for mean, _, gt in self._test_predictions()
+        ]
         mse = float(np.mean(mse_all))
         rmse = math.sqrt(mse)
         with open(os.path.join(self.out_dir, "mse.txt"), "w") as f:
@@ -215,17 +233,11 @@ class Outputs:
         from cbfssm_tpu.outputs import calibration as cal
 
         print("  calibration")
-        ds = self.ds
         levels = cal.LEVELS if levels is None else levels
-        parts = []
-        for i in range(ds.test_in.shape[0]):
-            pred, var = self._predict(
-                ds.test_in[i : i + 1], ds.test_out[i : i + 1], condition=False
-            )
-            mean = ds.denormalize(pred, "out")[0]
-            std = ds.denormalize(np.sqrt(var), "out", shift=False)[0]
-            gt = ds.denormalize(ds.test_out[i : i + 1], "out")[0]
-            parts.append(cal.summarize(mean, np.square(std), gt, levels))
+        parts = [
+            cal.summarize(mean, np.square(std), gt, levels)
+            for mean, std, gt in self._test_predictions()
+        ]
         stats = cal.accumulate(parts)
         with open(os.path.join(self.out_dir, "calibration.txt"), "w") as f:
             f.write(cal.format_report(stats))

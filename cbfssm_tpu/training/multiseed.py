@@ -402,11 +402,8 @@ class MultiSeedTrainer:
             )
             if self._guard:
                 self.params, self.opt_state, train_losses, skipped_s = upd
-                skipped_k = np.asarray(skipped_s)[None]
-                self._note_skipped(skipped_k)
             else:
                 self.params, self.opt_state, train_losses = upd
-                skipped_k = None
             tkeys = self._lane_keys(jax.random.fold_in(ekey, 1))
             test_losses = self._epoch_eval_fn(
                 self.params, test_u, test_y, tidx, tw, tkeys
@@ -422,6 +419,13 @@ class MultiSeedTrainer:
             self._chain_best_loss = self.best_loss
             train_np = np.asarray(train_losses)  # host readback = sync
             test_np = np.asarray(test_losses)
+            if self._guard:
+                # read back AFTER the eval dispatch so the guard never
+                # serializes the train/eval program overlap
+                skipped_k = np.asarray(skipped_s)[None]
+                self._note_skipped(skipped_k)
+            else:
+                skipped_k = None
             improved = bool((train_np < prev_best).any())
             dt = time.perf_counter() - t0
             self._log_epochs(
@@ -451,6 +455,7 @@ class MultiSeedTrainer:
             event="done",
             epochs=epochs,
             best_train=np.asarray(self.best_loss).tolist(),
+            **({"skipped_steps": self.skipped_steps} if self._guard else {}),
         )
 
     def _note_skipped(self, skipped_k):
@@ -553,6 +558,20 @@ class MultiSeedTrainer:
 
     # --- results -------------------------------------------------------
 
+    def _lane_predict(self, condition: bool):
+        """Jitted all-lanes model.predict, cached per condition flag (a
+        fresh lambda per call would retrace the n_seeds-wide program
+        every time). Shared by evaluate_rmse / evaluate_calibration."""
+        cache = self.__dict__.setdefault("_eval_predict_cache", {})
+        if condition not in cache:
+            cache[condition] = jax.jit(
+                jax.vmap(
+                    lambda p, u, y, k: self.model.predict(p, u, y, k, condition),
+                    in_axes=(0, None, None, None),
+                )
+            )
+        return cache[condition]
+
     def evaluate_rmse(self, ds, key=None, best: bool = True,
                       condition: bool = False) -> np.ndarray:
         """Free-running test RMSE of every lane (seed or grid point),
@@ -563,17 +582,7 @@ class MultiSeedTrainer:
         Returns an [n_seeds] array."""
         key = jax.random.PRNGKey(0) if key is None else key
         params = self.best_params if best else self.params
-        # cache the jitted program per condition flag: a fresh lambda
-        # per call would retrace the n_seeds-wide predict every time
-        cache = self.__dict__.setdefault("_eval_predict_cache", {})
-        if condition not in cache:
-            cache[condition] = jax.jit(
-                jax.vmap(
-                    lambda p, u, y, k: self.model.predict(p, u, y, k, condition),
-                    in_axes=(0, None, None, None),
-                )
-            )
-        predict = cache[condition]
+        predict = self._lane_predict(condition)
         mse = np.zeros(self.n_seeds)
         n_exp = ds.test_in.shape[0]
         for i in range(n_exp):
@@ -599,15 +608,7 @@ class MultiSeedTrainer:
 
         key = jax.random.PRNGKey(0) if key is None else key
         params = self.best_params if best else self.params
-        cache = self.__dict__.setdefault("_eval_predict_cache", {})
-        if condition not in cache:
-            cache[condition] = jax.jit(
-                jax.vmap(
-                    lambda p, u, y, k: self.model.predict(p, u, y, k, condition),
-                    in_axes=(0, None, None, None),
-                )
-            )
-        predict = cache[condition]
+        predict = self._lane_predict(condition)
         levels = cal.LEVELS if levels is None else levels
         parts = [[] for _ in range(self.n_seeds)]
         for i in range(ds.test_in.shape[0]):

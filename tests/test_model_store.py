@@ -350,3 +350,21 @@ def test_cli_export_rejects_bad_replay_bucket(tmp_path, capsys):
                    "--platforms", "cpu"])
     assert rc == 2
     assert "replay_buckets" in capsys.readouterr().err
+
+
+def test_dataset_recipe_survives_meta_restamp(tmp_path):
+    """Re-instantiating a trainer on a trained directory (retrain /
+    eval-only flows call save_model_meta from __init__) must not erase
+    the dataset recipe `eval <dir>` depends on."""
+    from cbfssm_tpu.training import Trainer
+
+    ds = SmokeDS()
+    model = CBFSSM(smoke_config())
+    out = str(tmp_path / "m")
+    Trainer(model, out).train(ds, epochs=1)  # stamps the recipe
+    recipe = model_store.load_model_meta(out)["dataset"]
+    assert recipe["name"] == "SmokeDS"
+    assert recipe == {"name": "SmokeDS", "seq_len": 12, "seq_stride": 4}
+
+    Trainer(model, out)  # __init__ re-stamps model_meta.json
+    assert model_store.load_model_meta(out)["dataset"] == recipe
