@@ -212,6 +212,20 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _eval_outputs_class(model_class: str, ds_name: str):
+    """The Outputs variant the producing driver would use: Voliro's
+    dict-predict model has no generic prediction path (forces plot +
+    var dump only); RoboMove datasets add the trajectory plots on top
+    of the full generic set."""
+    from cbfssm_tpu.outputs import Outputs, OutputsRoboMove, OutputsVoliro
+
+    if model_class == "Voliro":
+        return OutputsVoliro
+    if ds_name in ("RoboMove", "RoboMoveSimple"):
+        return OutputsRoboMove
+    return Outputs
+
+
 def cmd_eval(args) -> int:
     """Trainerless re-evaluation of a trained directory: rebuild
     (model, params) via model_store, rebuild the dataset from the
@@ -262,22 +276,11 @@ def cmd_eval(args) -> int:
         print(f"error: could not build {ds_name}({seq_len}, {seq_stride}): "
               f"{e}", file=sys.stderr)
         return 2
-    from cbfssm_tpu.outputs import Outputs, OutputsRoboMove, OutputsVoliro
-
     out_dir = args.out or args.model_dir
-    # same Outputs variant the producing driver uses: Voliro's
-    # dict-predict model has no generic prediction path (forces plot +
-    # var dump only — say so instead of silently writing less than the
-    # help text promises); RoboMove datasets add the trajectory plots
-    # on top of the full generic set
-    if meta["model_class"] == "Voliro":
-        outputs_cls = OutputsVoliro
+    outputs_cls = _eval_outputs_class(meta["model_class"], ds_name)
+    if outputs_cls.__name__ == "OutputsVoliro":
         print("note: Voliro is a dict-predict model — eval writes the "
               "force plots + var dump (no generic mse/calibration)")
-    elif ds_name in ("RoboMove", "RoboMoveSimple"):
-        outputs_cls = OutputsRoboMove
-    else:
-        outputs_cls = Outputs
     outputs = outputs_cls(out_dir)
     outputs.set_ds(ds)
     outputs.set_model(model, args.model_dir)

@@ -100,3 +100,15 @@ def test_eval_requires_meta(tmp_path, capsys):
     rc = main(["eval", str(tmp_path / "nothing_here")])
     assert rc == 2
     assert "error" in capsys.readouterr().err
+
+
+def test_eval_outputs_class_mapping():
+    """eval picks the producing driver's Outputs variant."""
+    from cbfssm_tpu.__main__ import _eval_outputs_class
+    from cbfssm_tpu.outputs import Outputs, OutputsRoboMove, OutputsVoliro
+
+    assert _eval_outputs_class("Voliro", "VoliroTiltDS") is OutputsVoliro
+    assert _eval_outputs_class("CBFSSM", "RoboMove") is OutputsRoboMove
+    assert _eval_outputs_class("CBFSSM", "RoboMoveSimple") is OutputsRoboMove
+    assert _eval_outputs_class("CBFSSM", "SpringNonlinear") is Outputs
+    assert _eval_outputs_class("PRSSM", "Actuator") is Outputs
