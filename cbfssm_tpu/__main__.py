@@ -296,6 +296,84 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Reference HTTP transport (serving_http.py): microbatched
+    free-running prediction over stdlib HTTP, from either a trained
+    directory (BucketedPredictor ladder over the best/last checkpoint)
+    or an exported predictor artifact (framework-free program,
+    fixed-batch chunking). Endpoints: /healthz, /v1/meta, /v1/stats,
+    POST /v1/predict."""
+    import json as _json
+
+    import jax
+
+    from cbfssm_tpu import model_store
+
+    exported_meta = os.path.join(args.model_dir, "meta.json")
+    trained_meta = os.path.join(args.model_dir, "model_meta.json")
+    if os.path.isfile(exported_meta):
+        with open(exported_meta) as f:
+            if _json.load(f).get("requires_x64"):
+                jax.config.update("jax_enable_x64", True)  # before arrays
+        from cbfssm_tpu.serving_http import ExportedBatchPredictor
+
+        try:
+            pred = ExportedBatchPredictor(args.model_dir)
+        except (TypeError, ValueError, RuntimeError) as e:
+            # dict-predict artifact, platform/x64 mismatch, filter kind
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    elif os.path.isfile(trained_meta):
+        meta = model_store.load_model_meta(args.model_dir)
+        if model_store.meta_requires_x64(meta):
+            jax.config.update("jax_enable_x64", True)
+        name = {"best": "best.ckpt", "last": "model.ckpt"}[args.checkpoint]
+        try:
+            model, params = model_store.load_trained_model(
+                args.model_dir, name)
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        recipe = meta.get("dataset") or {}
+        seq_len = args.seq_len or recipe.get("seq_len")
+        if not seq_len:
+            print("error: no dataset recipe in model_meta.json — pass "
+                  "--seq-len", file=sys.stderr)
+            return 2
+        from cbfssm_tpu.serving import BucketedPredictor
+
+        try:
+            pred = BucketedPredictor(
+                model, params, int(seq_len),
+                buckets=tuple(args.buckets), condition=args.condition,
+            )
+        except TypeError as e:  # Voliro's dict predict
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    else:
+        print(f"error: {args.model_dir} has neither model_meta.json "
+              "(trained directory) nor meta.json (exported artifact)",
+              file=sys.stderr)
+        return 2
+    from cbfssm_tpu.serving_http import PredictionServer
+
+    server = PredictionServer(
+        pred, args.host, args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    )
+    m = server.meta()
+    print(f"serving {m['predictor']} (seq_len {m['seq_len']}, "
+          f"dim_u {m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
+          f"on http://{server.host}:{server.port}", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+    finally:
+        server.close()
+    return 0
+
+
 def cmd_bench(_args) -> int:
     root = repo_root()
     if root is None or not os.path.isfile(os.path.join(root, "bench.py")):
@@ -390,6 +468,32 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--data-dir", default=None,
                    help="directory holding the raw benchmark files")
     v.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser(
+        "serve",
+        help="serve prediction over HTTP (reference stdlib transport, "
+             "microbatched) from a trained dir or exported artifact")
+    s.add_argument("model_dir",
+                   help="trained directory (model_meta.json) or exported "
+                        "predictor artifact (meta.json)")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8787,
+                   help="listen port (0 = ephemeral)")
+    s.add_argument("--checkpoint", choices=["best", "last"], default="best",
+                   help="trained-dir only")
+    s.add_argument("--seq-len", type=int, default=None,
+                   help="prediction window (default: the trained dir's "
+                        "stamped dataset recipe)")
+    s.add_argument("--buckets", type=int, nargs="*", default=[1, 8, 32],
+                   help="batch-bucket ladder (trained-dir only)")
+    s.add_argument("--condition", action="store_true",
+                   help="serve the conditioned predict path "
+                        "(trained-dir only)")
+    s.add_argument("--max-batch", type=int, default=32,
+                   help="microbatcher coalescing bound")
+    s.add_argument("--max-wait-ms", type=float, default=2.0,
+                   help="microbatcher coalescing window")
+    s.set_defaults(fn=cmd_serve)
 
     sub.add_parser("bench", help="headline ELBO steps/sec benchmark"
                    ).set_defaults(fn=cmd_bench)

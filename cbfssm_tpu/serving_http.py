@@ -1,0 +1,337 @@
+"""Reference HTTP transport for the serving stack (stdlib-only).
+
+docs/SERVING.md's stance — transports are deployment-specific — stands;
+this module is the ONE reference transport shipped with the framework:
+``http.server`` + ``json`` only, no third-party dependency, showing
+exactly how a socket layer plugs into
+:class:`~cbfssm_tpu.serving.MicroBatcher`. A deployment with its own
+gRPC/asyncio stack should treat it as documentation that runs; a
+deployment without one can use it as-is
+(``python -m cbfssm_tpu serve <dir>``).
+
+No reference counterpart: silvanmelchior/CBF-SSM is training scripts
+only (cbfssm/run/*.py); the serving stack (serving.py, export.py) is
+framework capability beyond the reference, and this file puts it on
+the wire.
+
+Protocol (JSON over HTTP/1.1, one sequence per POST):
+
+  GET  /healthz     -> {"ok": true}
+  GET  /v1/meta     -> model dims / seq_len / batching parameters
+  GET  /v1/stats    -> MicroBatcher.stats() + transport counters
+  POST /v1/predict  {"u": [[...] x T], "y": [[...] x T]}
+                    -> {"pred_mean": [[...] x T], "pred_var": ...,
+                        "internal_mean": ..., "internal_var": ...,
+                        "sde": ..., "mse": float}
+
+Threading model: each connection runs on its own handler thread
+(``ThreadingHTTPServer``) and blocks on its request's Future, while the
+single MicroBatcher dispatcher thread coalesces concurrent requests
+into batched dispatches — the measured coalescing win (BENCHMARKS.md
+"Microbatched serving": 5.6x at 32 concurrent clients) applies to HTTP
+clients unchanged, and all device work stays on one thread (one JAX
+client, no cross-thread dispatch races).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from types import SimpleNamespace
+
+import numpy as np
+
+import jax
+
+from cbfssm_tpu.serving import MicroBatcher
+
+# Request bodies larger than this are rejected with 413 instead of
+# being buffered: a predict request is two [T, d] float arrays, so
+# anything near this bound is malformed or hostile, not traffic.
+MAX_BODY_BYTES = 64 << 20
+
+
+class ExportedBatchPredictor:
+    """Adapt an exported predictor artifact to the batch-predictor
+    protocol (any-``n`` ``__call__`` + ``.model`` dims + ``.seq_len``)
+    so :class:`MicroBatcher` / :class:`PredictionServer` can serve it.
+
+    The artifact (:func:`cbfssm_tpu.export.save_exported_predictor`)
+    is compiled for ONE fixed batch size ``b``; requests are chunked
+    through it :class:`~cbfssm_tpu.serving.BucketedPredictor`-style:
+    the tail chunk is padded with zero rows (row ``i`` of a padded
+    batch is independent of pad-row content — pinned for the model
+    predicts these artifacts are exported from), and the key is folded
+    per chunk so rows in different chunks get independent MC draws.
+    Only PredictOutput-contract artifacts can feed MicroBatcher's
+    fan-out; dict-predict (Voliro) artifacts are rejected up front.
+    """
+
+    def __init__(self, path):
+        from cbfssm_tpu.export import ExportedPredictor, _artifact_base_key
+        from cbfssm_tpu.models.base import PredictOutput
+
+        self._pred = ExportedPredictor(path)
+        meta = self._pred.meta
+        self._fields = tuple(
+            f.name for f in PredictOutput.__dataclass_fields__.values()
+        )
+        if set(meta["output_fields"]) != set(self._fields):
+            raise TypeError(
+                f"{path} serves fields {meta['output_fields']}, not the "
+                "PredictOutput contract; MicroBatcher fan-out needs "
+                "PredictOutput artifacts (CBFSSM/CBFSSMHALF/PRSSM — "
+                "Voliro dict artifacts are served per-call via "
+                "ExportedPredictor)"
+            )
+        self._out_cls = PredictOutput
+        self.meta = meta
+        self.batch = int(meta["batch"])
+        self.seq_len = int(meta["seq_len"])
+        # the duck-typed surface MicroBatcher.submit validates against
+        self.model = SimpleNamespace(
+            dtype=np.dtype(meta["dtype"]),
+            dim_u=int(meta["dim_u"]),
+            dim_y=int(meta["dim_y"]),
+        )
+        self._key = _artifact_base_key(meta)
+
+    def __call__(self, u, y, key=None):
+        u = np.asarray(u, dtype=self.model.dtype)
+        y = np.asarray(y, dtype=self.model.dtype)
+        if u.ndim != 3 or u.shape[1:] != (self.seq_len, self.model.dim_u):
+            raise ValueError(
+                f"expected [n, {self.seq_len}, {self.model.dim_u}] input, "
+                f"got {u.shape}"
+            )
+        if y.shape != (u.shape[0], self.seq_len, self.model.dim_y):
+            raise ValueError(
+                f"y must be [{u.shape[0]}, {self.seq_len}, "
+                f"{self.model.dim_y}] to match u, got {y.shape}"
+            )
+        n = u.shape[0]
+        if n == 0:
+            raise ValueError("need at least one sequence per request")
+        base_key = self._key if key is None else key
+        b = self.batch
+        chunks = []
+        for ci, i in enumerate(range(0, n, b)):
+            uc, yc = u[i : i + b], y[i : i + b]
+            pad = b - uc.shape[0]
+            if pad:
+                uc = np.concatenate([uc, np.zeros((pad,) + uc.shape[1:],
+                                                  uc.dtype)])
+                yc = np.concatenate([yc, np.zeros((pad,) + yc.shape[1:],
+                                                  yc.dtype)])
+            out = self._pred(uc, yc, jax.random.fold_in(base_key, ci))
+            # host fan-in (one transfer per leaf per chunk) — matches
+            # MicroBatcher's fan-out-on-host rationale
+            chunks.append({
+                k: np.asarray(v)[: b - pad] if np.ndim(v) else np.asarray(v)
+                for k, v in out.items()
+            })
+        merged = {
+            k: (chunks[0][k] if chunks[0][k].ndim == 0
+                else np.concatenate([c[k] for c in chunks], axis=0))
+            for k in chunks[0]
+        }
+        # per-chunk scalar mse aggregated pad/chunk-wise is not the
+        # request-level number; recompute over the real rows (same
+        # policy as BucketedPredictor.__call__)
+        pm = merged["pred_mean"]
+        merged["mse"] = np.asarray(
+            np.mean((pm - y[..., : pm.shape[-1]]) ** 2), dtype=pm.dtype
+        )
+        return self._out_cls(**{f: merged[f] for f in self._fields})
+
+
+class _HTTPServer(ThreadingHTTPServer):
+    daemon_threads = True
+    # the PredictionServer that owns this listener; set right after
+    # construction (handlers reach it as self.server.app)
+    app: "PredictionServer"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    # stdlib default logs every request to stderr; the app keeps
+    # counters instead (GET /v1/stats)
+    def log_message(self, *_args):
+        pass
+
+    def _send(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _fail(self, code: int, msg: str) -> None:
+        self.server.app._count("http_errors")
+        self._send(code, {"error": msg})
+
+    def do_GET(self):  # noqa: N802 (stdlib handler naming)
+        app = self.server.app
+        app._count("http_requests")
+        if self.path == "/healthz":
+            self._send(200, {"ok": True})
+        elif self.path == "/v1/meta":
+            self._send(200, app.meta())
+        elif self.path == "/v1/stats":
+            self._send(200, app.stats())
+        else:
+            self._fail(404, f"unknown path {self.path!r} "
+                            "(try /healthz, /v1/meta, /v1/stats)")
+
+    def do_POST(self):  # noqa: N802
+        app = self.server.app
+        app._count("http_requests")
+        if self.path != "/v1/predict":
+            self._fail(404, f"unknown path {self.path!r} (try /v1/predict)")
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._fail(400, "bad Content-Length")
+            return
+        if length <= 0:
+            self._fail(400, "empty body (send JSON {'u': ..., 'y': ...})")
+            return
+        if length > MAX_BODY_BYTES:
+            self._fail(413, f"body {length} bytes exceeds {MAX_BODY_BYTES}")
+            return
+        try:
+            req = json.loads(self.rfile.read(length))
+            u, y = req["u"], req["y"]
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            self._fail(400, "body is not valid JSON")
+            return
+        except (KeyError, TypeError):
+            self._fail(400, "body must be a JSON object with 'u' and 'y'")
+            return
+        try:
+            u = np.asarray(u, dtype=app.batcher.predictor.model.dtype)
+            y = np.asarray(y, dtype=app.batcher.predictor.model.dtype)
+        except (ValueError, TypeError):
+            self._fail(400, "'u'/'y' must be numeric [T, d] arrays")
+            return
+        try:
+            fut = app.batcher.submit(u, y)
+        except ValueError as e:  # shape mismatch — client error
+            self._fail(400, str(e))
+            return
+        except RuntimeError as e:  # batcher closed — shutting down
+            self._fail(503, str(e))
+            return
+        try:
+            out = fut.result(timeout=app.request_timeout)
+        except Exception as e:  # dispatch failed server-side
+            self._fail(500, f"{type(e).__name__}: {e}")
+            return
+        resp = {}
+        for field in out.__dataclass_fields__:
+            leaf = np.asarray(getattr(out, field))
+            # leaves are [1, T, d] row views; mse is scalar
+            resp[field] = (
+                float(leaf) if leaf.ndim == 0 else leaf[0].tolist()
+            )
+        self._send(200, resp)
+
+
+class PredictionServer:
+    """One listener + one :class:`MicroBatcher` around a batch
+    predictor (:class:`~cbfssm_tpu.serving.BucketedPredictor` for a
+    model zoo checkpoint, :class:`ExportedBatchPredictor` for an
+    exported artifact).
+
+    >>> pred = BucketedPredictor(model, params, seq_len=300)
+    >>> with PredictionServer(pred, port=0) as srv:   # 0 = ephemeral
+    ...     srv.start()                               # background thread
+    ...     requests.post(f"http://{srv.host}:{srv.port}/v1/predict", ...)
+
+    ``close()`` stops the listener first (no new requests), then drains
+    the batcher so in-flight futures resolve before handler threads are
+    abandoned.
+    """
+
+    def __init__(self, predictor, host: str = "127.0.0.1", port: int = 0,
+                 *, max_batch: int = 32, max_wait_ms: float = 2.0,
+                 queue_size: int = 1024, seed: int = 0,
+                 request_timeout: float | None = None):
+        self.batcher = MicroBatcher(
+            predictor, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            queue_size=queue_size, seed=seed,
+        )
+        self.request_timeout = request_timeout
+        self._httpd = _HTTPServer((host, port), _Handler)
+        self._httpd.app = self
+        self.host, self.port = self._httpd.server_address[:2]
+        self._counters = {"http_requests": 0, "http_errors": 0}
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+        self._served = False
+        self._closed = False
+
+    def _count(self, name: str) -> None:
+        with self._lock:
+            self._counters[name] += 1
+
+    def meta(self) -> dict:
+        pred = self.batcher.predictor
+        return {
+            "predictor": type(pred).__name__,
+            "seq_len": int(pred.seq_len),
+            "dim_u": int(pred.model.dim_u),
+            "dim_y": int(pred.model.dim_y),
+            "dtype": np.dtype(pred.model.dtype).name,
+            "max_batch": self.batcher.max_batch,
+            "max_wait_ms": self.batcher.max_wait * 1e3,
+        }
+
+    def stats(self) -> dict:
+        s = self.batcher.stats()
+        with self._lock:
+            s.update(self._counters)
+        return s
+
+    def start(self) -> None:
+        """Serve on a background thread (tests / embedding)."""
+        if self._thread is not None:
+            raise RuntimeError("server already started")
+        self._served = True
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever,
+            name="cbfssm-http", daemon=True,
+        )
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        """Serve on the calling thread (the CLI path); returns after
+        :meth:`close` (or raises KeyboardInterrupt through)."""
+        self._served = True
+        self._httpd.serve_forever()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._served:
+            # stop accepting; returns once the serve loop acknowledges.
+            # Guarded: BaseServer.shutdown() waits on an event only
+            # serve_forever's finally sets — calling it on a listener
+            # whose loop never ran deadlocks.
+            self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join()
+        self.batcher.close()     # drain in-flight requests
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
