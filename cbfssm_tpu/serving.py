@@ -1314,3 +1314,317 @@ class MicroBatcher:
                         failed += 1
                 with self._lock:
                     self._stats["errors"] += failed
+
+
+class FilterBatcher:
+    """Transport-agnostic coalescing front-end for a :class:`FilterPool`.
+
+    A FilterPool must be driven from one control loop (its contract);
+    a transport with one handler thread per connected estimator needs
+    (a) every pool operation serialized onto a single thread and
+    (b) concurrent per-session submissions coalesced into the pool's
+    one-dispatch fleet programs — the same economics MicroBatcher
+    gives stateless prediction (one dispatch replaces N ~29 ms
+    roundtrips on this rig; BENCHMARKS.md "Online estimation fleets").
+    This class owns both: callers submit per-session operations from
+    any thread and receive Futures; a single dispatcher thread drains
+    the queue in FIFO order, groups ADJACENT compatible operations
+    (same kind, distinct sessions, and for forecast one shared
+    horizon — the pool-program constraints), and serves each group in
+    one pool call.
+
+    >>> fb = FilterBatcher(FilterPool(model, params, capacity=32))
+    >>> sid = fb.attach(u_prefix, y_prefix).result()
+    >>> mean, var = fb.step(sid, u_prev, y_new).result()
+    >>> fb.forecast(sid, u_future).result()    # (mean [H, dy], var)
+    >>> fb.replay(sid, u_block, y_block).result()   # fused catch-up
+    >>> fb.detach(sid).result(); fb.close()
+
+    Grouping preserves per-session FIFO order: the queue is drained in
+    submission order and a second operation for a session already in
+    the open group closes the group first (a session's operations
+    never ride one dispatch twice, and never reorder). A session's
+    RESULT still depends on which pool tick its group lands on (the
+    pool folds keys by tick), exactly as if the same groups were
+    played into a bare pool — pinned by test against such a replay.
+
+    ``attach``/``detach``/``state``/``load_state`` run as singleton
+    items on the dispatcher thread, so session lifecycle and failover
+    snapshots serialize cleanly with in-flight fleet dispatches. A
+    failed item (unknown session, bad shapes surviving submit-side
+    checks) fails ITS future; co-grouped sessions are unaffected —
+    group-wide exceptions happen only when the pool program itself
+    raises, which none of the per-item conditions can trigger.
+    """
+
+    _GROUPABLE = ("step", "forecast", "replay")
+
+    def __init__(self, pool, max_wait_ms: float = 2.0,
+                 queue_size: int = 1024):
+        if max_wait_ms < 0:
+            raise ValueError("max_wait_ms must be >= 0")
+        self.pool = pool
+        self.max_wait = float(max_wait_ms) / 1e3
+        self._queue: _queue.Queue = _queue.Queue(maxsize=queue_size)
+        self._closing = False
+        self._lock = threading.Lock()
+        # same enqueue-vs-shutdown serialization as MicroBatcher: no
+        # item may ever land behind close()'s sentinel
+        self._submit_lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "dispatches": 0, "errors": 0,
+            "grouped_ops": 0, "max_group_seen": 0, "wait_s": 0.0,
+        }
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="cbfssm-filterbatcher",
+            daemon=True,
+        )
+        self._thread.start()
+
+    # --- client side (any thread) ---------------------------------------
+
+    def _submit(self, kind, sid, payload) -> Future:
+        fut: Future = Future()
+        with self._submit_lock:
+            if self._closing:
+                raise RuntimeError("FilterBatcher is closed")
+            self._queue.put((kind, sid, payload, fut, time.perf_counter()))
+        return fut
+
+    def attach(self, u_prefix, y_prefix) -> Future:
+        """Future resolving to the new session id. Shape errors raise
+        here (submit side), not in the future."""
+        model = self.pool.model
+        recog_len = int(model.config.recog_len)
+        u = np.asarray(u_prefix, dtype=model.dtype)
+        y = np.asarray(y_prefix, dtype=model.dtype)
+        if u.shape != (recog_len, model.dim_u):
+            raise ValueError(
+                f"u_prefix must be [{recog_len}, {model.dim_u}] "
+                f"(one session), got {u.shape}"
+            )
+        if y.shape != (recog_len, model.dim_y):
+            raise ValueError(
+                f"y_prefix must be [{recog_len}, {model.dim_y}] to match "
+                f"u_prefix, got {y.shape}"
+            )
+        return self._submit("attach", None, (u, y))
+
+    def detach(self, sid: int) -> Future:
+        """Future resolving to None once the slot is released."""
+        return self._submit("detach", int(sid), None)
+
+    def step(self, sid: int, u_prev, y_new) -> Future:
+        """Future resolving to this session's ``(mean [dy], var [dy])``
+        filtered moments; concurrent steps of other sessions may ride
+        the same device dispatch."""
+        model = self.pool.model
+        u = np.asarray(u_prev, dtype=model.dtype)
+        y = np.asarray(y_new, dtype=model.dtype)
+        if u.shape != (model.dim_u,) or y.shape != (model.dim_y,):
+            raise ValueError(
+                f"expected u [{model.dim_u}] and y [{model.dim_y}], "
+                f"got {u.shape} / {y.shape}"
+            )
+        return self._submit("step", int(sid), (u, y))
+
+    def forecast(self, sid: int, u_future) -> Future:
+        """Future resolving to ``(mean [H, dy], var [H, dy])`` without
+        advancing state; coalesces with same-horizon forecasts."""
+        model = self.pool.model
+        u = np.asarray(u_future, dtype=model.dtype)
+        if u.ndim != 2 or u.shape[1] != model.dim_u or u.shape[0] < 1:
+            raise ValueError(
+                f"u_future must be [H>=1, {model.dim_u}], got {u.shape}"
+            )
+        return self._submit("forecast", int(sid), u)
+
+    def replay(self, sid: int, u_block, y_block) -> Future:
+        """Future resolving to ``(mean [K, dy], var [K, dy])`` after a
+        fused backlog catch-up; ragged-length replays of other sessions
+        may share the dispatch (the pool's per-(tick, slot) mask)."""
+        model = self.pool.model
+        u = np.asarray(u_block, dtype=model.dtype)
+        y = np.asarray(y_block, dtype=model.dtype)
+        if u.ndim != 2 or u.shape[1] != model.dim_u or u.shape[0] < 1:
+            raise ValueError(
+                f"backlog u must be [K>=1, {model.dim_u}], got {u.shape}"
+            )
+        if y.shape != (u.shape[0], model.dim_y):
+            raise ValueError(
+                f"backlog y must be [{u.shape[0]}, {model.dim_y}] to "
+                f"match u, got {y.shape}"
+            )
+        return self._submit("replay", int(sid), (u, y))
+
+    def state(self) -> Future:
+        """Future resolving to the pool's failover snapshot, taken
+        between dispatches (never mid-tick)."""
+        return self._submit("state", None, None)
+
+    def load_state(self, state) -> Future:
+        """Future resolving to None once the snapshot is restored (same
+        serialization guarantee as :meth:`state`)."""
+        return self._submit("load_state", None, state)
+
+    def stats(self) -> dict:
+        """requests, dispatches (pool calls incl. lifecycle items),
+        errors, mean_group_size, max_group_seen, mean_wait_ms."""
+        with self._lock:
+            s = dict(self._stats)
+        n, d = s.pop("grouped_ops"), s["dispatches"]
+        wait = s.pop("wait_s")
+        s["mean_group_size"] = n / d if d else 0.0
+        s["mean_wait_ms"] = 1e3 * wait / n if n else 0.0
+        return s
+
+    def close(self, drain: bool = True) -> None:
+        """Stop accepting operations and shut the dispatcher down.
+        With ``drain`` (default) pending items are served first."""
+        with self._submit_lock:
+            already = self._closing
+            self._closing = True
+            if not already:
+                if not drain:
+                    try:
+                        while True:
+                            *_, fut, _t = self._queue.get_nowait()
+                            if fut.set_running_or_notify_cancel():
+                                fut.set_exception(RuntimeError(
+                                    "FilterBatcher closed before dispatch"
+                                ))
+                    except _queue.Empty:
+                        pass
+                self._queue.put(None)
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # --- dispatcher thread ----------------------------------------------
+
+    def _collect(self):
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait
+        # bound one sweep by pool capacity: a group can't exceed it,
+        # and a longer sweep would only delay the first item further
+        while len(batch) < self.pool.capacity:
+            remaining = deadline - time.perf_counter()
+            try:
+                item = (
+                    self._queue.get_nowait()
+                    if remaining <= 0
+                    else self._queue.get(timeout=remaining)
+                )
+            except _queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)
+                break
+            batch.append(item)
+        return batch
+
+    def _flush(self, kind, group):
+        """Serve one homogeneous group (distinct sids) in one pool
+        call; per-item failures (unknown sid) fail only their future."""
+        live, inputs = [], {}
+        for sid, payload, fut, t in group:
+            if not fut.set_running_or_notify_cancel():
+                continue
+            if sid not in self.pool._slots:
+                fut.set_exception(KeyError(f"unknown session {sid}"))
+                with self._lock:
+                    self._stats["errors"] += 1
+                continue
+            live.append((sid, fut, t))
+            inputs[sid] = payload
+        if not live:
+            return
+        t_dispatch = time.perf_counter()
+        with self._lock:
+            self._stats["dispatches"] += 1
+            self._stats["grouped_ops"] += len(live)
+            self._stats["max_group_seen"] = max(
+                self._stats["max_group_seen"], len(live)
+            )
+            self._stats["wait_s"] += sum(t_dispatch - t for *_, t in live)
+        try:
+            out = getattr(self.pool, kind)(inputs)
+            for sid, fut, _t in live:
+                fut.set_result(out[sid])
+        except Exception as exc:
+            failed = 0
+            for _sid, fut, _t in live:
+                if not fut.done():
+                    fut.set_exception(exc)
+                    failed += 1
+            with self._lock:
+                self._stats["errors"] += failed
+
+    def _run_single(self, kind, sid, payload, fut):
+        """Lifecycle/failover item on the dispatcher thread."""
+        if not fut.set_running_or_notify_cancel():
+            return
+        with self._lock:
+            self._stats["dispatches"] += 1
+            self._stats["grouped_ops"] += 1
+        try:
+            if kind == "attach":
+                fut.set_result(self.pool.attach(*payload))
+            elif kind == "detach":
+                fut.set_result(self.pool.detach(sid))
+            elif kind == "state":
+                fut.set_result(self.pool.state)
+            else:  # load_state
+                fut.set_result(self.pool.load_state(payload))
+        except Exception as exc:
+            fut.set_exception(exc)
+            with self._lock:
+                self._stats["errors"] += 1
+
+    def _dispatch_loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                try:  # defensive: nothing should land behind the sentinel
+                    while True:
+                        item = self._queue.get_nowait()
+                        if item is None:
+                            continue
+                        *_, fut, _t = item
+                        if fut.set_running_or_notify_cancel():
+                            fut.set_exception(RuntimeError(
+                                "FilterBatcher closed before dispatch"
+                            ))
+                except _queue.Empty:
+                    return
+            with self._lock:
+                self._stats["requests"] += len(batch)
+            group_kind, group, horizon = None, [], None
+            for kind, sid, payload, fut, t in batch:
+                if kind not in self._GROUPABLE:
+                    if group:
+                        self._flush(group_kind, group)
+                        group_kind, group, horizon = None, [], None
+                    self._run_single(kind, sid, payload, fut)
+                    continue
+                h = payload.shape[0] if kind == "forecast" else None
+                boundary = (
+                    kind != group_kind
+                    or any(sid == g_sid for g_sid, *_ in group)
+                    or (kind == "forecast" and h != horizon)
+                )
+                if group and boundary:
+                    self._flush(group_kind, group)
+                    group = []
+                group_kind, horizon = kind, h
+                group.append((sid, payload, fut, t))
+            if group:
+                self._flush(group_kind, group)
