@@ -302,7 +302,9 @@ def cmd_serve(args) -> int:
     directory (BucketedPredictor ladder over the best/last checkpoint)
     or an exported predictor artifact (framework-free program,
     fixed-batch chunking). Endpoints: /healthz, /v1/meta, /v1/stats,
-    POST /v1/predict."""
+    POST /v1/predict. With ``--filter``: online-estimation sessions
+    (FilterServer over a FilterPool — /v1/sessions lifecycle, trained
+    dirs of streaming models only)."""
     import json as _json
 
     import jax
@@ -311,6 +313,52 @@ def cmd_serve(args) -> int:
 
     exported_meta = os.path.join(args.model_dir, "meta.json")
     trained_meta = os.path.join(args.model_dir, "model_meta.json")
+    if args.filter:
+        if not os.path.isfile(trained_meta):
+            print("error: --filter serves a trained directory of a "
+                  "streaming model (CBFSSMHALF/Voliro); "
+                  f"{args.model_dir} has no model_meta.json"
+                  + (" (for exported filter artifacts use "
+                     "ExportedFilter in your own loop — the pooled "
+                     "server needs the in-framework model)"
+                     if os.path.isfile(exported_meta) else ""),
+                  file=sys.stderr)
+            return 2
+        meta = model_store.load_model_meta(args.model_dir)
+        if model_store.meta_requires_x64(meta):
+            jax.config.update("jax_enable_x64", True)
+        name = {"best": "best.ckpt", "last": "model.ckpt"}[args.checkpoint]
+        try:
+            model, params = model_store.load_trained_model(
+                args.model_dir, name)
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        from cbfssm_tpu.serving import FilterPool
+        from cbfssm_tpu.serving_http import FilterServer
+
+        try:
+            pool = FilterPool(
+                model, params, capacity=args.capacity,
+                replay_buckets=args.replay_buckets or None,
+            )
+        except (TypeError, ValueError) as e:  # no streaming interface
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        server = FilterServer(
+            pool, args.host, args.port, max_wait_ms=args.max_wait_ms)
+        m = server.meta()
+        print(f"serving {m['model']} filter sessions (capacity "
+              f"{m['capacity']}, recog_len {m['recog_len']}, dim_u "
+              f"{m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
+              f"on http://{server.host}:{server.port}", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            print("shutting down")
+        finally:
+            server.close()
+        return 0
     if os.path.isfile(exported_meta):
         with open(exported_meta) as f:
             if _json.load(f).get("requires_x64"):
@@ -493,6 +541,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microbatcher coalescing bound")
     s.add_argument("--max-wait-ms", type=float, default=2.0,
                    help="microbatcher coalescing window")
+    s.add_argument("--filter", action="store_true",
+                   help="serve online-estimation sessions (FilterPool "
+                        "over a streaming model's trained dir) instead "
+                        "of free-running prediction")
+    s.add_argument("--capacity", type=int, default=32,
+                   help="filter-session pool capacity (--filter only)")
+    s.add_argument("--replay-buckets", type=int, nargs="*", default=None,
+                   help="AOT backlog-replay chunk ladder (--filter only)")
     s.set_defaults(fn=cmd_serve)
 
     sub.add_parser("bench", help="headline ELBO steps/sec benchmark"

@@ -14,7 +14,12 @@ only (cbfssm/run/*.py); the serving stack (serving.py, export.py) is
 framework capability beyond the reference, and this file puts it on
 the wire.
 
-Protocol (JSON over HTTP/1.1, one sequence per POST):
+Two servers share the plumbing: :class:`PredictionServer` (stateless
+free-running prediction through a MicroBatcher) and
+:class:`FilterServer` (stateful online-estimation sessions through a
+:class:`~cbfssm_tpu.serving.FilterBatcher` + FilterPool — see its
+docstring for the session protocol). PredictionServer protocol (JSON
+over HTTP/1.1, one sequence per POST):
 
   GET  /healthz     -> {"ok": true}
   GET  /v1/meta     -> model dims / seq_len / batching parameters
@@ -44,7 +49,7 @@ import numpy as np
 
 import jax
 
-from cbfssm_tpu.serving import MicroBatcher
+from cbfssm_tpu.serving import FilterBatcher, MicroBatcher
 
 # Request bodies larger than this are rejected with 413 instead of
 # being buffered: a predict request is two [T, d] float arrays, so
@@ -148,12 +153,14 @@ class ExportedBatchPredictor:
 
 class _HTTPServer(ThreadingHTTPServer):
     daemon_threads = True
-    # the PredictionServer that owns this listener; set right after
-    # construction (handlers reach it as self.server.app)
-    app: "PredictionServer"
+    # the PredictionServer/FilterServer that owns this listener; set
+    # right after construction (handlers reach it as self.server.app)
+    app: object
 
 
-class _Handler(BaseHTTPRequestHandler):
+class _JSONHandler(BaseHTTPRequestHandler):
+    """JSON-over-HTTP plumbing shared by both endpoint sets."""
+
     protocol_version = "HTTP/1.1"
 
     # stdlib default logs every request to stderr; the app keeps
@@ -173,6 +180,31 @@ class _Handler(BaseHTTPRequestHandler):
         self.server.app._count("http_errors")
         self._send(code, {"error": msg})
 
+    def _read_json(self):
+        """Parsed JSON object body, or None after a 400/413 reply."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._fail(400, "bad Content-Length")
+            return None
+        if length <= 0:
+            self._fail(400, "empty body (send a JSON object)")
+            return None
+        if length > MAX_BODY_BYTES:
+            self._fail(413, f"body {length} bytes exceeds {MAX_BODY_BYTES}")
+            return None
+        try:
+            req = json.loads(self.rfile.read(length))
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            self._fail(400, "body is not valid JSON")
+            return None
+        if not isinstance(req, dict):
+            self._fail(400, "body must be a JSON object")
+            return None
+        return req
+
+
+class _Handler(_JSONHandler):
     def do_GET(self):  # noqa: N802 (stdlib handler naming)
         app = self.server.app
         app._count("http_requests")
@@ -192,24 +224,12 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path != "/v1/predict":
             self._fail(404, f"unknown path {self.path!r} (try /v1/predict)")
             return
-        try:
-            length = int(self.headers.get("Content-Length", 0))
-        except ValueError:
-            self._fail(400, "bad Content-Length")
-            return
-        if length <= 0:
-            self._fail(400, "empty body (send JSON {'u': ..., 'y': ...})")
-            return
-        if length > MAX_BODY_BYTES:
-            self._fail(413, f"body {length} bytes exceeds {MAX_BODY_BYTES}")
+        req = self._read_json()
+        if req is None:
             return
         try:
-            req = json.loads(self.rfile.read(length))
             u, y = req["u"], req["y"]
-        except (json.JSONDecodeError, UnicodeDecodeError):
-            self._fail(400, "body is not valid JSON")
-            return
-        except (KeyError, TypeError):
+        except KeyError:
             self._fail(400, "body must be a JSON object with 'u' and 'y'")
             return
         try:
@@ -335,3 +355,252 @@ class PredictionServer:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+class _FilterHandler(_JSONHandler):
+    """Online-estimation session endpoints (see :class:`FilterServer`)."""
+
+    def _route(self):
+        """('sessions', None) | ('session_op', sid, op) | None."""
+        parts = self.path.rstrip("/").split("/")
+        if parts[:3] == ["", "v1", "sessions"]:
+            if len(parts) == 3:
+                return ("sessions",)
+            if len(parts) in (4, 5) and parts[3].isdigit():
+                return ("session_op", int(parts[3]),
+                        parts[4] if len(parts) == 5 else None)
+        return None
+
+    def do_GET(self):  # noqa: N802
+        app = self.server.app
+        app._count("http_requests")
+        if self.path == "/healthz":
+            self._send(200, {"ok": True})
+        elif self.path == "/v1/meta":
+            self._send(200, app.meta())
+        elif self.path == "/v1/stats":
+            self._send(200, app.stats())
+        elif self.path == "/v1/state":
+            self._resolve(app.batcher.state, encode=app._encode_state)
+        else:
+            self._fail(404, f"unknown path {self.path!r} (try /healthz, "
+                            "/v1/meta, /v1/stats, /v1/state, /v1/sessions)")
+
+    def do_DELETE(self):  # noqa: N802
+        app = self.server.app
+        app._count("http_requests")
+        route = self._route()
+        if not route or route[0] != "session_op" or route[2] is not None:
+            self._fail(404, f"unknown path {self.path!r} "
+                            "(try DELETE /v1/sessions/<sid>)")
+            return
+        self._resolve(app.batcher.detach, route[1],
+                      encode=lambda _r: {"ok": True})
+
+    def do_POST(self):  # noqa: N802
+        app = self.server.app
+        app._count("http_requests")
+        if self.path == "/v1/state":
+            req = self._read_json()
+            if req is None:
+                return
+            try:
+                state = app._decode_state(req)
+            except (KeyError, TypeError, ValueError) as e:
+                self._fail(400, f"bad state snapshot: {e}")
+                return
+            self._resolve(app.batcher.load_state, state,
+                          encode=lambda _r: {"ok": True})
+            return
+        route = self._route()
+        if route is None:
+            self._fail(404, f"unknown path {self.path!r} (try "
+                            "/v1/sessions[/<sid>/{step,forecast,replay}] "
+                            "or /v1/state)")
+            return
+        req = self._read_json()
+        if req is None:
+            return
+        if route[0] == "sessions":
+            try:
+                submit = app.batcher.attach(
+                    req["u_prefix"], req["y_prefix"])
+            except KeyError:
+                self._fail(400, "body needs 'u_prefix' and 'y_prefix'")
+                return
+            except (ValueError, TypeError) as e:
+                self._fail(400, str(e))
+                return
+            except RuntimeError as e:  # closed
+                self._fail(503, str(e))
+                return
+            self._resolve_fut(submit, encode=lambda sid: {"sid": sid})
+            return
+        _, sid, op = route
+        fields = {"step": ("u_prev", "y_new"), "forecast": ("u_future",),
+                  "replay": ("u", "y")}.get(op)
+        if fields is None:
+            self._fail(404, f"unknown session operation {op!r} "
+                            "(try step, forecast, replay)")
+            return
+        try:
+            args = [req[f] for f in fields]
+        except KeyError:
+            self._fail(400, f"body needs {' and '.join(repr(f) for f in fields)}")
+            return
+        self._resolve(getattr(app.batcher, op), sid, *args)
+
+    def _resolve(self, submit_fn, *args, encode=None):
+        """Submit on the batcher, mapping submit-side errors to client
+        codes, then block on the future."""
+        try:
+            fut = submit_fn(*args)
+        except (ValueError, TypeError) as e:
+            self._fail(400, str(e))
+            return
+        except RuntimeError as e:  # batcher closed
+            self._fail(503, str(e))
+            return
+        self._resolve_fut(fut, encode=encode)
+
+    def _resolve_fut(self, fut, encode=None):
+        app = self.server.app
+        try:
+            out = fut.result(timeout=app.request_timeout)
+        except KeyError as e:  # unknown/expired session at dispatch
+            self._fail(404, str(e.args[0]) if e.args else "unknown session")
+            return
+        except RuntimeError as e:
+            # pool full (attach) or closed before dispatch — retryable
+            self._fail(503, str(e))
+            return
+        except Exception as e:
+            self._fail(500, f"{type(e).__name__}: {e}")
+            return
+        if encode is not None:
+            self._send(200, encode(out))
+        else:  # (mean, var) numpy pairs from step/forecast/replay
+            mean, var = out
+            self._send(200, {"mean": np.asarray(mean).tolist(),
+                             "var": np.asarray(var).tolist()})
+
+
+class FilterServer:
+    """Online state estimation over HTTP: one listener + one
+    :class:`~cbfssm_tpu.serving.FilterBatcher` around a
+    :class:`~cbfssm_tpu.serving.FilterPool`.
+
+    Each connected estimator drives its own session with plain JSON
+    requests; concurrent step/forecast/replay requests from different
+    sessions coalesce into single pooled device dispatches (the
+    FilterBatcher contract — N estimators do not pay N dispatch
+    floors per tick). Protocol:
+
+      POST   /v1/sessions                {"u_prefix": [[...] x R],
+                                          "y_prefix": [[...] x R]}
+                                         -> {"sid": n}
+      POST   /v1/sessions/<sid>/step     {"u_prev": [du], "y_new": [dy]}
+                                         -> {"mean": [dy], "var": [dy]}
+      POST   /v1/sessions/<sid>/forecast {"u_future": [[...] x H]}
+                                         -> {"mean"/"var": [[...] x H]}
+      POST   /v1/sessions/<sid>/replay   {"u": [[...] x K], "y": ...}
+                                         -> {"mean"/"var": [[...] x K]}
+      DELETE /v1/sessions/<sid>          -> {"ok": true}
+      GET    /v1/state                   -> whole-fleet failover snapshot
+      POST   /v1/state                   <- restore it (exact resume)
+      GET    /healthz | /v1/meta | /v1/stats
+
+    Error mapping: bad shapes/JSON 400, unknown session 404, oversized
+    body 413, pool full or shutting down 503. The /v1/state snapshot is
+    the pool's host-serializable state (ensemble as nested lists, tick,
+    session table) — POST it to a standby FilterServer for exact
+    failover (same contract as ``FilterPool.load_state``, pinned there).
+    """
+
+    def __init__(self, pool, host: str = "127.0.0.1", port: int = 0,
+                 *, max_wait_ms: float = 2.0, queue_size: int = 1024,
+                 request_timeout: float | None = None):
+        self.batcher = FilterBatcher(
+            pool, max_wait_ms=max_wait_ms, queue_size=queue_size,
+        )
+        self.request_timeout = request_timeout
+        self._httpd = _HTTPServer((host, port), _FilterHandler)
+        self._httpd.app = self
+        self.host, self.port = self._httpd.server_address[:2]
+        self._counters = {"http_requests": 0, "http_errors": 0}
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+        self._served = False
+        self._closed = False
+
+    def _count(self, name: str) -> None:
+        with self._lock:
+            self._counters[name] += 1
+
+    @staticmethod
+    def _encode_state(state) -> dict:
+        x, tick, slots, next_sid = state
+        x = np.asarray(x)
+        return {
+            "x": x.tolist(), "dtype": x.dtype.name, "tick": int(tick),
+            "slots": {str(sid): int(slot) for sid, slot in slots.items()},
+            "next_sid": int(next_sid),
+        }
+
+    @staticmethod
+    def _decode_state(obj):
+        return (
+            np.asarray(obj["x"], dtype=np.dtype(obj["dtype"])),
+            int(obj["tick"]),
+            {int(s): int(v) for s, v in obj["slots"].items()},
+            int(obj["next_sid"]),
+        )
+
+    def meta(self) -> dict:
+        pool = self.batcher.pool
+        model = pool.model
+        return {
+            "server": "FilterServer",
+            "model": type(model).__name__,
+            "capacity": pool.capacity,
+            "active": pool.active,
+            "recog_len": int(model.config.recog_len),
+            "dim_u": int(model.dim_u),
+            "dim_y": int(model.dim_y),
+            "dtype": np.dtype(model.dtype).name,
+            "max_wait_ms": self.batcher.max_wait * 1e3,
+        }
+
+    def stats(self) -> dict:
+        s = self.batcher.stats()
+        s["active_sessions"] = self.batcher.pool.active
+        with self._lock:
+            s.update(self._counters)
+        return s
+
+    def start(self) -> None:
+        """Serve on a background thread (tests / embedding)."""
+        if self._thread is not None:
+            raise RuntimeError("server already started")
+        self._served = True
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever,
+            name="cbfssm-filter-http", daemon=True,
+        )
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        """Serve on the calling thread (the CLI path)."""
+        self._served = True
+        self._httpd.serve_forever()
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._served:
+            self._httpd.shutdown()  # guarded: see PredictionServer.close
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join()
+        self.batcher.close()  # drain in-flight session operations

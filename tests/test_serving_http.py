@@ -358,3 +358,216 @@ def test_cli_serve_exported_artifact_healthz(tmp_path, rng):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+# --- FilterServer: online-estimation sessions over HTTP --------------
+
+
+FDU, FDY, FRECOG = 2, 1, 4  # half_config dims
+
+
+@pytest.fixture(scope="module")
+def half_mp():
+    from cbfssm_tpu.models import CBFSSMHALF
+    from tests.test_other_models import half_config
+
+    model = CBFSSMHALF(half_config("rnn"))
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+@pytest.fixture
+def filter_server(half_mp):
+    from cbfssm_tpu.serving import FilterPool
+    from cbfssm_tpu.serving_http import FilterServer
+
+    model, params = half_mp
+    srv = FilterServer(FilterPool(model, params, capacity=2, seed=0),
+                       port=0, max_wait_ms=0.0)
+    srv.start()
+    try:
+        yield srv, f"http://{srv.host}:{srv.port}"
+    finally:
+        srv.close()
+
+
+def test_filter_http_lifecycle_matches_bare_pool(filter_server, half_mp, rng):
+    """Sequential session ops over HTTP replay the bare pool's exact
+    tick schedule (singleton groups): attach, 2 steps, forecast,
+    replay, detach — JSON float64 round-trips exactly."""
+    from cbfssm_tpu.serving import FilterPool
+
+    model, params = half_mp
+    _, base = filter_server
+    pa = (rng.normal(size=(FRECOG, FDU)), rng.normal(size=(FRECOG, FDY)))
+    steps = [(rng.normal(size=(FDU,)), rng.normal(size=(FDY,)))
+             for _ in range(2)]
+    u_future = rng.normal(size=(3, FDU))
+    backlog = (rng.normal(size=(3, FDU)), rng.normal(size=(3, FDY)))
+
+    bare = FilterPool(model, params, capacity=2, seed=0)
+    a0 = bare.attach(*pa)
+    want = [bare.step({a0: s})[a0] for s in steps]
+    want_fc = bare.forecast({a0: u_future})[a0]
+    want_rp = bare.replay({a0: backlog})[a0]
+
+    code, resp = _http("POST", base + "/v1/sessions",
+                       {"u_prefix": pa[0].tolist(),
+                        "y_prefix": pa[1].tolist()})
+    assert code == 200
+    sid = resp["sid"]
+    assert sid == a0
+    for s, (wm, wv) in zip(steps, want):
+        code, r = _http("POST", f"{base}/v1/sessions/{sid}/step",
+                        {"u_prev": s[0].tolist(), "y_new": s[1].tolist()})
+        assert code == 200
+        np.testing.assert_array_equal(np.asarray(r["mean"]), wm)
+        np.testing.assert_array_equal(np.asarray(r["var"]), wv)
+    code, r = _http("POST", f"{base}/v1/sessions/{sid}/forecast",
+                    {"u_future": u_future.tolist()})
+    assert code == 200
+    np.testing.assert_array_equal(np.asarray(r["mean"]), want_fc[0])
+    code, r = _http("POST", f"{base}/v1/sessions/{sid}/replay",
+                    {"u": backlog[0].tolist(), "y": backlog[1].tolist()})
+    assert code == 200
+    np.testing.assert_array_equal(np.asarray(r["mean"]), want_rp[0])
+    np.testing.assert_array_equal(np.asarray(r["var"]), want_rp[1])
+    assert _http("DELETE", f"{base}/v1/sessions/{sid}") == (
+        200, {"ok": True})
+    code, meta = _http("GET", base + "/v1/meta")
+    assert code == 200 and meta["active"] == 0
+    assert meta["model"] == "CBFSSMHALF" and meta["capacity"] == 2
+
+
+def test_filter_http_error_surface(filter_server, rng):
+    _, base = filter_server
+    pa = (rng.normal(size=(FRECOG, FDU)), rng.normal(size=(FRECOG, FDY)))
+    ok = lambda: _http(  # noqa: E731
+        "POST", base + "/v1/sessions",
+        {"u_prefix": pa[0].tolist(), "y_prefix": pa[1].tolist()})
+
+    # unknown session -> 404 (submit-side: never attached)
+    code, resp = _http("POST", base + "/v1/sessions/7/step",
+                       {"u_prev": [0.0] * FDU, "y_new": [0.0] * FDY})
+    assert code == 404 and "7" in resp["error"]
+    # bad shapes -> 400 with the validator's message
+    code, resp = ok()
+    sid = resp["sid"]
+    code, resp = _http("POST", f"{base}/v1/sessions/{sid}/step",
+                       {"u_prev": [0.0] * (FDU + 1), "y_new": [0.0] * FDY})
+    assert code == 400 and "expected u" in resp["error"]
+    # missing field -> 400 naming it
+    code, resp = _http("POST", f"{base}/v1/sessions/{sid}/step",
+                       {"u_prev": [0.0] * FDU})
+    assert code == 400 and "y_new" in resp["error"]
+    # unknown operation -> 404
+    code, resp = _http("POST", f"{base}/v1/sessions/{sid}/jump",
+                       {"u_prev": [0.0] * FDU, "y_new": [0.0] * FDY})
+    assert code == 404 and "jump" in resp["error"]
+    # pool full (capacity 2) -> 503 retryable
+    code, _resp = ok()
+    assert code == 200
+    code, resp = ok()
+    assert code == 503 and "full" in resp["error"]
+    # DELETE of an unknown sid -> 404
+    code, resp = _http("DELETE", base + "/v1/sessions/99")
+    assert code == 404
+
+
+def test_filter_http_state_failover(filter_server, half_mp, rng):
+    """GET /v1/state from the primary restores into a standby server
+    (POST /v1/state) that then produces identical filtered moments."""
+    from cbfssm_tpu.serving import FilterPool
+    from cbfssm_tpu.serving_http import FilterServer
+
+    model, params = half_mp
+    _, base = filter_server
+    pa = (rng.normal(size=(FRECOG, FDU)), rng.normal(size=(FRECOG, FDY)))
+    _code, resp = _http("POST", base + "/v1/sessions",
+                        {"u_prefix": pa[0].tolist(),
+                         "y_prefix": pa[1].tolist()})
+    sid = resp["sid"]
+    s1 = (rng.normal(size=(FDU,)), rng.normal(size=(FDY,)))
+    s2 = (rng.normal(size=(FDU,)), rng.normal(size=(FDY,)))
+    _http("POST", f"{base}/v1/sessions/{sid}/step",
+          {"u_prev": s1[0].tolist(), "y_new": s1[1].tolist()})
+    code, snap = _http("GET", base + "/v1/state")
+    assert code == 200 and snap["slots"] == {str(sid): 0}
+
+    standby = FilterServer(FilterPool(model, params, capacity=2, seed=0),
+                           port=0, max_wait_ms=0.0)
+    standby.start()
+    try:
+        sb = f"http://{standby.host}:{standby.port}"
+        assert _http("POST", sb + "/v1/state", snap) == (200, {"ok": True})
+        body = {"u_prev": s2[0].tolist(), "y_new": s2[1].tolist()}
+        code_p, want = _http("POST", f"{base}/v1/sessions/{sid}/step", body)
+        code_s, got = _http("POST", f"{sb}/v1/sessions/{sid}/step", body)
+        assert code_p == code_s == 200
+        assert got == want  # identical JSON numbers: exact resume
+    finally:
+        standby.close()
+    # corrupt snapshot -> 400, not a wedged server
+    code, resp = _http("POST", base + "/v1/state", {"x": [0.0]})
+    assert code == 400 and "bad state" in resp["error"]
+
+
+def _fabricate_half_dir(tmp_path, half_mp):
+    """Trainer-shaped directory (model_meta.json + best.ckpt) without
+    training — what `serve --filter` consumes."""
+    import optax
+
+    from cbfssm_tpu import model_store
+    from cbfssm_tpu.training import checkpoint
+
+    model, params = half_mp
+    d = os.path.join(str(tmp_path), "half_run")
+    model_store.save_model_meta(d, model, seed=0)
+    opt = optax.adam(model.config.learning_rate).init(params)
+    checkpoint.save(os.path.join(d, checkpoint.BEST),
+                    {"params": params, "opt_state": opt})
+    return d
+
+
+def test_cli_serve_filter_sessions(tmp_path, half_mp, rng):
+    """`serve <trained dir> --filter --port 0` end to end: session
+    create + step over real HTTP from a fresh process."""
+    d = _fabricate_half_dir(tmp_path, half_mp)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "cbfssm_tpu", "serve", d, "--filter",
+         "--port", "0", "--capacity", "4"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
+             "JAX_PLATFORMS": "cpu"},
+    )
+    try:
+        line = proc.stdout.readline()
+        assert "filter sessions" in line and "http://" in line, (
+            line, proc.stderr.read())
+        base = "http://" + line.split("http://")[1].strip()
+        pa = (rng.normal(size=(FRECOG, FDU)), rng.normal(size=(FRECOG, FDY)))
+        code, resp = _http("POST", base + "/v1/sessions",
+                           {"u_prefix": pa[0].tolist(),
+                            "y_prefix": pa[1].tolist()})
+        assert code == 200
+        code, r = _http("POST", f"{base}/v1/sessions/{resp['sid']}/step",
+                        {"u_prev": rng.normal(size=(FDU,)).tolist(),
+                         "y_new": rng.normal(size=(FDY,)).tolist()})
+        assert code == 200
+        assert np.all(np.isfinite(r["mean"])) and np.all(
+            np.asarray(r["var"]) > 0)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+def test_cli_serve_filter_rejects_non_streaming_and_artifacts(tmp_path):
+    from cbfssm_tpu.__main__ import main
+
+    # no model_meta.json at all
+    assert main(["serve", str(tmp_path), "--filter"]) == 2
+    # exported artifact dir: --filter needs the in-framework model
+    art = os.path.join(str(tmp_path), "art")
+    os.makedirs(art)
+    with open(os.path.join(art, "meta.json"), "w") as f:
+        json.dump({"kind": "predictor"}, f)
+    assert main(["serve", art, "--filter"]) == 2
