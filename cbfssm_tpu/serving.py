@@ -1568,13 +1568,16 @@ class FilterBatcher:
             with self._lock:
                 self._stats["errors"] += failed
 
-    def _run_single(self, kind, sid, payload, fut):
+    def _run_single(self, kind, sid, payload, fut, t):
         """Lifecycle/failover item on the dispatcher thread."""
         if not fut.set_running_or_notify_cancel():
             return
         with self._lock:
             self._stats["dispatches"] += 1
             self._stats["grouped_ops"] += 1
+            # keep mean_wait_ms honest: lifecycle items count in the
+            # grouped_ops denominator, so their wait belongs in wait_s
+            self._stats["wait_s"] += time.perf_counter() - t
         try:
             if kind == "attach":
                 fut.set_result(self.pool.attach(*payload))
@@ -1613,7 +1616,7 @@ class FilterBatcher:
                     if group:
                         self._flush(group_kind, group)
                         group_kind, group, horizon = None, [], None
-                    self._run_single(kind, sid, payload, fut)
+                    self._run_single(kind, sid, payload, fut, t)
                     continue
                 h = payload.shape[0] if kind == "forecast" else None
                 boundary = (

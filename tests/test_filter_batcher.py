@@ -244,3 +244,17 @@ def test_stats_shape(mp, rng):
     assert s["requests"] == 2 and s["dispatches"] == 2
     assert s["errors"] == 0 and s["mean_group_size"] == 1.0
     assert s["max_group_seen"] == 1 and s["mean_wait_ms"] >= 0.0
+
+
+def test_lifecycle_wait_counts_in_mean(mp, rng):
+    """Lifecycle items are in mean_wait_ms's grouped_ops denominator,
+    so their (strictly positive) queue wait must be in the numerator —
+    lifecycle-only traffic used to read exactly 0.0 ms."""
+    model, params = mp
+    with FilterBatcher(FilterPool(model, params, capacity=1, seed=0),
+                       max_wait_ms=0.0) as fb:
+        sid = fb.attach(*prefix(rng)).result()
+        fb.detach(sid).result()
+        s = fb.stats()
+    assert s["dispatches"] == 2 and s["mean_group_size"] == 1.0
+    assert s["mean_wait_ms"] > 0.0
