@@ -91,26 +91,36 @@ def main():
                     _call(base, "POST", f"/v1/sessions/{sid}/step",
                           {"u_prev": u.tolist(), "y_new": y.tolist()})
             seq.append((time.perf_counter() - t0) / TICKS)
+            print(f"seq rep {_rep}: {1e3 * seq[-1]:.1f} ms/tick",
+                  file=sys.stderr)
         seq_ms = 1e3 * float(np.median(seq))
 
         # concurrent: every client has one request in flight
         srv.batcher.max_wait = 10.0 / 1e3
 
-        def client(ci, sid, barrier, out):
-            for t in range(TICKS):
-                barrier.wait()
-                u, y = ticks[1 + t][ci]
-                out[ci] = _call(
-                    base, "POST", f"/v1/sessions/{sid}/step",
-                    {"u_prev": u.tolist(), "y_new": y.tolist()})
+        def client(ci, sid, barrier, out, errs):
+            try:
+                for t in range(TICKS):
+                    barrier.wait()
+                    u, y = ticks[1 + t][ci]
+                    out[ci] = _call(
+                        base, "POST", f"/v1/sessions/{sid}/step",
+                        {"u_prev": u.tolist(), "y_new": y.tolist()})
+            except threading.BrokenBarrierError:
+                pass  # a peer failed; unwind quietly
+            except Exception as e:
+                errs.append((ci, e))
+                barrier.abort()  # release peers so join() returns
 
         d0 = srv.batcher.stats()["dispatches"]
         conc = []
         for _rep in range(REPS):
             barrier = threading.Barrier(N_CLIENTS)
             out = [None] * N_CLIENTS
+            errs = []
             threads = [
-                threading.Thread(target=client, args=(ci, sid, barrier, out))
+                threading.Thread(target=client,
+                                 args=(ci, sid, barrier, out, errs))
                 for ci, sid in enumerate(sids)
             ]
             t0 = time.perf_counter()
@@ -118,7 +128,11 @@ def main():
                 t.start()
             for t in threads:
                 t.join()
+            if errs:
+                raise RuntimeError(f"client(s) failed: {errs}") from errs[0][1]
             conc.append((time.perf_counter() - t0) / TICKS)
+            print(f"conc rep {_rep}: {1e3 * conc[-1]:.1f} ms/tick",
+                  file=sys.stderr)
             assert all(np.isfinite(o["mean"]).all() for o in out)
         conc_ms = 1e3 * float(np.median(conc))
         s = srv.batcher.stats()
