@@ -334,13 +334,16 @@ def _emit_json(results, error=None, stage=None):
     if error is not None:
         payload["error"] = str(error)[:500]
         payload["stage"] = stage
+    if error is not None or results.get("degraded_link"):
         last = _last_green()
         if last is not None:
-            # keep the perf record visible even in a full-round outage:
-            # the most recent green run (clearly labeled with its
-            # timestamp + git rev) rides along with the diagnostic
+            # keep the perf record visible even in a full-round outage
+            # or a run timed through a degraded-link window: the most
+            # recent green run (clearly labeled with its timestamp +
+            # git rev) rides along with the diagnostic
             payload["last_green"] = last
     for key in (
+        "degraded_link",
         "baseline_estimated",
         "steps_per_sec_300_per_dispatch",
         "trainer_blocked_steps_per_sec",
@@ -388,6 +391,10 @@ def _run_issues(results, headline_only):
         issues.append("headline_only")
     if results.get("baseline_estimated"):
         issues.append("baseline_estimated")
+    if results.get("degraded_link"):
+        # every number in the run was timed through a slow tunnel
+        # window; keep it out of _last_green
+        issues.append("degraded_link")
     for name, shape in sorted((results.get("shapes") or {}).items()):
         if "error" in shape:
             issues.append(f"shape_error:{name}")
@@ -616,18 +623,34 @@ def _run_stages(stage, results):
     # record the first reading immediately: an abort during the
     # retry window below must still carry a completed measurement
     results["value"] = round(sps, 3)
-    if sps < 150.0:
-        # The tunneled TPU occasionally degrades transiently (observed:
-        # a ~10x-slow window that recovers within minutes). The healthy
-        # steady state for this program is ~530-590 steps/sec; a reading
-        # this far below is a degraded link, not the program. One retry
-        # after a pause; keep the better reading.
+    # The tunneled TPU occasionally degrades transiently (observed: a
+    # ~10x-slow window that usually recovers in minutes, sometimes
+    # lasts hours). The healthy steady state for this program is
+    # ~530-650 steps/sec; a reading far below is a degraded link, not
+    # the program. Retry patiently (bounded; fits the watchdog's total
+    # budget), keep the best reading — and if the window outlasts the
+    # retries, LABEL the run: results carry degraded_link=True, the
+    # emitted JSON cites the last green history entry, and the history
+    # entry is marked degraded so _last_green never cites it.
+    retries = int(os.environ.get("CBFSSM_BENCH_SLOW_RETRIES", 3))
+    for attempt in range(retries):
+        if sps >= 150.0:
+            break
         print(
-            f"suspiciously low {sps:.1f} steps/sec; retrying once after 60s",
-            file=sys.stderr,
+            f"suspiciously low {sps:.1f} steps/sec; retry "
+            f"{attempt + 1}/{retries} after 90s",
+            file=sys.stderr, flush=True,
         )
-        time.sleep(60.0)
+        time.sleep(90.0)
         sps = max(sps, measure())
+        results["value"] = round(sps, 3)
+    if sps < 150.0:
+        results["degraded_link"] = True
+        print(
+            f"link still degraded after {retries} retries "
+            f"({sps:.1f} steps/sec); labeling run degraded_link",
+            file=sys.stderr, flush=True,
+        )
     from scripts.profile_mfu import V5E_PEAK_BF16
 
     gflops = voliro_analytic_gflops()
