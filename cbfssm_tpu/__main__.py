@@ -163,24 +163,10 @@ def cmd_reproduce(args) -> int:
 
 
 def cmd_export(args) -> int:
-    from cbfssm_tpu import model_store
-
-    try:
-        meta = model_store.load_model_meta(args.model_dir)
-    except FileNotFoundError as e:
-        print(f"error: {e}", file=sys.stderr)
+    loaded = _load_checkpointed_model(args.model_dir, args.checkpoint)
+    if loaded is None:
         return 2
-    import jax
-
-    if model_store.meta_requires_x64(meta):
-        # must happen before any array is created
-        jax.config.update("jax_enable_x64", True)
-    name = {"best": "best.ckpt", "last": "model.ckpt"}[args.checkpoint]
-    try:
-        model, params = model_store.load_trained_model(args.model_dir, name)
-    except FileNotFoundError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    _meta, model, params = loaded
     from cbfssm_tpu import export as export_mod
 
     try:
@@ -209,6 +195,43 @@ def cmd_export(args) -> int:
           f"{args.checkpoint} checkpoint) -> {args.out}")
     print(f"  platforms: {', '.join(out_meta['platforms'])}; "
           f"dtype: {out_meta['dtype']}")
+    return 0
+
+
+def _load_checkpointed_model(model_dir: str, checkpoint: str):
+    """Shared trained-directory loading: read model_meta.json, flip
+    x64 BEFORE any array exists when the snapshot requires it, and
+    rebuild (model, params) from the named checkpoint. Returns
+    ``(meta, model, params)``, or ``None`` after printing the error
+    (callers return 2)."""
+    from cbfssm_tpu import model_store
+
+    try:
+        meta = model_store.load_model_meta(model_dir)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return None
+    import jax
+
+    if model_store.meta_requires_x64(meta):
+        jax.config.update("jax_enable_x64", True)
+    name = {"best": "best.ckpt", "last": "model.ckpt"}[checkpoint]
+    try:
+        model, params = model_store.load_trained_model(model_dir, name)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return None
+    return meta, model, params
+
+
+def _serve_until_interrupt(server) -> int:
+    """Foreground serve loop shared by both `serve` variants."""
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("shutting down")
+    finally:
+        server.close()
     return 0
 
 
@@ -260,16 +283,10 @@ def cmd_eval(args) -> int:
         print(f"error: unknown dataset class {ds_name!r} (not in "
               "cbfssm_tpu.data) — pass --dataset", file=sys.stderr)
         return 2
-    import jax
-
-    if model_store.meta_requires_x64(meta):
-        jax.config.update("jax_enable_x64", True)  # before any array
-    name = {"best": "best.ckpt", "last": "model.ckpt"}[args.checkpoint]
-    try:
-        model, params = model_store.load_trained_model(args.model_dir, name)
-    except FileNotFoundError as e:
-        print(f"error: {e}", file=sys.stderr)
+    loaded = _load_checkpointed_model(args.model_dir, args.checkpoint)
+    if loaded is None:
         return 2
+    _meta, model, params = loaded
     try:
         ds = ds_cls(int(seq_len), int(seq_stride), data_dir=args.data_dir)
     except Exception as e:
@@ -309,8 +326,6 @@ def cmd_serve(args) -> int:
 
     import jax
 
-    from cbfssm_tpu import model_store
-
     exported_meta = os.path.join(args.model_dir, "meta.json")
     trained_meta = os.path.join(args.model_dir, "model_meta.json")
     if args.filter:
@@ -324,16 +339,10 @@ def cmd_serve(args) -> int:
                      if os.path.isfile(exported_meta) else ""),
                   file=sys.stderr)
             return 2
-        meta = model_store.load_model_meta(args.model_dir)
-        if model_store.meta_requires_x64(meta):
-            jax.config.update("jax_enable_x64", True)
-        name = {"best": "best.ckpt", "last": "model.ckpt"}[args.checkpoint]
-        try:
-            model, params = model_store.load_trained_model(
-                args.model_dir, name)
-        except FileNotFoundError as e:
-            print(f"error: {e}", file=sys.stderr)
+        loaded = _load_checkpointed_model(args.model_dir, args.checkpoint)
+        if loaded is None:
             return 2
+        _meta, model, params = loaded
         from cbfssm_tpu.serving import FilterPool
         from cbfssm_tpu.serving_http import FilterServer
 
@@ -352,13 +361,7 @@ def cmd_serve(args) -> int:
               f"{m['capacity']}, recog_len {m['recog_len']}, dim_u "
               f"{m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
               f"on http://{server.host}:{server.port}", flush=True)
-        try:
-            server.serve_forever()
-        except KeyboardInterrupt:
-            print("shutting down")
-        finally:
-            server.close()
-        return 0
+        return _serve_until_interrupt(server)
     if os.path.isfile(exported_meta):
         with open(exported_meta) as f:
             if _json.load(f).get("requires_x64"):
@@ -372,16 +375,10 @@ def cmd_serve(args) -> int:
             print(f"error: {e}", file=sys.stderr)
             return 2
     elif os.path.isfile(trained_meta):
-        meta = model_store.load_model_meta(args.model_dir)
-        if model_store.meta_requires_x64(meta):
-            jax.config.update("jax_enable_x64", True)
-        name = {"best": "best.ckpt", "last": "model.ckpt"}[args.checkpoint]
-        try:
-            model, params = model_store.load_trained_model(
-                args.model_dir, name)
-        except FileNotFoundError as e:
-            print(f"error: {e}", file=sys.stderr)
+        loaded = _load_checkpointed_model(args.model_dir, args.checkpoint)
+        if loaded is None:
             return 2
+        meta, model, params = loaded
         recipe = meta.get("dataset") or {}
         seq_len = args.seq_len or recipe.get("seq_len")
         if not seq_len:
@@ -395,7 +392,8 @@ def cmd_serve(args) -> int:
                 model, params, int(seq_len),
                 buckets=tuple(args.buckets), condition=args.condition,
             )
-        except TypeError as e:  # Voliro's dict predict
+        except (TypeError, ValueError) as e:
+            # Voliro's dict predict, or invalid --buckets (e.g. empty)
             print(f"error: {e}", file=sys.stderr)
             return 2
     else:
@@ -413,13 +411,7 @@ def cmd_serve(args) -> int:
     print(f"serving {m['predictor']} (seq_len {m['seq_len']}, "
           f"dim_u {m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
           f"on http://{server.host}:{server.port}", flush=True)
-    try:
-        server.serve_forever()
-    except KeyboardInterrupt:
-        print("shutting down")
-    finally:
-        server.close()
-    return 0
+    return _serve_until_interrupt(server)
 
 
 def cmd_bench(_args) -> int:

@@ -171,6 +171,12 @@ class _JSONHandler(BaseHTTPRequestHandler):
 
     protocol_version = "HTTP/1.1"
 
+    def parse_request(self):
+        # one handler instance serves every request on a keep-alive
+        # connection; the body-consumed flag is per-request state
+        self._body_consumed = False
+        return super().parse_request()
+
     # stdlib default logs every request to stderr; the app keeps
     # counters instead (GET /v1/stats)
     def log_message(self, *_args):
@@ -181,11 +187,47 @@ class _JSONHandler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # we will drop the socket after this reply (unreadable or
+            # oversized body) — tell keep-alive clients, don't surprise
+            # their next request
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
+    def _drain_body(self) -> None:
+        """Consume (or abandon) an unread request body before an error
+        reply. With HTTP/1.1 keep-alive, replying while body bytes sit
+        unread on the socket would desync the connection: the next
+        request would be parsed starting at the stale body bytes.
+        Oversized or unreadable bodies drop the connection instead."""
+        if self._body_consumed:
+            return
+        self._body_consumed = True
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self.close_connection = True
+            return
+        if length <= 0:
+            return
+        if length > MAX_BODY_BYTES:
+            # don't buffer a hostile body just to keep the connection
+            self.close_connection = True
+            return
+        try:
+            while length > 0:
+                chunk = self.rfile.read(min(length, 1 << 20))
+                if not chunk:
+                    self.close_connection = True
+                    return
+                length -= len(chunk)
+        except OSError:
+            self.close_connection = True
+
     def _fail(self, code: int, msg: str) -> None:
         self.server.app._count("http_errors")
+        self._drain_body()
         self._send(code, {"error": msg})
 
     def _read_json(self):
@@ -202,7 +244,9 @@ class _JSONHandler(BaseHTTPRequestHandler):
             self._fail(413, f"body {length} bytes exceeds {MAX_BODY_BYTES}")
             return None
         try:
-            req = json.loads(self.rfile.read(length))
+            raw = self.rfile.read(length)
+            self._body_consumed = True
+            req = json.loads(raw)
         except (json.JSONDecodeError, UnicodeDecodeError):
             self._fail(400, "body is not valid JSON")
             return None
@@ -269,32 +313,31 @@ class _Handler(_JSONHandler):
         self._send(200, resp)
 
 
-class PredictionServer:
-    """One listener + one :class:`MicroBatcher` around a batch
-    predictor (:class:`~cbfssm_tpu.serving.BucketedPredictor` for a
-    model zoo checkpoint, :class:`ExportedBatchPredictor` for an
-    exported artifact).
-
-    >>> pred = BucketedPredictor(model, params, seq_len=300)
-    >>> with PredictionServer(pred, port=0) as srv:   # 0 = ephemeral
-    ...     srv.start()                               # background thread
-    ...     requests.post(f"http://{srv.host}:{srv.port}/v1/predict", ...)
-
-    ``close()`` stops the listener first (no new requests), then drains
-    the batcher so in-flight futures resolve before handler threads are
-    abandoned.
+class _ServerBase:
+    """Listener lifecycle shared by :class:`PredictionServer` and
+    :class:`FilterServer`: bind, transport counters, background/
+    foreground serve, and the ordered shutdown (stop accepting first,
+    then drain the batcher so in-flight futures resolve before handler
+    threads are abandoned). Subclasses set ``_handler_cls`` /
+    ``_thread_name`` and pass a batcher factory.
     """
 
-    def __init__(self, predictor, host: str = "127.0.0.1", port: int = 0,
-                 *, max_batch: int = 32, max_wait_ms: float = 2.0,
-                 queue_size: int = 1024, seed: int = 0,
-                 request_timeout: float | None = None):
-        self.batcher = MicroBatcher(
-            predictor, max_batch=max_batch, max_wait_ms=max_wait_ms,
-            queue_size=queue_size, seed=seed,
-        )
+    _handler_cls: type = _JSONHandler
+    _thread_name = "cbfssm-http"
+
+    def __init__(self, host: str, port: int,
+                 request_timeout: float | None, make_batcher):
         self.request_timeout = request_timeout
-        self._httpd = _HTTPServer((host, port), _Handler)
+        # Bind BEFORE building the batcher: a failed bind (port already
+        # in use) raises out of __init__ with no object to close(), so
+        # nothing allocated-but-unowned may exist yet — the batcher
+        # spawns a dispatcher thread and holds compiled programs.
+        self._httpd = _HTTPServer((host, port), self._handler_cls)
+        try:
+            self.batcher = make_batcher()
+        except BaseException:
+            self._httpd.server_close()
+            raise
         self._httpd.app = self
         self.host, self.port = self._httpd.server_address[:2]
         self._counters = {"http_requests": 0, "http_errors": 0}
@@ -306,18 +349,6 @@ class PredictionServer:
     def _count(self, name: str) -> None:
         with self._lock:
             self._counters[name] += 1
-
-    def meta(self) -> dict:
-        pred = self.batcher.predictor
-        return {
-            "predictor": type(pred).__name__,
-            "seq_len": int(pred.seq_len),
-            "dim_u": int(pred.model.dim_u),
-            "dim_y": int(pred.model.dim_y),
-            "dtype": np.dtype(pred.model.dtype).name,
-            "max_batch": self.batcher.max_batch,
-            "max_wait_ms": self.batcher.max_wait * 1e3,
-        }
 
     def stats(self) -> dict:
         s = self.batcher.stats()
@@ -332,7 +363,7 @@ class PredictionServer:
         self._served = True
         self._thread = threading.Thread(
             target=self._httpd.serve_forever,
-            name="cbfssm-http", daemon=True,
+            name=self._thread_name, daemon=True,
         )
         self._thread.start()
 
@@ -363,6 +394,43 @@ class PredictionServer:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+class PredictionServer(_ServerBase):
+    """One listener + one :class:`MicroBatcher` around a batch
+    predictor (:class:`~cbfssm_tpu.serving.BucketedPredictor` for a
+    model zoo checkpoint, :class:`ExportedBatchPredictor` for an
+    exported artifact).
+
+    >>> pred = BucketedPredictor(model, params, seq_len=300)
+    >>> with PredictionServer(pred, port=0) as srv:   # 0 = ephemeral
+    ...     srv.start()                               # background thread
+    ...     requests.post(f"http://{srv.host}:{srv.port}/v1/predict", ...)
+    """
+
+    _handler_cls = _Handler
+    _thread_name = "cbfssm-http"
+
+    def __init__(self, predictor, host: str = "127.0.0.1", port: int = 0,
+                 *, max_batch: int = 32, max_wait_ms: float = 2.0,
+                 queue_size: int = 1024, seed: int = 0,
+                 request_timeout: float | None = None):
+        super().__init__(host, port, request_timeout, lambda: MicroBatcher(
+            predictor, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            queue_size=queue_size, seed=seed,
+        ))
+
+    def meta(self) -> dict:
+        pred = self.batcher.predictor
+        return {
+            "predictor": type(pred).__name__,
+            "seq_len": int(pred.seq_len),
+            "dim_u": int(pred.model.dim_u),
+            "dim_y": int(pred.model.dim_y),
+            "dtype": np.dtype(pred.model.dtype).name,
+            "max_batch": self.batcher.max_batch,
+            "max_wait_ms": self.batcher.max_wait * 1e3,
+        }
 
 
 class _FilterHandler(_JSONHandler):
@@ -482,6 +550,13 @@ class _FilterHandler(_JSONHandler):
             # pool full (attach) or closed before dispatch — retryable
             self._fail(503, str(e))
             return
+        except ValueError as e:
+            # bad request content that only the pool can judge — e.g. a
+            # /v1/state snapshot whose ensemble shape doesn't match this
+            # pool's capacity. Client-side and permanent: 400, not 500
+            # (failover automation treats 5xx as retryable).
+            self._fail(400, str(e))
+            return
         except Exception as e:
             self._fail(500, f"{type(e).__name__}: {e}")
             return
@@ -493,7 +568,7 @@ class _FilterHandler(_JSONHandler):
                              "var": np.asarray(var).tolist()})
 
 
-class FilterServer:
+class FilterServer(_ServerBase):
     """Online state estimation over HTTP: one listener + one
     :class:`~cbfssm_tpu.serving.FilterBatcher` around a
     :class:`~cbfssm_tpu.serving.FilterPool`.
@@ -525,25 +600,15 @@ class FilterServer:
     failover (same contract as ``FilterPool.load_state``, pinned there).
     """
 
+    _handler_cls = _FilterHandler
+    _thread_name = "cbfssm-filter-http"
+
     def __init__(self, pool, host: str = "127.0.0.1", port: int = 0,
                  *, max_wait_ms: float = 2.0, queue_size: int = 1024,
                  request_timeout: float | None = None):
-        self.batcher = FilterBatcher(
+        super().__init__(host, port, request_timeout, lambda: FilterBatcher(
             pool, max_wait_ms=max_wait_ms, queue_size=queue_size,
-        )
-        self.request_timeout = request_timeout
-        self._httpd = _HTTPServer((host, port), _FilterHandler)
-        self._httpd.app = self
-        self.host, self.port = self._httpd.server_address[:2]
-        self._counters = {"http_requests": 0, "http_errors": 0}
-        self._lock = threading.Lock()
-        self._thread: threading.Thread | None = None
-        self._served = False
-        self._closed = False
-
-    def _count(self, name: str) -> None:
-        with self._lock:
-            self._counters[name] += 1
+        ))
 
     @staticmethod
     def _encode_state(state) -> dict:
@@ -580,35 +645,6 @@ class FilterServer:
         }
 
     def stats(self) -> dict:
-        s = self.batcher.stats()
+        s = super().stats()
         s["active_sessions"] = self.batcher.pool.active
-        with self._lock:
-            s.update(self._counters)
         return s
-
-    def start(self) -> None:
-        """Serve on a background thread (tests / embedding)."""
-        if self._thread is not None:
-            raise RuntimeError("server already started")
-        self._served = True
-        self._thread = threading.Thread(
-            target=self._httpd.serve_forever,
-            name="cbfssm-filter-http", daemon=True,
-        )
-        self._thread.start()
-
-    def serve_forever(self) -> None:
-        """Serve on the calling thread (the CLI path)."""
-        self._served = True
-        self._httpd.serve_forever()
-
-    def close(self) -> None:
-        if self._closed:
-            return
-        self._closed = True
-        if self._served:
-            self._httpd.shutdown()  # guarded: see PredictionServer.close
-        self._httpd.server_close()
-        if self._thread is not None:
-            self._thread.join()
-        self.batcher.close()  # drain in-flight session operations

@@ -612,3 +612,98 @@ def test_cli_serve_filter_rejects_non_streaming_and_artifacts(tmp_path):
     with open(os.path.join(art, "meta.json"), "w") as f:
         json.dump({"kind": "predictor"}, f)
     assert main(["serve", art, "--filter"]) == 2
+
+
+# --- review regressions (keep-alive, error mapping, lifecycle) --------
+
+
+def test_http_keepalive_survives_error_replies(stub_server, rng):
+    """HTTP/1.1 keep-alive: an error reply sent before the request
+    body was read must not desync the connection — the unread body
+    bytes would otherwise be parsed as the NEXT request's request
+    line. One persistent connection: 404-with-body, then 400s, then a
+    real predict, all on the same socket."""
+    import http.client
+
+    srv, _ = stub_server
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+    body = json.dumps(
+        {"u": rng.normal(size=(SEQ, DU)).tolist(),
+         "y": rng.normal(size=(SEQ, DY)).tolist()}).encode()
+    try:
+        # unknown path WITH a body: pre-fix the body was never drained
+        conn.request("POST", "/nope", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 404
+        r.read()
+        # missing field (body consumed by _read_json) — still keep-alive
+        conn.request("POST", "/v1/predict", body=b'{"u": [[0.0]]}',
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        # invalid JSON (read but undecodable)
+        conn.request("POST", "/v1/predict", body=b"not json",
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        # the connection is still in sync: a real request succeeds
+        conn.request("POST", "/v1/predict", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        out = json.loads(r.read())
+        assert np.all(np.isfinite(out["pred_mean"]))
+        # and a GET on the same socket too
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read()) == {"ok": True}
+    finally:
+        conn.close()
+
+
+def test_filter_http_state_shape_mismatch_maps_to_400(filter_server):
+    """A structurally valid snapshot whose ensemble doesn't match this
+    pool's capacity is a permanent client-side mismatch: 400, not 500
+    (failover automation treats 5xx as retryable and would loop)."""
+    _, base = filter_server
+    code, snap = _http("GET", base + "/v1/state")
+    assert code == 200
+    snap["x"] = snap["x"] + [snap["x"][0]]  # capacity+1 rows
+    code, resp = _http("POST", base + "/v1/state", snap)
+    assert code == 400
+    assert "capacity" in resp["error"] or "shape" in resp["error"]
+
+
+def test_server_bind_failure_leaks_no_dispatcher_thread():
+    """Constructor binds the listener BEFORE building the batcher: a
+    port-in-use OSError must not leak a dispatcher thread (retry loops
+    would accumulate one orphan thread per attempt)."""
+    import socket
+
+    def named(prefix):
+        return [t for t in threading.enumerate()
+                if t.name.startswith(prefix) and t.is_alive()]
+
+    blocker = socket.socket()
+    try:
+        blocker.bind(("127.0.0.1", 0))
+        blocker.listen(1)
+        port = blocker.getsockname()[1]
+        before = len(named("cbfssm-microbatcher"))
+        with pytest.raises(OSError):
+            PredictionServer(StubPredictor(), port=port)
+        assert len(named("cbfssm-microbatcher")) == before
+    finally:
+        blocker.close()
+
+
+def test_cli_serve_rejects_empty_buckets(tmp_path, half_mp):
+    """`serve <dir> --buckets` (no values) must exit 2 with the CLI's
+    error contract, not an uncaught ValueError traceback."""
+    from cbfssm_tpu.__main__ import main
+
+    d = _fabricate_half_dir(tmp_path, half_mp)
+    assert main(["serve", d, "--seq-len", "8", "--buckets"]) == 2
