@@ -198,19 +198,20 @@ def cmd_export(args) -> int:
     return 0
 
 
-def _load_checkpointed_model(model_dir: str, checkpoint: str):
-    """Shared trained-directory loading: read model_meta.json, flip
-    x64 BEFORE any array exists when the snapshot requires it, and
-    rebuild (model, params) from the named checkpoint. Returns
-    ``(meta, model, params)``, or ``None`` after printing the error
-    (callers return 2)."""
+def _load_checkpointed_model(model_dir: str, checkpoint: str, meta=None):
+    """Shared trained-directory loading: read model_meta.json (unless
+    the caller already holds it), flip x64 BEFORE any array exists when
+    the snapshot requires it, and rebuild (model, params) from the
+    named checkpoint. Returns ``(meta, model, params)``, or ``None``
+    after printing the error (callers return 2)."""
     from cbfssm_tpu import model_store
 
-    try:
-        meta = model_store.load_model_meta(model_dir)
-    except FileNotFoundError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return None
+    if meta is None:
+        try:
+            meta = model_store.load_model_meta(model_dir)
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return None
     import jax
 
     if model_store.meta_requires_x64(meta):
@@ -283,7 +284,8 @@ def cmd_eval(args) -> int:
         print(f"error: unknown dataset class {ds_name!r} (not in "
               "cbfssm_tpu.data) — pass --dataset", file=sys.stderr)
         return 2
-    loaded = _load_checkpointed_model(args.model_dir, args.checkpoint)
+    loaded = _load_checkpointed_model(args.model_dir, args.checkpoint,
+                                      meta=meta)
     if loaded is None:
         return 2
     _meta, model, params = loaded

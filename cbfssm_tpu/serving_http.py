@@ -41,7 +41,9 @@ client, no cross-thread dispatch races).
 from __future__ import annotations
 
 import json
+import socket
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from types import SimpleNamespace
 
@@ -55,6 +57,15 @@ from cbfssm_tpu.serving import FilterBatcher, MicroBatcher
 # being buffered: a predict request is two [T, d] float arrays, so
 # anything near this bound is malformed or hostile, not traffic.
 MAX_BODY_BYTES = 64 << 20
+
+# How long an error reply waits for a declared-but-stalled request body
+# before abandoning the connection (keep-alive resync requires reading
+# the body; a stalled client must not pin a handler thread for long).
+DRAIN_TIMEOUT = 5.0
+
+# How long an abandoned connection lingers half-closed, discarding the
+# client's in-flight bytes, so close() doesn't RST away the reply.
+LINGER_TIMEOUT = 1.0
 
 
 class ExportedBatchPredictor:
@@ -171,10 +182,18 @@ class _JSONHandler(BaseHTTPRequestHandler):
 
     protocol_version = "HTTP/1.1"
 
+    # Per-read socket timeout (stdlib: applied in setup()): bounds the
+    # request-line/header reads, so an idle keep-alive connection is
+    # reclaimed instead of pinning a handler thread forever. Handler
+    # threads spend their long waits on batcher futures, not socket
+    # reads, so this does NOT bound slow model dispatches.
+    timeout = 120.0
+
     def parse_request(self):
         # one handler instance serves every request on a keep-alive
         # connection; the body-consumed flag is per-request state
         self._body_consumed = False
+        self._abandoned_input = False
         return super().parse_request()
 
     # stdlib default logs every request to stderr; the app keeps
@@ -183,6 +202,12 @@ class _JSONHandler(BaseHTTPRequestHandler):
         pass
 
     def _send(self, code: int, obj) -> None:
+        # Drain any unread request body FIRST (success paths too — a
+        # keep-alive GET/DELETE carrying a payload would otherwise
+        # desync the connection just like an error reply would), and
+        # before the Connection header is decided, since an abandoned
+        # drain flips close_connection.
+        self._drain_body()
         body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
@@ -196,42 +221,104 @@ class _JSONHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _drain_body(self) -> None:
-        """Consume (or abandon) an unread request body before an error
-        reply. With HTTP/1.1 keep-alive, replying while body bytes sit
-        unread on the socket would desync the connection: the next
-        request would be parsed starting at the stale body bytes.
-        Oversized or unreadable bodies drop the connection instead."""
+        """Consume (or abandon) an unread request body before a reply.
+        With HTTP/1.1 keep-alive, replying while body bytes sit unread
+        on the socket would desync the connection: the next request
+        would be parsed starting at the stale body bytes. Oversized,
+        chunked, unreadable, or stalled (> ``DRAIN_TIMEOUT``) bodies
+        drop the connection instead (with a lingering close, see
+        :meth:`finish`)."""
         if self._body_consumed:
             return
         self._body_consumed = True
+        if self.headers.get("Transfer-Encoding"):
+            # we never parse chunked framing; the body's extent is
+            # unknowable from Content-Length, so the connection can't
+            # be resynced — drop it after the reply
+            self._abandon_input()
+            return
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
-            self.close_connection = True
+            self._abandon_input()
             return
         if length <= 0:
             return
         if length > MAX_BODY_BYTES:
             # don't buffer a hostile body just to keep the connection
-            self.close_connection = True
+            self._abandon_input()
             return
+        # Bound the drain: a client that declared a body but stalls
+        # sending it must not pin this thread past DRAIN_TIMEOUT —
+        # pre-bound, N stalled connections pinned N threads.
+        conn = self.connection
+        prev_timeout = conn.gettimeout()
+        deadline = time.monotonic() + DRAIN_TIMEOUT
         try:
             while length > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    self._abandon_input()
+                    return
+                conn.settimeout(min(remaining, DRAIN_TIMEOUT))
                 chunk = self.rfile.read(min(length, 1 << 20))
                 if not chunk:
                     self.close_connection = True
                     return
                 length -= len(chunk)
+        except OSError:  # includes TimeoutError
+            self._abandon_input()
+        finally:
+            try:
+                conn.settimeout(prev_timeout)
+            except OSError:
+                pass
+
+    def _abandon_input(self) -> None:
+        """Mark the request body as unrecoverable: close after the
+        reply, and linger on close so the reply survives (see
+        :meth:`finish`)."""
+        self.close_connection = True
+        self._abandoned_input = True
+
+    def finish(self):
+        # flushes wfile (the reply is on the wire) and closes the
+        # buffered file objects
+        super().finish()
+        if not getattr(self, "_abandoned_input", False):
+            return
+        # Lingering close: unread bytes sit in the kernel receive
+        # buffer (oversized/chunked/stalled body we refused to drain).
+        # A bare close() would turn into TCP RST, which can destroy the
+        # in-flight error reply before the client reads it — the
+        # client would see ECONNRESET instead of the 413/400
+        # diagnostic. Half-close and discard the client's remaining
+        # bytes for a bounded window first (the nginx lingering_close
+        # strategy); the server's shutdown_request then closes cleanly.
+        try:
+            conn = self.connection
+            conn.shutdown(socket.SHUT_WR)
+            deadline = time.monotonic() + LINGER_TIMEOUT
+            while True:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                conn.settimeout(remaining)
+                if not conn.recv(1 << 16):
+                    break  # client saw our FIN and closed: done
         except OSError:
-            self.close_connection = True
+            pass
 
     def _fail(self, code: int, msg: str) -> None:
         self.server.app._count("http_errors")
-        self._drain_body()
         self._send(code, {"error": msg})
 
     def _read_json(self):
         """Parsed JSON object body, or None after a 400/413 reply."""
+        if self.headers.get("Transfer-Encoding"):
+            self._fail(400, "chunked transfer encoding not supported; "
+                            "send Content-Length")
+            return None
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
@@ -322,8 +409,10 @@ class _ServerBase:
     ``_thread_name`` and pass a batcher factory.
     """
 
-    _handler_cls: type = _JSONHandler
-    _thread_name = "cbfssm-http"
+    # abstract — subclasses must provide a handler with do_* methods
+    # (bare _JSONHandler would 501 everything) and a thread name
+    _handler_cls: type
+    _thread_name: str
 
     def __init__(self, host: str, port: int,
                  request_timeout: float | None, make_batcher):
@@ -342,6 +431,7 @@ class _ServerBase:
         self.host, self.port = self._httpd.server_address[:2]
         self._counters = {"http_requests": 0, "http_errors": 0}
         self._lock = threading.Lock()
+        self._close_lock = threading.Lock()
         self._thread: threading.Thread | None = None
         self._served = False
         self._closed = False
@@ -374,9 +464,19 @@ class _ServerBase:
         self._httpd.serve_forever()
 
     def close(self) -> None:
-        if self._closed:
-            return
-        self._closed = True
+        # Serialize the whole teardown: two concurrent closers (e.g. a
+        # signal handler plus a finally/__exit__) must not both run it,
+        # and the loser must not return while the winner is still
+        # mid-shutdown with the batcher undrained. Handler/dispatcher
+        # threads never take this lock, so holding it across
+        # shutdown/join/drain cannot deadlock.
+        with self._close_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._close_locked()
+
+    def _close_locked(self) -> None:
         if self._served:
             # stop accepting; returns once the serve loop acknowledges.
             # Guarded: BaseServer.shutdown() waits on an event only

@@ -707,3 +707,143 @@ def test_cli_serve_rejects_empty_buckets(tmp_path, half_mp):
 
     d = _fabricate_half_dir(tmp_path, half_mp)
     assert main(["serve", d, "--seq-len", "8", "--buckets"]) == 2
+
+
+def test_keepalive_survives_success_reply_with_body(stub_server, rng):
+    """Success replies drain unread bodies too: a keep-alive GET
+    carrying a payload (a common REST-client pattern) must not desync
+    the connection for the next request."""
+    import http.client
+
+    srv, _ = stub_server
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+    try:
+        conn.request("GET", "/healthz", body=b'{"why": "not"}',
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200 and json.loads(r.read()) == {"ok": True}
+        # the connection is still in sync: a real predict succeeds
+        body = json.dumps(
+            {"u": rng.normal(size=(SEQ, DU)).tolist(),
+             "y": rng.normal(size=(SEQ, DY)).tolist()}).encode()
+        conn.request("POST", "/v1/predict", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert np.all(np.isfinite(json.loads(r.read())["pred_mean"]))
+    finally:
+        conn.close()
+
+
+def _recv_http_reply(sock, timeout=30):
+    """Read one HTTP reply (headers + Content-Length body) off a raw
+    socket; returns (status, headers dict, body bytes)."""
+    sock.settimeout(timeout)
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        chunk = sock.recv(1 << 16)
+        assert chunk, f"connection closed mid-headers: {buf!r}"
+        buf += chunk
+    head, _, rest = buf.partition(b"\r\n\r\n")
+    lines = head.decode("latin-1").split("\r\n")
+    status = int(lines[0].split()[1])
+    headers = {}
+    for ln in lines[1:]:
+        k, _, v = ln.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    want = int(headers.get("content-length", 0))
+    while len(rest) < want:
+        chunk = sock.recv(1 << 16)
+        assert chunk, "connection closed mid-body"
+        rest += chunk
+    return status, headers, rest[:want]
+
+
+def test_chunked_body_rejected_and_connection_closed(stub_server):
+    """Transfer-Encoding bodies can't be resynced from Content-Length:
+    the server must reply 400 AND advertise + perform a close, never
+    leave the chunk framing to be parsed as the next request line."""
+    import socket as socket_mod
+
+    srv, _ = stub_server
+    with socket_mod.create_connection((srv.host, srv.port), timeout=30) as s:
+        s.sendall(b"POST /v1/predict HTTP/1.1\r\n"
+                  b"Host: t\r\nTransfer-Encoding: chunked\r\n"
+                  b"Content-Type: application/json\r\n\r\n"
+                  b"5\r\nhello\r\n0\r\n\r\n")
+        status, headers, body = _recv_http_reply(s)
+        assert status == 400
+        assert "chunked" in json.loads(body)["error"]
+        assert headers.get("connection") == "close"
+        # server closes (FIN, not request-line garbage): EOF follows
+        assert s.recv(1 << 16) == b""
+
+
+def test_stalled_body_drain_is_bounded(stub_server, monkeypatch):
+    """A client that declares a body but never sends it must get its
+    error reply within DRAIN_TIMEOUT, not pin the handler thread
+    indefinitely (N stalled connections would pin N threads)."""
+    import socket as socket_mod
+    import time as time_mod
+
+    from cbfssm_tpu import serving_http
+
+    monkeypatch.setattr(serving_http, "DRAIN_TIMEOUT", 0.5)
+    srv, _ = stub_server
+    with socket_mod.create_connection((srv.host, srv.port), timeout=30) as s:
+        t0 = time_mod.monotonic()
+        s.sendall(b"POST /nope HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Length: 100\r\n\r\n")  # ...and nothing more
+        status, headers, _ = _recv_http_reply(s)
+        assert status == 404
+        assert time_mod.monotonic() - t0 < 10.0
+        assert headers.get("connection") == "close"
+
+
+def test_oversized_body_client_sees_reply_not_reset(stub_server):
+    """Lingering close: the 413 for an oversized body must reach a
+    client that is still uploading — a bare close() with unread bytes
+    in the receive buffer turns into RST and can destroy the reply."""
+    import socket as socket_mod
+
+    from cbfssm_tpu.serving_http import MAX_BODY_BYTES
+
+    srv, _ = stub_server
+    with socket_mod.create_connection((srv.host, srv.port), timeout=30) as s:
+        s.sendall(b"POST /v1/predict HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Type: application/json\r\n"
+                  b"Content-Length: " + str(MAX_BODY_BYTES + 1).encode()
+                  + b"\r\n\r\n")
+        s.sendall(b"x" * (1 << 16))  # upload under way
+        status, _, body = _recv_http_reply(s)
+        assert status == 413
+        assert "exceeds" in json.loads(body)["error"]
+        # keep sending mid-linger; the reply must already be ours and
+        # the connection must end in FIN (b""), not ECONNRESET
+        try:
+            s.sendall(b"y" * (1 << 16))
+        except OSError:
+            pass  # linger window elapsed: the late upload may fail
+        assert s.recv(1 << 16) == b""
+
+
+def test_concurrent_close_is_idempotent_and_blocking(stub_server):
+    """Two concurrent closers: exactly one teardown runs; the loser
+    blocks until the batcher is drained rather than returning early."""
+    srv, _ = stub_server
+    errs = []
+
+    def closer():
+        try:
+            srv.close()
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=closer) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+        assert not t.is_alive()
+    assert not errs
+    assert srv.batcher._closing  # teardown reached the batcher drain
