@@ -225,13 +225,31 @@ def _load_checkpointed_model(model_dir: str, checkpoint: str, meta=None):
     return meta, model, params
 
 
-def _serve_until_interrupt(server) -> int:
-    """Foreground serve loop shared by both `serve` variants."""
+def _serve_until_interrupt(server, banner: str) -> int:
+    """Foreground serve loop shared by both `serve` variants. SIGTERM
+    (docker stop / kubectl delete / systemd) triggers the same ordered
+    shutdown as Ctrl-C: stop accepting, drain in-flight futures, exit
+    0 — raised as KeyboardInterrupt because calling server.close()
+    from inside the signal handler would deadlock (shutdown() waits
+    for the serve loop, which is paused under the handler). The banner
+    is printed AFTER the handler is installed: supervisors treat the
+    address line as "ready", and a TERM that races the banner must
+    already exit cleanly."""
+    import signal
+
+    def _term(_sig, _frame):
+        raise KeyboardInterrupt
+
+    prev = signal.signal(signal.SIGTERM, _term)
     try:
+        # inside the try: a TERM racing the banner lands as a handled
+        # KeyboardInterrupt, not an unhandled one between statements
+        print(banner, flush=True)
         server.serve_forever()
     except KeyboardInterrupt:
         print("shutting down")
     finally:
+        signal.signal(signal.SIGTERM, prev)
         server.close()
     return 0
 
@@ -359,11 +377,11 @@ def cmd_serve(args) -> int:
         server = FilterServer(
             pool, args.host, args.port, max_wait_ms=args.max_wait_ms)
         m = server.meta()
-        print(f"serving {m['model']} filter sessions (capacity "
-              f"{m['capacity']}, recog_len {m['recog_len']}, dim_u "
-              f"{m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
-              f"on http://{server.host}:{server.port}", flush=True)
-        return _serve_until_interrupt(server)
+        banner = (f"serving {m['model']} filter sessions (capacity "
+                  f"{m['capacity']}, recog_len {m['recog_len']}, dim_u "
+                  f"{m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
+                  f"on http://{server.host}:{server.port}")
+        return _serve_until_interrupt(server, banner)
     if os.path.isfile(exported_meta):
         with open(exported_meta) as f:
             if _json.load(f).get("requires_x64"):
@@ -410,10 +428,10 @@ def cmd_serve(args) -> int:
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
     )
     m = server.meta()
-    print(f"serving {m['predictor']} (seq_len {m['seq_len']}, "
-          f"dim_u {m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
-          f"on http://{server.host}:{server.port}", flush=True)
-    return _serve_until_interrupt(server)
+    banner = (f"serving {m['predictor']} (seq_len {m['seq_len']}, "
+              f"dim_u {m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
+              f"on http://{server.host}:{server.port}")
+    return _serve_until_interrupt(server, banner)
 
 
 def cmd_bench(_args) -> int:

@@ -24,6 +24,7 @@ over HTTP/1.1, one sequence per POST):
   GET  /healthz     -> {"ok": true}
   GET  /v1/meta     -> model dims / seq_len / batching parameters
   GET  /v1/stats    -> MicroBatcher.stats() + transport counters
+  GET  /metrics     -> the same counters, Prometheus text format
   POST /v1/predict  {"u": [[...] x T], "y": [[...] x T]}
                     -> {"pred_mean": [[...] x T], "pred_var": ...,
                         "internal_mean": ..., "internal_var": ...,
@@ -32,10 +33,11 @@ over HTTP/1.1, one sequence per POST):
 Threading model: each connection runs on its own handler thread
 (``ThreadingHTTPServer``) and blocks on its request's Future, while the
 single MicroBatcher dispatcher thread coalesces concurrent requests
-into batched dispatches — the measured coalescing win (BENCHMARKS.md
-"Microbatched serving": 5.6x at 32 concurrent clients) applies to HTTP
-clients unchanged, and all device work stays on one thread (one JAX
-client, no cross-thread dispatch races).
+into batched dispatches — measured through this transport on-chip
+(BENCHMARKS.md "Prediction over HTTP": 32 concurrent clients 20.65x
+sequential HTTP, every wave coalescing into one bucket-32 dispatch) —
+and all device work stays on one thread (one JAX client, no
+cross-thread dispatch races).
 """
 
 from __future__ import annotations
@@ -208,7 +210,11 @@ class _JSONHandler(BaseHTTPRequestHandler):
         # before the Connection header is decided, since an abandoned
         # drain flips close_connection.
         self._drain_body()
-        body = json.dumps(obj).encode()
+        # compact separators: responses are dominated by float arrays
+        # (a 300-step predict reply is ~1 MB); the default ", " padding
+        # is ~15% pure whitespace on the wire and host-CPU time to
+        # produce — the transport's bottleneck on small hosts
+        body = json.dumps(obj, separators=(",", ":")).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
@@ -313,6 +319,35 @@ class _JSONHandler(BaseHTTPRequestHandler):
         self.server.app._count("http_errors")
         self._send(code, {"error": msg})
 
+    def _send_metrics(self) -> None:
+        """GET /metrics: the app's stats() counters in the Prometheus
+        text exposition format (text/plain; stdlib-only, so scrapers
+        work against the reference transport without an adapter).
+        Monotonic counts get the ``_total`` counter convention;
+        occupancy/latency summaries are gauges."""
+        self._drain_body()
+        counters = {"requests", "batches", "errors", "http_requests",
+                    "http_errors", "replay_steps", "coalesced_groups"}
+        lines = []
+        for key, val in sorted(self.server.app.stats().items()):
+            if not isinstance(val, (int, float)):
+                continue
+            name = f"cbfssm_{key}"
+            kind = "counter" if key in counters else "gauge"
+            if kind == "counter":
+                name += "_total"
+            lines.append(f"# TYPE {name} {kind}")
+            lines.append(f"{name} {float(val):g}")
+        body = ("\n".join(lines) + "\n").encode()
+        self.send_response(200)
+        self.send_header("Content-Type",
+                         "text/plain; version=0.0.4; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
+        self.end_headers()
+        self.wfile.write(body)
+
     def _read_json(self):
         """Parsed JSON object body, or None after a 400/413 reply."""
         if self.headers.get("Transfer-Encoding"):
@@ -353,9 +388,11 @@ class _Handler(_JSONHandler):
             self._send(200, app.meta())
         elif self.path == "/v1/stats":
             self._send(200, app.stats())
+        elif self.path == "/metrics":
+            self._send_metrics()
         else:
             self._fail(404, f"unknown path {self.path!r} "
-                            "(try /healthz, /v1/meta, /v1/stats)")
+                            "(try /healthz, /v1/meta, /v1/stats, /metrics)")
 
     def do_POST(self):  # noqa: N802
         app = self.server.app
@@ -558,9 +595,12 @@ class _FilterHandler(_JSONHandler):
             self._send(200, app.stats())
         elif self.path == "/v1/state":
             self._resolve(app.batcher.state, encode=app._encode_state)
+        elif self.path == "/metrics":
+            self._send_metrics()
         else:
             self._fail(404, f"unknown path {self.path!r} (try /healthz, "
-                            "/v1/meta, /v1/stats, /v1/state, /v1/sessions)")
+                            "/v1/meta, /v1/stats, /v1/state, /v1/sessions, "
+                            "/metrics)")
 
     def do_DELETE(self):  # noqa: N802
         app = self.server.app

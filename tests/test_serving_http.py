@@ -847,3 +847,102 @@ def test_concurrent_close_is_idempotent_and_blocking(stub_server):
         assert not t.is_alive()
     assert not errs
     assert srv.batcher._closing  # teardown reached the batcher drain
+
+
+def test_metrics_endpoint_prometheus_format(stub_server, rng):
+    """GET /metrics: stats() counters in the Prometheus text exposition
+    format — counters carry _total, every line parses as `name value`."""
+    import urllib.request
+
+    srv, base = stub_server
+    u = rng.normal(size=(SEQ, DU))
+    y = rng.normal(size=(SEQ, DY))
+    assert _http("POST", base + "/v1/predict",
+                 {"u": u.tolist(), "y": y.tolist()})[0] == 200
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    metrics = {}
+    for ln in text.strip().split("\n"):
+        if ln.startswith("#"):
+            assert ln.split()[2].startswith("cbfssm_")  # "# TYPE <name> <kind>"
+            continue
+        name, val = ln.split()
+        metrics[name] = float(val)
+    assert metrics["cbfssm_http_requests_total"] >= 1
+    assert metrics["cbfssm_requests_total"] >= 1
+    assert "cbfssm_mean_batch_size" in metrics  # gauge: no _total
+    # parity with the JSON stats view
+    code, stats = _http("GET", base + "/v1/stats")
+    assert code == 200
+    assert metrics["cbfssm_batches_total"] == stats["batches"]
+
+
+def test_filter_metrics_exposes_active_sessions(filter_server):
+    import urllib.request
+
+    _, base = filter_server
+    with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+        text = r.read().decode()
+    assert "cbfssm_active_sessions " in text
+
+
+def test_garbage_input_does_not_wedge_listener(stub_server, rng):
+    """Raw non-HTTP bytes, oversized request lines, and half requests
+    must each be rejected/closed without taking the listener down."""
+    import socket as socket_mod
+
+    srv, base = stub_server
+    cases = [
+        b"\x00\x01\x02\xff garbage that is not HTTP\r\n\r\n",
+        b"GET " + b"/" * 70000 + b" HTTP/1.1\r\n\r\n",  # >64k request line
+        b"POST /v1/predict HTTP/1.1\r\nBad-Header-No-Colon\r\n\r\n",
+        b"",  # connect-and-close
+    ]
+    for payload in cases:
+        with socket_mod.create_connection((srv.host, srv.port),
+                                          timeout=30) as s:
+            if payload:
+                s.sendall(payload)
+            else:
+                pass
+            s.shutdown(socket_mod.SHUT_WR)
+            # server replies with a stdlib error or just closes; either
+            # way it must reach EOF, not hang
+            s.settimeout(30)
+            while s.recv(1 << 16):
+                pass
+    # listener still serves real traffic
+    code, resp = _http(
+        "POST", base + "/v1/predict",
+        {"u": rng.normal(size=(SEQ, DU)).tolist(),
+         "y": rng.normal(size=(SEQ, DY)).tolist()},
+    )
+    assert code == 200 and np.all(np.isfinite(resp["pred_mean"]))
+
+
+def test_cli_serve_sigterm_clean_shutdown(tmp_path, half_mp):
+    """SIGTERM (docker stop / systemd) exits 0 through the same
+    ordered shutdown as Ctrl-C, not a dirty -15 kill."""
+    import signal
+
+    d = _fabricate_half_dir(tmp_path, half_mp)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "cbfssm_tpu", "serve", d, "--filter",
+         "--port", "0", "--capacity", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env={**os.environ, "PALLAS_AXON_POOL_IPS": "",
+             "JAX_PLATFORMS": "cpu"},
+    )
+    try:
+        line = proc.stdout.readline()
+        assert "http://" in line, (line, proc.stderr.read())
+        proc.send_signal(signal.SIGTERM)
+        out, err = proc.communicate(timeout=60)
+        assert proc.returncode == 0, (proc.returncode, err)
+        assert "shutting down" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
