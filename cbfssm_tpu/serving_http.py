@@ -29,6 +29,10 @@ over HTTP/1.1, one sequence per POST):
                     -> {"pred_mean": [[...] x T], "pred_var": ...,
                         "internal_mean": ..., "internal_var": ...,
                         "sde": ..., "mse": float}
+                    Content-Type application/x-npz switches both body
+                    and reply to binary .npz (same fields; see
+                    post_predict_npz) — numpy's C serialization where
+                    JSON encode is the measured transport bottleneck.
 
 Threading model: each connection runs on its own handler thread
 (``ThreadingHTTPServer``) and blocks on its request's Future, while the
@@ -378,7 +382,82 @@ class _JSONHandler(BaseHTTPRequestHandler):
         return req
 
 
+NPZ_CONTENT_TYPE = "application/x-npz"
+
+
+def post_predict_npz(base_url: str, u, y, timeout: float | None = None):
+    """Client-side helper for the binary predict body: POST
+    ``{u, y}`` as an .npz archive and parse the mirrored .npz reply
+    into ``{field: np.ndarray}``. Exactly the JSON endpoint's numbers
+    (pinned in tests) at a fraction of the host encode cost — use this
+    from fleet clients with long sequences."""
+    import io
+    import urllib.request
+
+    buf = io.BytesIO()
+    np.savez(buf, u=np.asarray(u), y=np.asarray(y))
+    req = urllib.request.Request(
+        base_url.rstrip("/") + "/v1/predict", method="POST",
+        data=buf.getvalue(),
+    )
+    req.add_header("Content-Type", NPZ_CONTENT_TYPE)
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        raw = r.read()
+    with np.load(io.BytesIO(raw), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
 class _Handler(_JSONHandler):
+    def _read_npz(self):
+        """Parsed {'u','y'} arrays from an .npz body, or None after a
+        400/413 reply. Binary alternative to the JSON body: the
+        measured bottleneck of this transport is the host-side JSON
+        encode/decode of float arrays (BENCHMARKS.md "Prediction over
+        HTTP": ~80% of sequential latency), which numpy's C
+        serialization removes. ``allow_pickle=False`` — object arrays
+        in a hostile body must not execute anything."""
+        import io
+        import zipfile
+
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self._fail(400, "bad Content-Length")
+            return None
+        if length <= 0:
+            self._fail(400, "empty body (send an .npz with 'u' and 'y')")
+            return None
+        if length > MAX_BODY_BYTES:
+            self._fail(413, f"body {length} bytes exceeds {MAX_BODY_BYTES}")
+            return None
+        raw = self.rfile.read(length)
+        self._body_consumed = True
+        try:
+            with np.load(io.BytesIO(raw), allow_pickle=False) as z:
+                req = {k: z[k] for k in z.files}
+        except (ValueError, OSError, zipfile.BadZipFile, KeyError):
+            self._fail(400, "body is not a valid .npz archive")
+            return None
+        if "u" not in req or "y" not in req:
+            self._fail(400, "npz body must contain 'u' and 'y' arrays")
+            return None
+        return req
+
+    def _send_npz(self, arrays: dict) -> None:
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        body = buf.getvalue()
+        self._drain_body()
+        self.send_response(200)
+        self.send_header("Content-Type", NPZ_CONTENT_TYPE)
+        self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):  # noqa: N802 (stdlib handler naming)
         app = self.server.app
         app._count("http_requests")
@@ -400,7 +479,10 @@ class _Handler(_JSONHandler):
         if self.path != "/v1/predict":
             self._fail(404, f"unknown path {self.path!r} (try /v1/predict)")
             return
-        req = self._read_json()
+        # content negotiation: the reply format mirrors the body format
+        binary = (self.headers.get("Content-Type", "")
+                  .split(";")[0].strip().lower() == NPZ_CONTENT_TYPE)
+        req = self._read_npz() if binary else self._read_json()
         if req is None:
             return
         try:
@@ -426,6 +508,13 @@ class _Handler(_JSONHandler):
             out = fut.result(timeout=app.request_timeout)
         except Exception as e:  # dispatch failed server-side
             self._fail(500, f"{type(e).__name__}: {e}")
+            return
+        if binary:
+            arrays = {}
+            for field in out.__dataclass_fields__:
+                leaf = np.asarray(getattr(out, field))
+                arrays[field] = leaf if leaf.ndim == 0 else leaf[0]
+            self._send_npz(arrays)
             return
         resp = {}
         for field in out.__dataclass_fields__:

@@ -33,9 +33,15 @@ N_CLIENTS = int(os.environ.get("CBFSSM_HTTP_BENCH_CLIENTS", 32))
 SEQ_LEN = 300
 REPS = int(os.environ.get("CBFSSM_HTTP_BENCH_REPS", 3))
 WAIT_MS = float(os.environ.get("CBFSSM_HTTP_BENCH_WAIT_MS", 20.0))
+# 'json' (reference body) or 'npz' (binary body — numpy C serialization)
+FORMAT = os.environ.get("CBFSSM_HTTP_BENCH_FORMAT", "json")
 
 
 def _post_predict(base, u, y):
+    if FORMAT == "npz":
+        from cbfssm_tpu.serving_http import post_predict_npz
+
+        return post_predict_npz(base, u, y, timeout=600)
     import urllib.request
 
     req = urllib.request.Request(base + "/v1/predict", method="POST")
@@ -124,6 +130,7 @@ def main():
         "seq_len": SEQ_LEN,
         "reps": REPS,
         "max_wait_ms": WAIT_MS,
+        "format": FORMAT,
         "sequential_s": round(sequential_s, 4),
         "concurrent_s": round(concurrent_s, 4),
         "speedup": round(sequential_s / concurrent_s, 2),
@@ -134,9 +141,10 @@ def main():
         "http_errors": stats["http_errors"],
     }
     print(json.dumps(out))
+    suffix = "" if FORMAT == "json" else f"_{FORMAT}"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "artifacts", "http_predict_latency.json",
+        "artifacts", f"http_predict_latency{suffix}.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

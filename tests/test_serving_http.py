@@ -946,3 +946,84 @@ def test_cli_serve_sigterm_clean_shutdown(tmp_path, half_mp):
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+# --- binary (.npz) predict body ---------------------------------------
+
+
+def test_npz_predict_matches_json_exactly(stub_server, rng):
+    """The binary body is a pure transport change: every field must
+    equal the JSON endpoint's numbers bitwise (same stub, same key
+    schedule — each dispatch folds the batch counter, so compare
+    against a JSON request on a fresh counter offset of the SAME
+    deterministic stub, which ignores keys)."""
+    from cbfssm_tpu.serving_http import post_predict_npz
+
+    srv, base = stub_server
+    u = rng.normal(size=(SEQ, DU))
+    y = rng.normal(size=(SEQ, DY))
+    code, js = _http("POST", base + "/v1/predict",
+                     {"u": u.tolist(), "y": y.tolist()})
+    assert code == 200
+    out = post_predict_npz(base, u, y)
+    assert set(out) == set(js)
+    for f, v in js.items():
+        np.testing.assert_array_equal(
+            out[f], np.asarray(v, dtype=out[f].dtype), err_msg=f
+        )
+    assert out["pred_mean"].shape == (SEQ, DY)
+    assert out["mse"].ndim == 0
+
+
+def test_npz_predict_keepalive_and_error_surface(stub_server, rng):
+    """Binary requests share the JSON path's error mapping and
+    keep-alive hygiene: bad archives get 400 (json error body), and
+    the connection stays usable."""
+    import http.client
+    import io
+
+    srv, _ = stub_server
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+    try:
+        # not a zip at all
+        conn.request("POST", "/v1/predict", body=b"\x00not-a-zip",
+                     headers={"Content-Type": "application/x-npz"})
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "npz" in json.loads(r.read())["error"]
+        # valid archive, missing 'y'
+        buf = io.BytesIO()
+        np.savez(buf, u=rng.normal(size=(SEQ, DU)))
+        conn.request("POST", "/v1/predict", body=buf.getvalue(),
+                     headers={"Content-Type": "application/x-npz"})
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "'u' and 'y'" in json.loads(r.read())["error"]
+        # pickled object arrays must be refused, not executed
+        import zipfile
+
+        npy = io.BytesIO()
+        np.save(npy, np.array([{"a": 1}], dtype=object),
+                allow_pickle=True)
+        zbuf = io.BytesIO()
+        with zipfile.ZipFile(zbuf, "w") as zf:
+            zf.writestr("u.npy", npy.getvalue())
+            zf.writestr("y.npy", npy.getvalue())
+        conn.request("POST", "/v1/predict", body=zbuf.getvalue(),
+                     headers={"Content-Type": "application/x-npz"})
+        r = conn.getresponse()
+        assert r.status == 400
+        r.read()
+        # connection still in sync: a real binary request succeeds
+        buf = io.BytesIO()
+        np.savez(buf, u=rng.normal(size=(SEQ, DU)),
+                 y=rng.normal(size=(SEQ, DY)))
+        conn.request("POST", "/v1/predict", body=buf.getvalue(),
+                     headers={"Content-Type": "application/x-npz"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/x-npz"
+        with np.load(io.BytesIO(r.read()), allow_pickle=False) as z:
+            assert np.all(np.isfinite(z["pred_mean"]))
+    finally:
+        conn.close()
