@@ -352,8 +352,15 @@ class _JSONHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _read_json(self):
-        """Parsed JSON object body, or None after a 400/413 reply."""
+    def _read_body(self, empty_msg: str):
+        """The raw request body as bytes, or None after a 400/413
+        reply. The ONE place body framing is validated — both parsers
+        (JSON and .npz) go through it, so the Transfer-Encoding
+        rejection below cannot silently diverge between them.
+        Chunked bodies are refused because reading Content-Length raw
+        bytes from a chunked stream desyncs the keep-alive connection
+        (residual chunk framing would be parsed as the next request
+        line — CL.TE request smuggling behind a proxy)."""
         if self.headers.get("Transfer-Encoding"):
             self._fail(400, "chunked transfer encoding not supported; "
                             "send Content-Length")
@@ -364,14 +371,21 @@ class _JSONHandler(BaseHTTPRequestHandler):
             self._fail(400, "bad Content-Length")
             return None
         if length <= 0:
-            self._fail(400, "empty body (send a JSON object)")
+            self._fail(400, empty_msg)
             return None
         if length > MAX_BODY_BYTES:
             self._fail(413, f"body {length} bytes exceeds {MAX_BODY_BYTES}")
             return None
+        raw = self.rfile.read(length)
+        self._body_consumed = True
+        return raw
+
+    def _read_json(self):
+        """Parsed JSON object body, or None after a 400/413 reply."""
+        raw = self._read_body("empty body (send a JSON object)")
+        if raw is None:
+            return None
         try:
-            raw = self.rfile.read(length)
-            self._body_consumed = True
             req = json.loads(raw)
         except (json.JSONDecodeError, UnicodeDecodeError):
             self._fail(400, "body is not valid JSON")
@@ -415,27 +429,30 @@ class _Handler(_JSONHandler):
         encode/decode of float arrays (BENCHMARKS.md "Prediction over
         HTTP": ~80% of sequential latency), which numpy's C
         serialization removes. ``allow_pickle=False`` — object arrays
-        in a hostile body must not execute anything."""
+        in a hostile body must not execute anything, and the zip
+        central directory's DECLARED uncompressed sizes are bounded
+        before any member is materialized: MAX_BODY_BYTES caps only
+        the wire bytes, and deflate reaches ~1000:1, so a 64 MB
+        compressed bomb could otherwise demand ~64 GB of allocations
+        (ZipExtFile stops at the declared size, so checking the
+        declaration bounds the real materialization)."""
         import io
         import zipfile
 
+        raw = self._read_body("empty body (send an .npz with 'u' and 'y')")
+        if raw is None:
+            return None
         try:
-            length = int(self.headers.get("Content-Length", 0))
-        except ValueError:
-            self._fail(400, "bad Content-Length")
-            return None
-        if length <= 0:
-            self._fail(400, "empty body (send an .npz with 'u' and 'y')")
-            return None
-        if length > MAX_BODY_BYTES:
-            self._fail(413, f"body {length} bytes exceeds {MAX_BODY_BYTES}")
-            return None
-        raw = self.rfile.read(length)
-        self._body_consumed = True
-        try:
+            with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+                declared = sum(info.file_size for info in zf.infolist())
+            if declared > MAX_BODY_BYTES:
+                self._fail(413, f"npz decompresses to {declared} bytes, "
+                                f"exceeds {MAX_BODY_BYTES}")
+                return None
             with np.load(io.BytesIO(raw), allow_pickle=False) as z:
                 req = {k: z[k] for k in z.files}
-        except (ValueError, OSError, zipfile.BadZipFile, KeyError):
+        except (ValueError, OSError, zipfile.BadZipFile, KeyError,
+                MemoryError):
             self._fail(400, "body is not a valid .npz archive")
             return None
         if "u" not in req or "y" not in req:

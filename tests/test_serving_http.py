@@ -975,6 +975,44 @@ def test_npz_predict_matches_json_exactly(stub_server, rng):
     assert out["mse"].ndim == 0
 
 
+def test_npz_zip_bomb_rejected_before_materialization(stub_server, rng):
+    """A deflate bomb (small wire body, huge DECLARED uncompressed
+    size) must be refused with 413 from the zip central directory
+    alone — MAX_BODY_BYTES caps only the compressed bytes, and
+    np.load would otherwise materialize the declared size."""
+    import http.client
+    import io
+    import zipfile
+
+    from cbfssm_tpu.serving_http import MAX_BODY_BYTES
+
+    # 128 MB of zeros deflates to ~128 KB — wire size passes the
+    # Content-Length cap, declared size is 2x over it.
+    bomb = io.BytesIO()
+    with zipfile.ZipFile(bomb, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("u.npy", b"\x00" * (2 * MAX_BODY_BYTES))
+    body = bomb.getvalue()
+    assert len(body) < MAX_BODY_BYTES
+
+    srv, _ = stub_server
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+    try:
+        conn.request("POST", "/v1/predict", body=body,
+                     headers={"Content-Type": "application/x-npz"})
+        r = conn.getresponse()
+        assert r.status == 413
+        assert "decompresses" in json.loads(r.read())["error"]
+        # connection stays usable after the rejection
+        buf = io.BytesIO()
+        np.savez(buf, u=rng.normal(size=(SEQ, DU)),
+                 y=rng.normal(size=(SEQ, DY)))
+        conn.request("POST", "/v1/predict", body=buf.getvalue(),
+                     headers={"Content-Type": "application/x-npz"})
+        assert conn.getresponse().status == 200
+    finally:
+        conn.close()
+
+
 def test_npz_predict_keepalive_and_error_surface(stub_server, rng):
     """Binary requests share the JSON path's error mapping and
     keep-alive hygiene: bad archives get 400 (json error body), and
