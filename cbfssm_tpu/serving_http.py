@@ -73,6 +73,11 @@ DRAIN_TIMEOUT = 5.0
 # client's in-flight bytes, so close() doesn't RST away the reply.
 LINGER_TIMEOUT = 1.0
 
+# Binary body/reply format for float-array payloads (np.savez archive).
+# Negotiated per request: a POST body with this Content-Type gets the
+# mirrored binary reply; a GET with this in Accept gets a binary reply.
+NPZ_CONTENT_TYPE = "application/x-npz"
+
 
 class ExportedBatchPredictor:
     """Adapt an exported predictor artifact to the batch-predictor
@@ -395,8 +400,64 @@ class _JSONHandler(BaseHTTPRequestHandler):
             return None
         return req
 
+    def _read_npz(self, empty_msg: str):
+        """Parsed ``{name: np.ndarray}`` from an .npz body, or None
+        after a 400/413 reply. Binary alternative to the JSON body: the
+        measured bottleneck of this transport is the host-side JSON
+        encode/decode of float arrays (BENCHMARKS.md "Prediction over
+        HTTP": ~80% of sequential latency), which numpy's C
+        serialization removes. ``allow_pickle=False`` — object arrays
+        in a hostile body must not execute anything, and the zip
+        central directory's DECLARED uncompressed sizes are bounded
+        before any member is materialized: MAX_BODY_BYTES caps only
+        the wire bytes, and deflate reaches ~1000:1, so a 64 MB
+        compressed bomb could otherwise demand ~64 GB of allocations
+        (ZipExtFile stops at the declared size, so checking the
+        declaration bounds the real materialization)."""
+        import io
+        import zipfile
 
-NPZ_CONTENT_TYPE = "application/x-npz"
+        raw = self._read_body(empty_msg)
+        if raw is None:
+            return None
+        try:
+            with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+                declared = sum(info.file_size for info in zf.infolist())
+            if declared > MAX_BODY_BYTES:
+                self._fail(413, f"npz decompresses to {declared} bytes, "
+                                f"exceeds {MAX_BODY_BYTES}")
+                return None
+            with np.load(io.BytesIO(raw), allow_pickle=False) as z:
+                return {k: z[k] for k in z.files}
+        except (ValueError, OSError, zipfile.BadZipFile, KeyError,
+                MemoryError):
+            self._fail(400, "body is not a valid .npz archive")
+            return None
+
+    def _send_npz(self, arrays: dict) -> None:
+        """Reply 200 with ``arrays`` packed as an .npz archive."""
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        body = buf.getvalue()
+        self._drain_body()
+        self.send_response(200)
+        self.send_header("Content-Type", NPZ_CONTENT_TYPE)
+        self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body_is_npz(self) -> bool:
+        return (self.headers.get("Content-Type", "")
+                .split(";")[0].strip().lower() == NPZ_CONTENT_TYPE)
+
+    def _accepts_npz(self) -> bool:
+        accept = self.headers.get("Accept", "")
+        return any(part.split(";")[0].strip().lower() == NPZ_CONTENT_TYPE
+                   for part in accept.split(","))
 
 
 def post_predict_npz(base_url: str, u, y, timeout: float | None = None):
@@ -421,60 +482,40 @@ def post_predict_npz(base_url: str, u, y, timeout: float | None = None):
         return {k: z[k] for k in z.files}
 
 
+def get_state_npz(base_url: str, timeout: float | None = None) -> bytes:
+    """Fetch a :class:`FilterServer`'s whole-fleet failover snapshot as
+    an opaque binary blob (GET /v1/state with ``Accept:
+    application/x-npz``). Pass the blob unchanged to
+    :func:`post_state_npz` on a standby — failover automation never
+    needs to parse it, and the binary path skips the JSON float-text
+    encode of the fleet ensemble (the measured failover bottleneck at
+    production capacities; BENCHMARKS.md "Failover snapshot over
+    HTTP")."""
+    import urllib.request
+
+    req = urllib.request.Request(base_url.rstrip("/") + "/v1/state")
+    req.add_header("Accept", NPZ_CONTENT_TYPE)
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.read()
+
+
+def post_state_npz(base_url: str, blob: bytes,
+                   timeout: float | None = None) -> None:
+    """Restore a :func:`get_state_npz` blob into a standby
+    :class:`FilterServer` (POST /v1/state, binary body). Raises
+    ``urllib.error.HTTPError`` on a rejected snapshot (400: shape or
+    table mismatch with the standby's pool)."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        base_url.rstrip("/") + "/v1/state", method="POST", data=blob,
+    )
+    req.add_header("Content-Type", NPZ_CONTENT_TYPE)
+    with urllib.request.urlopen(req, timeout=timeout):
+        pass
+
+
 class _Handler(_JSONHandler):
-    def _read_npz(self):
-        """Parsed {'u','y'} arrays from an .npz body, or None after a
-        400/413 reply. Binary alternative to the JSON body: the
-        measured bottleneck of this transport is the host-side JSON
-        encode/decode of float arrays (BENCHMARKS.md "Prediction over
-        HTTP": ~80% of sequential latency), which numpy's C
-        serialization removes. ``allow_pickle=False`` — object arrays
-        in a hostile body must not execute anything, and the zip
-        central directory's DECLARED uncompressed sizes are bounded
-        before any member is materialized: MAX_BODY_BYTES caps only
-        the wire bytes, and deflate reaches ~1000:1, so a 64 MB
-        compressed bomb could otherwise demand ~64 GB of allocations
-        (ZipExtFile stops at the declared size, so checking the
-        declaration bounds the real materialization)."""
-        import io
-        import zipfile
-
-        raw = self._read_body("empty body (send an .npz with 'u' and 'y')")
-        if raw is None:
-            return None
-        try:
-            with zipfile.ZipFile(io.BytesIO(raw)) as zf:
-                declared = sum(info.file_size for info in zf.infolist())
-            if declared > MAX_BODY_BYTES:
-                self._fail(413, f"npz decompresses to {declared} bytes, "
-                                f"exceeds {MAX_BODY_BYTES}")
-                return None
-            with np.load(io.BytesIO(raw), allow_pickle=False) as z:
-                req = {k: z[k] for k in z.files}
-        except (ValueError, OSError, zipfile.BadZipFile, KeyError,
-                MemoryError):
-            self._fail(400, "body is not a valid .npz archive")
-            return None
-        if "u" not in req or "y" not in req:
-            self._fail(400, "npz body must contain 'u' and 'y' arrays")
-            return None
-        return req
-
-    def _send_npz(self, arrays: dict) -> None:
-        import io
-
-        buf = io.BytesIO()
-        np.savez(buf, **arrays)
-        body = buf.getvalue()
-        self._drain_body()
-        self.send_response(200)
-        self.send_header("Content-Type", NPZ_CONTENT_TYPE)
-        self.send_header("Content-Length", str(len(body)))
-        if self.close_connection:
-            self.send_header("Connection", "close")
-        self.end_headers()
-        self.wfile.write(body)
-
     def do_GET(self):  # noqa: N802 (stdlib handler naming)
         app = self.server.app
         app._count("http_requests")
@@ -497,15 +538,17 @@ class _Handler(_JSONHandler):
             self._fail(404, f"unknown path {self.path!r} (try /v1/predict)")
             return
         # content negotiation: the reply format mirrors the body format
-        binary = (self.headers.get("Content-Type", "")
-                  .split(";")[0].strip().lower() == NPZ_CONTENT_TYPE)
-        req = self._read_npz() if binary else self._read_json()
+        binary = self._body_is_npz()
+        req = (self._read_npz("empty body (send an .npz with 'u' and 'y')")
+               if binary else self._read_json())
         if req is None:
             return
         try:
             u, y = req["u"], req["y"]
         except KeyError:
-            self._fail(400, "body must be a JSON object with 'u' and 'y'")
+            self._fail(400, "npz body must contain 'u' and 'y' arrays"
+                       if binary else
+                       "body must be a JSON object with 'u' and 'y'")
             return
         try:
             u = np.asarray(u, dtype=app.batcher.predictor.model.dtype)
@@ -700,7 +743,15 @@ class _FilterHandler(_JSONHandler):
         elif self.path == "/v1/stats":
             self._send(200, app.stats())
         elif self.path == "/v1/state":
-            self._resolve(app.batcher.state, encode=app._encode_state)
+            # content negotiation: Accept: application/x-npz gets the
+            # binary snapshot (the fleet ensemble is the largest payload
+            # in this API — JSON float text is the measured failover
+            # bottleneck at production capacities)
+            if self._accepts_npz():
+                self._resolve(app.batcher.state,
+                              encode=app._encode_state_npz, binary=True)
+            else:
+                self._resolve(app.batcher.state, encode=app._encode_state)
         elif self.path == "/metrics":
             self._send_metrics()
         else:
@@ -723,14 +774,19 @@ class _FilterHandler(_JSONHandler):
         app = self.server.app
         app._count("http_requests")
         if self.path == "/v1/state":
-            req = self._read_json()
+            binary = self._body_is_npz()
+            req = (self._read_npz("empty body (send an .npz state "
+                                  "snapshot)")
+                   if binary else self._read_json())
             if req is None:
                 return
             try:
-                state = app._decode_state(req)
+                state = (app._decode_state_npz(req) if binary
+                         else app._decode_state(req))
             except (KeyError, TypeError, ValueError) as e:
                 self._fail(400, f"bad state snapshot: {e}")
                 return
+            # the restore reply is a tiny ack — JSON for both formats
             self._resolve(app.batcher.load_state, state,
                           encode=lambda _r: {"ok": True})
             return
@@ -772,7 +828,7 @@ class _FilterHandler(_JSONHandler):
             return
         self._resolve(getattr(app.batcher, op), sid, *args)
 
-    def _resolve(self, submit_fn, *args, encode=None):
+    def _resolve(self, submit_fn, *args, encode=None, binary=False):
         """Submit on the batcher, mapping submit-side errors to client
         codes, then block on the future."""
         try:
@@ -783,9 +839,9 @@ class _FilterHandler(_JSONHandler):
         except RuntimeError as e:  # batcher closed
             self._fail(503, str(e))
             return
-        self._resolve_fut(fut, encode=encode)
+        self._resolve_fut(fut, encode=encode, binary=binary)
 
-    def _resolve_fut(self, fut, encode=None):
+    def _resolve_fut(self, fut, encode=None, binary=False):
         app = self.server.app
         try:
             out = fut.result(timeout=app.request_timeout)
@@ -806,7 +862,9 @@ class _FilterHandler(_JSONHandler):
         except Exception as e:
             self._fail(500, f"{type(e).__name__}: {e}")
             return
-        if encode is not None:
+        if binary:
+            self._send_npz(encode(out))
+        elif encode is not None:
             self._send(200, encode(out))
         else:  # (mean, var) numpy pairs from step/forecast/replay
             mean, var = out
@@ -836,7 +894,10 @@ class FilterServer(_ServerBase):
                                          -> {"mean"/"var": [[...] x K]}
       DELETE /v1/sessions/<sid>          -> {"ok": true}
       GET    /v1/state                   -> whole-fleet failover snapshot
-      POST   /v1/state                   <- restore it (exact resume)
+                                            (Accept: application/x-npz
+                                            for the binary form)
+      POST   /v1/state                   <- restore it (exact resume;
+                                            JSON or .npz body)
       GET    /healthz | /v1/meta | /v1/stats
 
     Error mapping: bad shapes/JSON 400, unknown session 404, oversized
@@ -844,6 +905,10 @@ class FilterServer(_ServerBase):
     the pool's host-serializable state (ensemble as nested lists, tick,
     session table) — POST it to a standby FilterServer for exact
     failover (same contract as ``FilterPool.load_state``, pinned there).
+    For production capacities use the binary form
+    (:func:`get_state_npz` / :func:`post_state_npz`): the ensemble ships
+    as an .npz archive instead of JSON float text, which is the measured
+    snapshot bottleneck (BENCHMARKS.md "Failover snapshot over HTTP").
     """
 
     _handler_cls = _FilterHandler
@@ -872,6 +937,34 @@ class FilterServer(_ServerBase):
             np.asarray(obj["x"], dtype=np.dtype(obj["dtype"])),
             int(obj["tick"]),
             {int(s): int(v) for s, v in obj["slots"].items()},
+            int(obj["next_sid"]),
+        )
+
+    @staticmethod
+    def _encode_state_npz(state) -> dict:
+        """The snapshot as pure arrays for np.savez: the ensemble keeps
+        its dtype natively (no ``dtype`` side-field), the session table
+        becomes two parallel int64 vectors."""
+        x, tick, slots, next_sid = state
+        n = len(slots)
+        return {
+            "x": np.asarray(x),
+            "tick": np.int64(tick),
+            "slot_sids": np.fromiter(slots.keys(), np.int64, count=n),
+            "slot_rows": np.fromiter(slots.values(), np.int64, count=n),
+            "next_sid": np.int64(next_sid),
+        }
+
+    @staticmethod
+    def _decode_state_npz(obj):
+        sids = np.asarray(obj["slot_sids"], dtype=np.int64).ravel()
+        rows = np.asarray(obj["slot_rows"], dtype=np.int64).ravel()
+        if sids.shape != rows.shape:
+            raise ValueError("slot_sids/slot_rows length mismatch")
+        return (
+            np.asarray(obj["x"]),
+            int(obj["tick"]),
+            {int(s): int(v) for s, v in zip(sids, rows)},
             int(obj["next_sid"]),
         )
 

@@ -17,6 +17,7 @@ No reference counterpart: the reference is training scripts only;
 this is the serving stack's transport layer (docs/SERVING.md).
 """
 
+import io
 import json
 import os
 import subprocess
@@ -550,6 +551,108 @@ def test_filter_http_state_failover(filter_server, half_mp, rng):
     # corrupt snapshot -> 400, not a wedged server
     code, resp = _http("POST", base + "/v1/state", {"x": [0.0]})
     assert code == 400 and "bad state" in resp["error"]
+
+
+def test_filter_state_npz_failover(filter_server, half_mp, rng):
+    """The binary snapshot blob is a pure transport change: shipping it
+    primary -> standby via get_state_npz/post_state_npz produces the
+    exact moments the JSON snapshot does, and the blob's decoded fields
+    equal the JSON snapshot's (same ensemble bytes, same table)."""
+    from cbfssm_tpu.serving import FilterPool
+    from cbfssm_tpu.serving_http import (
+        FilterServer, get_state_npz, post_state_npz,
+    )
+
+    model, params = half_mp
+    _, base = filter_server
+    pa = (rng.normal(size=(FRECOG, FDU)), rng.normal(size=(FRECOG, FDY)))
+    _code, resp = _http("POST", base + "/v1/sessions",
+                        {"u_prefix": pa[0].tolist(),
+                         "y_prefix": pa[1].tolist()})
+    sid = resp["sid"]
+    s1 = (rng.normal(size=(FDU,)), rng.normal(size=(FDY,)))
+    s2 = (rng.normal(size=(FDU,)), rng.normal(size=(FDY,)))
+    _http("POST", f"{base}/v1/sessions/{sid}/step",
+          {"u_prev": s1[0].tolist(), "y_new": s1[1].tolist()})
+
+    blob = get_state_npz(base)
+    # blob fields == JSON snapshot fields (same state, two encodings)
+    code, js = _http("GET", base + "/v1/state")
+    assert code == 200
+    with np.load(io.BytesIO(blob), allow_pickle=False) as z:
+        np.testing.assert_array_equal(
+            z["x"], np.asarray(js["x"], dtype=z["x"].dtype.name))
+        assert z["x"].dtype.name == js["dtype"]
+        assert int(z["tick"]) == js["tick"]
+        assert int(z["next_sid"]) == js["next_sid"]
+        got_slots = {str(s): int(v) for s, v in
+                     zip(z["slot_sids"], z["slot_rows"])}
+        assert got_slots == js["slots"]
+
+    standby = FilterServer(FilterPool(model, params, capacity=2, seed=0),
+                           port=0, max_wait_ms=0.0)
+    standby.start()
+    try:
+        sb = f"http://{standby.host}:{standby.port}"
+        post_state_npz(sb, blob)
+        body = {"u_prev": s2[0].tolist(), "y_new": s2[1].tolist()}
+        code_p, want = _http("POST", f"{base}/v1/sessions/{sid}/step", body)
+        code_s, got = _http("POST", f"{sb}/v1/sessions/{sid}/step", body)
+        assert code_p == code_s == 200
+        assert got == want  # identical JSON numbers: exact resume
+    finally:
+        standby.close()
+    # garbage binary snapshot -> 400, not a wedged server
+    import http.client
+
+    srv, _ = filter_server
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+    try:
+        conn.request("POST", "/v1/state", body=b"\x00not-a-zip",
+                     headers={"Content-Type": "application/x-npz"})
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "npz" in json.loads(r.read())["error"]
+        # valid archive but missing snapshot fields -> 400 with context
+        buf = io.BytesIO()
+        np.savez(buf, x=np.zeros((2, 3, 4)))
+        conn.request("POST", "/v1/state", body=buf.getvalue(),
+                     headers={"Content-Type": "application/x-npz"})
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "bad state" in json.loads(r.read())["error"]
+        # server still serves after the rejections
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+    finally:
+        conn.close()
+
+
+def test_state_npz_codec_roundtrip(rng):
+    """_encode_state_npz/_decode_state_npz are exact inverses through
+    a real np.savez round-trip, preserve the ensemble dtype natively,
+    and handle the empty session table."""
+    from cbfssm_tpu.serving_http import FilterServer
+
+    for dtype in (np.float32, np.float64):
+        for slots in ({}, {7: 0, 3: 1}):
+            state = (rng.normal(size=(2, 3, 4)).astype(dtype), 11,
+                     slots, 9)
+            buf = io.BytesIO()
+            np.savez(buf, **FilterServer._encode_state_npz(state))
+            buf.seek(0)
+            with np.load(buf, allow_pickle=False) as z:
+                got = FilterServer._decode_state_npz(
+                    {k: z[k] for k in z.files})
+            np.testing.assert_array_equal(got[0], state[0])
+            assert got[0].dtype == dtype
+            assert got[1:] == state[1:]
+    # corrupt table: ragged sid/row vectors must be refused
+    bad = FilterServer._encode_state_npz(
+        (np.zeros((1, 1, 1)), 0, {1: 0}, 2))
+    bad["slot_rows"] = np.zeros(2, np.int64)
+    with pytest.raises(ValueError, match="mismatch"):
+        FilterServer._decode_state_npz(bad)
 
 
 def _fabricate_half_dir(tmp_path, half_mp):
