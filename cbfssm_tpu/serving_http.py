@@ -456,8 +456,20 @@ class _JSONHandler(BaseHTTPRequestHandler):
 
     def _accepts_npz(self) -> bool:
         accept = self.headers.get("Accept", "")
-        return any(part.split(";")[0].strip().lower() == NPZ_CONTENT_TYPE
-                   for part in accept.split(","))
+        for part in accept.split(","):
+            media, _, params = part.partition(";")
+            if media.strip().lower() != NPZ_CONTENT_TYPE:
+                continue
+            # RFC 9110: q=0 means "explicitly not acceptable".
+            for p in params.split(";"):
+                k, _, v = p.strip().partition("=")
+                if k.strip().lower() == "q":
+                    try:
+                        return float(v.strip() or "0") > 0.0
+                    except ValueError:
+                        return False
+            return True
+        return False
 
 
 def post_predict_npz(base_url: str, u, y, timeout: float | None = None):
@@ -496,6 +508,15 @@ def get_state_npz(base_url: str, timeout: float | None = None) -> bytes:
     req = urllib.request.Request(base_url.rstrip("/") + "/v1/state")
     req.add_header("Accept", NPZ_CONTENT_TYPE)
     with urllib.request.urlopen(req, timeout=timeout) as r:
+        ctype = r.headers.get("Content-Type", "").split(";")[0].strip()
+        if ctype.lower() != NPZ_CONTENT_TYPE:
+            # A pre-binary primary (or a proxy stripping Accept) replies
+            # JSON; shipping that blob onward would fail on the standby
+            # with a misleading "not a valid .npz" 400 mid-failover.
+            raise RuntimeError(
+                f"server returned {ctype or 'no Content-Type'} instead of "
+                f"{NPZ_CONTENT_TYPE}; the primary does not support binary "
+                "snapshots — fall back to the JSON /v1/state path")
         return r.read()
 
 
@@ -961,6 +982,11 @@ class FilterServer(_ServerBase):
         rows = np.asarray(obj["slot_rows"], dtype=np.int64).ravel()
         if sids.shape != rows.shape:
             raise ValueError("slot_sids/slot_rows length mismatch")
+        if len(np.unique(sids)) != len(sids):
+            # Parallel-vector encoding can (unlike JSON object keys)
+            # carry duplicate sids; a dict build would silently drop one
+            # mapping and restore a corrupt session table with 200 OK.
+            raise ValueError("duplicate session ids in snapshot")
         return (
             np.asarray(obj["x"]),
             int(obj["tick"]),

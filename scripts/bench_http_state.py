@@ -134,8 +134,16 @@ def main():
         "wire_ratio": round(
             results["json"]["body_bytes"] / results["npz"]["body_bytes"], 2
         ),
+        "script": "scripts/bench_http_state.py",
     }
     print(json.dumps(out))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "http_state_latency.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -653,6 +653,75 @@ def test_state_npz_codec_roundtrip(rng):
     bad["slot_rows"] = np.zeros(2, np.int64)
     with pytest.raises(ValueError, match="mismatch"):
         FilterServer._decode_state_npz(bad)
+    # duplicate sids (impossible in JSON — object keys are unique, but
+    # the parallel-vector encoding can carry them) must be refused, not
+    # silently collapsed into a dict that drops a session mapping
+    dup = FilterServer._encode_state_npz(
+        (np.zeros((2, 1, 1)), 0, {5: 0, 6: 1}, 7))
+    dup["slot_sids"] = np.array([5, 5], np.int64)
+    with pytest.raises(ValueError, match="duplicate"):
+        FilterServer._decode_state_npz(dup)
+
+
+def test_state_accept_q_values(filter_server):
+    """`Accept: application/x-npz;q=0` is an RFC 9110 explicit refusal
+    of the binary form — the snapshot must come back as JSON; a
+    positive q keeps the binary reply; a malformed q falls back to
+    JSON (the safe default)."""
+    import http.client
+
+    srv, _ = filter_server
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+    try:
+        for accept, want in [
+            ("application/x-npz;q=0", "application/json"),
+            ("application/json, application/x-npz;q=0", "application/json"),
+            ("application/x-npz;q=0.5", "application/x-npz"),
+            ("application/x-npz; q=1", "application/x-npz"),
+            ("application/x-npz;q=bogus", "application/json"),
+        ]:
+            conn.request("GET", "/v1/state", headers={"Accept": accept})
+            r = conn.getresponse()
+            assert r.status == 200
+            got = r.headers["Content-Type"].split(";")[0].strip()
+            assert got == want, f"Accept: {accept!r} -> {got}"
+            r.read()
+    finally:
+        conn.close()
+
+
+def test_get_state_npz_rejects_json_reply():
+    """A primary that ignores the Accept header (pre-binary build, or a
+    proxy stripping it) returns JSON; get_state_npz must fail loudly at
+    the GET instead of shipping the blob onward to die as a misleading
+    'not a valid .npz' 400 on the standby."""
+    import http.server
+    import threading
+
+    from cbfssm_tpu.serving_http import get_state_npz
+
+    class _LegacyHandler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = b'{"x": []}'
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _LegacyHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(RuntimeError, match="JSON /v1/state"):
+            get_state_npz(f"http://127.0.0.1:{srv.server_port}")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
 
 
 def _fabricate_half_dir(tmp_path, half_mp):
