@@ -880,6 +880,17 @@ class FilterPool:
             raise ValueError(
                 f"state maps multiple sessions to one slot: {slots}"
             )
+        # next_sid must clear every live sid: attach() hands out
+        # self._next_sid unconditionally, so a snapshot with
+        # next_sid <= max(sids) would later reissue a live sid —
+        # attach would overwrite that session's slot mapping, its
+        # estimator would silently step the NEW session's ensemble
+        # row, and the old row would leak from the free list
+        if slots and int(next_sid) <= max(int(s) for s in slots):
+            raise ValueError(
+                f"state next_sid {int(next_sid)} collides with live "
+                f"session ids (max {max(int(s) for s in slots)})"
+            )
         self._x = self._commit_x(jnp.asarray(x, self.model.dtype))
         self._tick = int(tick)
         self._slots = slots

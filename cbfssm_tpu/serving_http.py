@@ -357,11 +357,14 @@ class _JSONHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _read_body(self, empty_msg: str):
+    def _read_body(self, empty_msg: str, limit: int = MAX_BODY_BYTES):
         """The raw request body as bytes, or None after a 400/413
         reply. The ONE place body framing is validated — both parsers
         (JSON and .npz) go through it, so the Transfer-Encoding
         rejection below cannot silently diverge between them.
+        ``limit`` defaults to the predict-request cap; routes whose
+        legitimate bodies scale with deployment size (the /v1/state
+        fleet snapshot) pass their own bound.
         Chunked bodies are refused because reading Content-Length raw
         bytes from a chunked stream desyncs the keep-alive connection
         (residual chunk framing would be parsed as the next request
@@ -378,16 +381,16 @@ class _JSONHandler(BaseHTTPRequestHandler):
         if length <= 0:
             self._fail(400, empty_msg)
             return None
-        if length > MAX_BODY_BYTES:
-            self._fail(413, f"body {length} bytes exceeds {MAX_BODY_BYTES}")
+        if length > limit:
+            self._fail(413, f"body {length} bytes exceeds {limit}")
             return None
         raw = self.rfile.read(length)
         self._body_consumed = True
         return raw
 
-    def _read_json(self):
+    def _read_json(self, limit: int = MAX_BODY_BYTES):
         """Parsed JSON object body, or None after a 400/413 reply."""
-        raw = self._read_body("empty body (send a JSON object)")
+        raw = self._read_body("empty body (send a JSON object)", limit)
         if raw is None:
             return None
         try:
@@ -400,7 +403,7 @@ class _JSONHandler(BaseHTTPRequestHandler):
             return None
         return req
 
-    def _read_npz(self, empty_msg: str):
+    def _read_npz(self, empty_msg: str, limit: int = MAX_BODY_BYTES):
         """Parsed ``{name: np.ndarray}`` from an .npz body, or None
         after a 400/413 reply. Binary alternative to the JSON body: the
         measured bottleneck of this transport is the host-side JSON
@@ -417,15 +420,15 @@ class _JSONHandler(BaseHTTPRequestHandler):
         import io
         import zipfile
 
-        raw = self._read_body(empty_msg)
+        raw = self._read_body(empty_msg, limit)
         if raw is None:
             return None
         try:
             with zipfile.ZipFile(io.BytesIO(raw)) as zf:
                 declared = sum(info.file_size for info in zf.infolist())
-            if declared > MAX_BODY_BYTES:
+            if declared > limit:
                 self._fail(413, f"npz decompresses to {declared} bytes, "
-                                f"exceeds {MAX_BODY_BYTES}")
+                                f"exceeds {limit}")
                 return None
             with np.load(io.BytesIO(raw), allow_pickle=False) as z:
                 return {k: z[k] for k in z.files}
@@ -455,21 +458,26 @@ class _JSONHandler(BaseHTTPRequestHandler):
                 .split(";")[0].strip().lower() == NPZ_CONTENT_TYPE)
 
     def _accepts_npz(self) -> bool:
-        accept = self.headers.get("Accept", "")
+        # join ALL Accept field lines (RFC 9110 permits splitting
+        # list-valued fields across header lines)
+        accept = ",".join(self.headers.get_all("Accept") or [])
+        best = None
         for part in accept.split(","):
             media, _, params = part.partition(";")
             if media.strip().lower() != NPZ_CONTENT_TYPE:
                 continue
-            # RFC 9110: q=0 means "explicitly not acceptable".
+            q = 1.0
             for p in params.split(";"):
                 k, _, v = p.strip().partition("=")
                 if k.strip().lower() == "q":
                     try:
-                        return float(v.strip() or "0") > 0.0
+                        q = float(v.strip() or "0")
                     except ValueError:
-                        return False
-            return True
-        return False
+                        q = 0.0  # malformed q: fall back to JSON
+            best = q if best is None else max(best, q)
+        # RFC 9110: q=0 means "explicitly not acceptable"; among
+        # duplicate ranges the highest q wins
+        return best is not None and best > 0.0
 
 
 def post_predict_npz(base_url: str, u, y, timeout: float | None = None):
@@ -796,15 +804,21 @@ class _FilterHandler(_JSONHandler):
         app._count("http_requests")
         if self.path == "/v1/state":
             binary = self._body_is_npz()
+            # a fleet snapshot's legitimate size scales with the pool,
+            # not with a predict request — use the server's bound
+            limit = app.state_body_limit
             req = (self._read_npz("empty body (send an .npz state "
-                                  "snapshot)")
-                   if binary else self._read_json())
+                                  "snapshot)", limit)
+                   if binary else self._read_json(limit))
             if req is None:
                 return
             try:
                 state = (app._decode_state_npz(req) if binary
                          else app._decode_state(req))
-            except (KeyError, TypeError, ValueError) as e:
+            except (KeyError, TypeError, ValueError, AttributeError) as e:
+                # AttributeError: wrong-typed snapshot fields (e.g.
+                # "slots" a list — .items() missing) must 400, not
+                # abort the connection with no reply
                 self._fail(400, f"bad state snapshot: {e}")
                 return
             # the restore reply is a tiny ack — JSON for both formats
@@ -954,10 +968,18 @@ class FilterServer(_ServerBase):
 
     @staticmethod
     def _decode_state(obj):
+        slots = {int(s): int(v) for s, v in obj["slots"].items()}
+        if len(slots) != len(obj["slots"]):
+            # int() aliases keys like "5" / "+5" / " 5" onto one sid —
+            # a dict build would silently drop a session mapping and
+            # restore a corrupt table with 200 OK (true duplicate JSON
+            # keys are already collapsed by json.loads upstream; this
+            # catches the detectable alias class)
+            raise ValueError("duplicate session ids in snapshot")
         return (
             np.asarray(obj["x"], dtype=np.dtype(obj["dtype"])),
             int(obj["tick"]),
-            {int(s): int(v) for s, v in obj["slots"].items()},
+            slots,
             int(obj["next_sid"]),
         )
 
@@ -983,9 +1005,10 @@ class FilterServer(_ServerBase):
         if sids.shape != rows.shape:
             raise ValueError("slot_sids/slot_rows length mismatch")
         if len(np.unique(sids)) != len(sids):
-            # Parallel-vector encoding can (unlike JSON object keys)
-            # carry duplicate sids; a dict build would silently drop one
-            # mapping and restore a corrupt session table with 200 OK.
+            # The parallel-vector encoding can carry duplicate sids; a
+            # dict build would silently drop one mapping and restore a
+            # corrupt session table with 200 OK. (_decode_state guards
+            # the JSON form's aliased-key equivalent.)
             raise ValueError("duplicate session ids in snapshot")
         return (
             np.asarray(obj["x"]),
@@ -993,6 +1016,24 @@ class FilterServer(_ServerBase):
             {int(s): int(v) for s, v in zip(sids, rows)},
             int(obj["next_sid"]),
         )
+
+    @property
+    def state_body_limit(self) -> int:
+        """Body cap for POST /v1/state. A fleet snapshot's legitimate
+        size scales with the pool's ensemble (capacity x S x dx), not
+        with a predict request — capping it at MAX_BODY_BYTES made
+        large fleets un-restorable (their own GET /v1/state snapshot
+        would be refused with 413 on the standby, a failover cliff).
+        JSON float text inflates the raw ensemble ~5-6x (measured ~20
+        bytes/float, BENCHMARKS.md "Failover snapshot over HTTP");
+        8x raw + the generic cap bounds both encodings with margin
+        while still rejecting bodies orders of magnitude over the
+        fleet's actual size."""
+        pool = self.batcher.pool
+        m = pool.model
+        raw = (pool.capacity * int(m.samples) * int(m.dim_x)
+               * np.dtype(m.dtype).itemsize)
+        return MAX_BODY_BYTES + 8 * raw
 
     def meta(self) -> dict:
         pool = self.batcher.pool

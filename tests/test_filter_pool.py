@@ -220,6 +220,14 @@ def test_state_roundtrip(mp, rng):
     with pytest.raises(ValueError, match="out-of-range"):
         FilterPool(model, params, capacity=2, seed=0).load_state(
             (x, tick, oob, next_sid))
+    # next_sid colliding with a live sid would make attach() reissue
+    # it and silently cross-wire two sessions later
+    with pytest.raises(ValueError, match="next_sid"):
+        FilterPool(model, params, capacity=2, seed=0).load_state(
+            (x, tick, slots, max(slots)))
+    # == max+1 is the tightest legal value
+    FilterPool(model, params, capacity=2, seed=0).load_state(
+        (x, tick, slots, max(slots) + 1))
 
 
 def test_pool_on_mesh_matches_unsharded(mp, rng):

@@ -663,6 +663,70 @@ def test_state_npz_codec_roundtrip(rng):
         FilterServer._decode_state_npz(dup)
 
 
+def test_state_snapshot_malformed_tables(filter_server):
+    """Corrupt JSON snapshots must 400 with a diagnostic, never abort
+    the connection or restore a silently-dropped session table."""
+    srv, base = filter_server
+    pool = srv.batcher.pool
+    x = np.zeros(
+        (pool.capacity, pool.model.samples, pool.model.dim_x)).tolist()
+    # int()-aliased sid keys ("5" and "+5") would collapse to one dict
+    # entry — the detectable JSON analogue of npz duplicate sids
+    code, resp = _http("POST", base + "/v1/state", {
+        "x": x, "dtype": "float32",
+        "tick": 0, "slots": {"5": 0, "+5": 1}, "next_sid": 6,
+    })
+    assert code == 400 and "duplicate" in resp["error"]
+    # wrong-typed fields (slots a list) must 400, not AttributeError
+    # out of the handler with no HTTP reply
+    code, resp = _http("POST", base + "/v1/state", {
+        "x": x, "dtype": "float32",
+        "tick": 0, "slots": [1, 2], "next_sid": 3,
+    })
+    assert code == 400 and "bad state" in resp["error"]
+    # next_sid colliding with a live sid (attach would reissue it)
+    code, resp = _http("POST", base + "/v1/state", {
+        "x": x, "dtype": "float32",
+        "tick": 0, "slots": {"4": 0}, "next_sid": 4,
+    })
+    assert code == 400 and "next_sid" in resp["error"]
+    # server still healthy after the rejections
+    code, _resp = _http("GET", base + "/healthz")
+    assert code == 200
+
+
+def test_state_body_limit_scales_with_fleet(filter_server, monkeypatch):
+    """POST /v1/state is bounded by the fleet-sized state_body_limit,
+    not the predict-request cap — a large pool's own snapshot must
+    stay restorable (the cap exists to reject hostile bodies, not
+    legitimate failover)."""
+    from cbfssm_tpu import serving_http as sh
+
+    srv, base = filter_server
+    pool = srv.batcher.pool
+    m = pool.model
+    raw = (pool.capacity * int(m.samples) * int(m.dim_x)
+           * np.dtype(m.dtype).itemsize)
+    assert srv.state_body_limit == sh.MAX_BODY_BYTES + 8 * raw
+    # wire the limit through the route: shrink it and watch a modest
+    # body bounce with 413 (the default predict cap would accept it)
+    monkeypatch.setattr(type(srv), "state_body_limit",
+                        property(lambda self: 64))
+    import http.client
+
+    conn = http.client.HTTPConnection(srv.host, srv.port, timeout=30)
+    try:
+        body = json.dumps({"x": [0.0] * 64}).encode()
+        assert len(body) > 64
+        conn.request("POST", "/v1/state", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 413
+        assert "exceeds 64" in json.loads(r.read())["error"]
+    finally:
+        conn.close()
+
+
 def test_state_accept_q_values(filter_server):
     """`Accept: application/x-npz;q=0` is an RFC 9110 explicit refusal
     of the binary form — the snapshot must come back as JSON; a
