@@ -81,11 +81,11 @@ def plan_replay_chunks(k_total, buckets):
     """
     if k_total < 1:
         raise ValueError(f"backlog must have at least one step, got {k_total}")
-    if not buckets:
+    # one validator for the whole replay surface (empty == None == one
+    # exact-length program) — a second copy of the rules would drift
+    ladder = normalize_replay_ladder(buckets or None)
+    if not ladder:
         return [(k_total, k_total)]
-    ladder = sorted(int(b) for b in buckets)
-    if ladder[0] < 1:
-        raise ValueError(f"replay buckets must be >= 1, got {buckets}")
     plan = []
     remaining = k_total
     while remaining > ladder[-1]:
@@ -393,11 +393,15 @@ class StreamingFilter:
                 self._base_key, np.uint32(self._t), active,
             )
             self._t += k_act
-            means.append(m[:, :k_act])
-            vars_.append(v[:, :k_act])
+            # slice/concat on the HOST: one readback per chunk instead
+            # of extra device slice + concat dispatches, each carrying
+            # the ~29 ms tunnel floor this fused path exists to avoid
+            # (FilterPool.replay does the same)
+            means.append(np.asarray(m)[:, :k_act])
+            vars_.append(np.asarray(v)[:, :k_act])
         if len(means) == 1:
             return means[0], vars_[0]
-        return jnp.concatenate(means, axis=1), jnp.concatenate(vars_, axis=1)
+        return np.concatenate(means, axis=1), np.concatenate(vars_, axis=1)
 
     def forecast(self, u_future):
         """Free-run prediction from the current ensemble over
@@ -791,6 +795,17 @@ class FilterPool:
             raise ValueError("forecast() needs at least one session input")
         model = self.model
         dtype = model.dtype
+        for sid, u in inputs.items():
+            shape = np.asarray(u).shape
+            # validate rank/length up front: a 1-D [du] input would
+            # otherwise read du as the horizon (misleading error), a
+            # 0-d one would die on the tuple unpack below, and an
+            # empty [0, du] would AOT-compile a useless H=0 program
+            if len(shape) != 2 or shape[0] < 1:
+                raise ValueError(
+                    f"session {sid}: u_future must be [H >= 1, "
+                    f"{model.dim_u}], got {shape}"
+                )
         horizons = {np.asarray(u).shape[:1] for u in inputs.values()}
         if len(horizons) != 1:
             raise ValueError(
@@ -864,7 +879,16 @@ class FilterPool:
                 f"state ensemble shape {np.asarray(x).shape} != pool "
                 f"shape {self._x.shape}"
             )
-        slots = dict(slots)
+        # coerce BEFORE validating and storing: a string-typed slot
+        # ("3") would pass the int()-based checks below but then miss
+        # the used-set, leave its row on the free list, and be handed
+        # to the next attach() — silent cross-wiring. Coercion can
+        # also collapse aliased keys ("5"/"+5"); refuse that rather
+        # than drop a session mapping.
+        raw_len = len(dict(slots))
+        slots = {int(s): int(v) for s, v in dict(slots).items()}
+        if len(slots) != raw_len:
+            raise ValueError("duplicate session ids in state table")
         # fail fast on a corrupt session table: a duplicate slot would
         # silently cross-wire two sessions onto one ensemble row, an
         # out-of-range slot would die later inside step() with a bare
@@ -930,6 +954,10 @@ class BucketedPredictor:
         if not buckets:
             raise ValueError("need at least one bucket size")
         self.buckets = sorted(set(int(b) for b in buckets))
+        if self.buckets[0] < 1:
+            # a 0-row bucket would AOT-compile a useless program and
+            # then die at serve time with an opaque range() error
+            raise ValueError(f"bucket sizes must be >= 1, got {buckets}")
         self.seq_len = seq_len
         self.model = model
         self._preds = {
@@ -1081,7 +1109,148 @@ class BucketedPredictor:
         )
 
 
-class MicroBatcher:
+class _CoalescingBatcher:
+    """Shared queue/shutdown/coalescing machinery for the serving
+    front-ends (:class:`MicroBatcher`, :class:`FilterBatcher`).
+
+    The enqueue-vs-shutdown sentinel protocol is the subtlest
+    concurrency code in this module; it lives HERE, once, so a fix to
+    one front-end can never silently miss the other:
+
+    - ``_enqueue`` serializes against ``close()`` (the submit lock):
+      a producer that passed the ``_closing`` check must never enqueue
+      BEHIND the shutdown sentinel, or its future would never resolve;
+    - ``close(drain=False)`` fails every pending future before
+      planting the sentinel; with ``drain`` the dispatcher serves the
+      backlog first;
+    - the dispatcher runs a defensive post-sentinel sweep anyway;
+    - ``_collect`` blocks for the first item then coalesces until the
+      ``max_wait`` deadline or ``_collect_cap()`` items.
+
+    Subclasses provide ``_collect_cap()`` and ``_serve(batch)`` and
+    enqueue item tuples whose last two fields are ``(future,
+    enqueue_timestamp)`` — all the base machinery touches.
+    """
+
+    def __init__(self, max_wait_ms: float, queue_size: int, stats: dict,
+                 thread_name: str):
+        if max_wait_ms < 0:
+            raise ValueError("max_wait_ms must be >= 0")
+        self.max_wait = float(max_wait_ms) / 1e3
+        self._queue: _queue.Queue = _queue.Queue(maxsize=queue_size)
+        self._closing = False
+        self._lock = threading.Lock()
+        # Serializes enqueue vs shutdown: without it a submit() that
+        # passed the _closing check could enqueue BEHIND close()'s
+        # sentinel after the dispatcher's final drain sweep, leaving a
+        # future that never resolves. Separate from _lock so a producer
+        # blocked on queue backpressure never delays stats() readers.
+        self._submit_lock = threading.Lock()
+        self._stats = dict(stats)
+        # started LAST: subclasses set their fields before calling up,
+        # so the dispatcher never observes a half-built self
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name=thread_name, daemon=True
+        )
+        self._thread.start()
+
+    def _enqueue(self, item) -> None:
+        with self._submit_lock:
+            if self._closing:
+                raise RuntimeError(f"{type(self).__name__} is closed")
+            # blocking put under the lock is safe: the dispatcher
+            # drains the queue without taking this lock
+            self._queue.put(item)
+
+    def close(self, drain: bool = True) -> None:
+        """Stop accepting work and shut the dispatcher down. With
+        ``drain`` (default) pending items are served first; otherwise
+        their futures get a RuntimeError."""
+        with self._submit_lock:
+            already = self._closing
+            self._closing = True
+            if not already:
+                if not drain:
+                    try:
+                        while True:
+                            *_, fut, _t = self._queue.get_nowait()
+                            if fut.set_running_or_notify_cancel():
+                                fut.set_exception(RuntimeError(
+                                    f"{type(self).__name__} closed "
+                                    f"before dispatch"
+                                ))
+                    except _queue.Empty:
+                        pass
+                # sentinel: drain up to here, then exit. The lock
+                # guarantees no item is ever enqueued behind it.
+                self._queue.put(None)
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    # --- dispatcher thread ----------------------------------------------
+
+    def _collect(self):
+        """Block for the first item, then coalesce until
+        ``_collect_cap()`` items or the max_wait deadline. Returns a
+        list of queue items, or None at the shutdown sentinel."""
+        first = self._queue.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.perf_counter() + self.max_wait
+        cap = self._collect_cap()
+        while len(batch) < cap:
+            remaining = deadline - time.perf_counter()
+            try:
+                item = (
+                    self._queue.get_nowait()
+                    if remaining <= 0
+                    else self._queue.get(timeout=remaining)
+                )
+            except _queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # keep the sentinel for loop exit
+                break
+            batch.append(item)
+        return batch
+
+    def _dispatch_loop(self):
+        while True:
+            batch = self._collect()
+            if batch is None:
+                # defensive sweep: the submit lock means nothing should
+                # land behind the sentinel; fail any stragglers anyway
+                try:
+                    while True:
+                        item = self._queue.get_nowait()
+                        if item is None:
+                            continue
+                        *_, fut, _t = item
+                        if fut.set_running_or_notify_cancel():
+                            fut.set_exception(RuntimeError(
+                                f"{type(self).__name__} closed before "
+                                f"dispatch"
+                            ))
+                except _queue.Empty:
+                    return
+                continue
+            self._serve(batch)
+
+    def _collect_cap(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def _serve(self, batch) -> None:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class MicroBatcher(_CoalescingBatcher):
     """Transport-agnostic request-coalescing front-end for a predictor.
 
     A deployed service receives single-sequence requests from many
@@ -1123,29 +1292,14 @@ class MicroBatcher:
                  seed: int = 0):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
-        if max_wait_ms < 0:
-            raise ValueError("max_wait_ms must be >= 0")
         self.predictor = predictor
         self.max_batch = int(max_batch)
-        self.max_wait = float(max_wait_ms) / 1e3
         self._key = jax.random.PRNGKey(seed)
-        self._queue: _queue.Queue = _queue.Queue(maxsize=queue_size)
-        self._closing = False
-        self._lock = threading.Lock()
-        # Serializes enqueue vs shutdown: without it a submit() that
-        # passed the _closing check could enqueue BEHIND close()'s
-        # sentinel after the dispatcher's final drain sweep, leaving a
-        # future that never resolves. Separate from _lock so a producer
-        # blocked on queue backpressure never delays stats() readers.
-        self._submit_lock = threading.Lock()
-        self._stats = {
+        self._batch_idx = 0
+        super().__init__(max_wait_ms, queue_size, {
             "requests": 0, "batches": 0, "errors": 0,
             "batched_rows": 0, "max_batch_seen": 0, "wait_s": 0.0,
-        }
-        self._thread = threading.Thread(
-            target=self._dispatch_loop, name="cbfssm-microbatcher", daemon=True
-        )
-        self._thread.start()
+        }, "cbfssm-microbatcher")
 
     # --- client side ----------------------------------------------------
 
@@ -1169,12 +1323,7 @@ class MicroBatcher:
                 f"y must be [{seq_len}, {model.dim_y}] to match u, got {y.shape}"
             )
         fut: Future = Future()
-        with self._submit_lock:
-            if self._closing:
-                raise RuntimeError("MicroBatcher is closed")
-            # blocking put under the lock is safe: the dispatcher
-            # drains the queue without taking this lock
-            self._queue.put((u, y, fut, time.perf_counter()))
+        self._enqueue((u, y, fut, time.perf_counter()))
         return fut
 
     def __call__(self, u, y, timeout=None):
@@ -1192,142 +1341,73 @@ class MicroBatcher:
         s["mean_wait_ms"] = 1e3 * wait / n if n else 0.0
         return s
 
-    def close(self, drain: bool = True) -> None:
-        """Stop accepting requests and shut the dispatcher down. With
-        ``drain`` (default) pending requests are served first; otherwise
-        their futures get a RuntimeError."""
-        with self._submit_lock:
-            already = self._closing
-            self._closing = True
-            if not already:
-                if not drain:
-                    try:
-                        while True:
-                            *_, fut, _t = self._queue.get_nowait()
-                            if fut.set_running_or_notify_cancel():
-                                fut.set_exception(
-                                    RuntimeError(
-                                        "MicroBatcher closed before dispatch"
-                                    )
-                                )
-                    except _queue.Empty:
-                        pass
-                # sentinel: drain up to here, then exit. The lock
-                # guarantees no request is ever enqueued behind it.
-                self._queue.put(None)
-        self._thread.join()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-        return False
-
     # --- dispatcher thread ----------------------------------------------
 
-    def _collect(self):
-        """Block for the first request, then coalesce until max_batch
-        or the max_wait deadline. Returns a list of queue items, or
-        None when the shutdown sentinel is reached."""
-        first = self._queue.get()
-        if first is None:
-            return None
-        batch = [first]
-        deadline = time.perf_counter() + self.max_wait
-        while len(batch) < self.max_batch:
-            remaining = deadline - time.perf_counter()
-            try:
-                item = (
-                    self._queue.get_nowait()
-                    if remaining <= 0
-                    else self._queue.get(timeout=remaining)
-                )
-            except _queue.Empty:
-                break
-            if item is None:
-                self._queue.put(None)  # keep the sentinel for loop exit
-                break
-            batch.append(item)
-        return batch
+    def _collect_cap(self) -> int:
+        return self.max_batch
 
-    def _dispatch_loop(self):
-        batch_idx = 0
-        while True:
-            batch = self._collect()
-            if batch is None:
-                # defensive sweep: the submit lock means nothing should
-                # land behind the sentinel; fail any stragglers anyway
-                try:
-                    while True:
-                        item = self._queue.get_nowait()
-                        if item is None:
-                            continue
-                        *_, fut, _t = item
-                        if fut.set_running_or_notify_cancel():
-                            fut.set_exception(
-                                RuntimeError("MicroBatcher closed before dispatch")
-                            )
-                except _queue.Empty:
-                    return
-            t_dispatch = time.perf_counter()
-            live = [(u, y, f, t) for (u, y, f, t) in batch
-                    if f.set_running_or_notify_cancel()]
+    def _serve(self, batch) -> None:
+        t_dispatch = time.perf_counter()
+        live = [(u, y, f, t) for (u, y, f, t) in batch
+                if f.set_running_or_notify_cancel()]
+        with self._lock:
+            self._stats["requests"] += len(batch)
+            if live:
+                self._stats["batches"] += 1
+                self._stats["batched_rows"] += len(live)
+                self._stats["max_batch_seen"] = max(
+                    self._stats["max_batch_seen"], len(live)
+                )
+                self._stats["wait_s"] += sum(
+                    t_dispatch - t for *_, t in live
+                )
+        if not live:
+            return
+        # consume the fold unconditionally: a failed dispatch must
+        # not hand its key to the next batch (keys stay independent
+        # even if a retry layer re-submits the failed rows)
+        key_idx, self._batch_idx = self._batch_idx, self._batch_idx + 1
+        try:
+            u = np.stack([u for u, *_ in live])
+            y = np.stack([y for _, y, *_ in live])
+            out = self.predictor(
+                u, y, jax.random.fold_in(self._key, key_idx)
+            )
+            # fan out on HOST: one device->host transfer per leaf,
+            # then numpy row slices — per-row slicing of device
+            # arrays would cost one tiny dispatch per (row, leaf),
+            # which dominates on dispatch-latency-bound rigs
+            # (measured: host fan-out took the 32-client coalescing
+            # speedup from 3.1x to 5.6x on the tunnel;
+            # BENCHMARKS.md "Microbatched serving")
+            out = jax.tree_util.tree_map(np.asarray, out)
+            pred_mean = out.pred_mean
+            for i, (_, y_i, fut, _t) in enumerate(live):
+                mse_i = np.mean(
+                    (pred_mean[i] - y_i[:, : pred_mean.shape[-1]]) ** 2
+                )
+                row = jax.tree_util.tree_map(
+                    lambda a: a[i : i + 1] if getattr(a, "ndim", 0) else a,
+                    out,
+                )
+                fut.set_result(
+                    row.replace(mse=mse_i.astype(pred_mean.dtype))
+                )
+        except Exception as exc:
+            # a mid-fan-out failure leaves earlier rows already
+            # resolved; those count as served, and set_exception on
+            # a done future raises InvalidStateError (which would
+            # kill the dispatcher) — fail only the pending ones
+            failed = 0
+            for *_, fut, _t in live:
+                if not fut.done():
+                    fut.set_exception(exc)
+                    failed += 1
             with self._lock:
-                self._stats["requests"] += len(batch)
-                if live:
-                    self._stats["batches"] += 1
-                    self._stats["batched_rows"] += len(live)
-                    self._stats["max_batch_seen"] = max(
-                        self._stats["max_batch_seen"], len(live)
-                    )
-                    self._stats["wait_s"] += sum(
-                        t_dispatch - t for *_, t in live
-                    )
-            if not live:
-                continue
-            try:
-                u = np.stack([u for u, *_ in live])
-                y = np.stack([y for _, y, *_ in live])
-                out = self.predictor(
-                    u, y, jax.random.fold_in(self._key, batch_idx)
-                )
-                batch_idx += 1
-                # fan out on HOST: one device->host transfer per leaf,
-                # then numpy row slices — per-row slicing of device
-                # arrays would cost one tiny dispatch per (row, leaf),
-                # which dominates on dispatch-latency-bound rigs
-                # (measured: host fan-out took the 32-client coalescing
-                # speedup from 3.1x to 5.6x on the tunnel;
-                # BENCHMARKS.md "Microbatched serving")
-                out = jax.tree_util.tree_map(np.asarray, out)
-                pred_mean = out.pred_mean
-                for i, (_, y_i, fut, _t) in enumerate(live):
-                    mse_i = np.mean(
-                        (pred_mean[i] - y_i[:, : pred_mean.shape[-1]]) ** 2
-                    )
-                    row = jax.tree_util.tree_map(
-                        lambda a: a[i : i + 1] if getattr(a, "ndim", 0) else a,
-                        out,
-                    )
-                    fut.set_result(
-                        row.replace(mse=mse_i.astype(pred_mean.dtype))
-                    )
-            except Exception as exc:
-                # a mid-fan-out failure leaves earlier rows already
-                # resolved; those count as served, and set_exception on
-                # a done future raises InvalidStateError (which would
-                # kill the dispatcher) — fail only the pending ones
-                failed = 0
-                for *_, fut, _t in live:
-                    if not fut.done():
-                        fut.set_exception(exc)
-                        failed += 1
-                with self._lock:
-                    self._stats["errors"] += failed
+                self._stats["errors"] += failed
 
 
-class FilterBatcher:
+class FilterBatcher(_CoalescingBatcher):
     """Transport-agnostic coalescing front-end for a :class:`FilterPool`.
 
     A FilterPool must be driven from one control loop (its contract);
@@ -1372,34 +1452,17 @@ class FilterBatcher:
 
     def __init__(self, pool, max_wait_ms: float = 2.0,
                  queue_size: int = 1024):
-        if max_wait_ms < 0:
-            raise ValueError("max_wait_ms must be >= 0")
         self.pool = pool
-        self.max_wait = float(max_wait_ms) / 1e3
-        self._queue: _queue.Queue = _queue.Queue(maxsize=queue_size)
-        self._closing = False
-        self._lock = threading.Lock()
-        # same enqueue-vs-shutdown serialization as MicroBatcher: no
-        # item may ever land behind close()'s sentinel
-        self._submit_lock = threading.Lock()
-        self._stats = {
+        super().__init__(max_wait_ms, queue_size, {
             "requests": 0, "dispatches": 0, "errors": 0,
             "grouped_ops": 0, "max_group_seen": 0, "wait_s": 0.0,
-        }
-        self._thread = threading.Thread(
-            target=self._dispatch_loop, name="cbfssm-filterbatcher",
-            daemon=True,
-        )
-        self._thread.start()
+        }, "cbfssm-filterbatcher")
 
     # --- client side (any thread) ---------------------------------------
 
     def _submit(self, kind, sid, payload) -> Future:
         fut: Future = Future()
-        with self._submit_lock:
-            if self._closing:
-                raise RuntimeError("FilterBatcher is closed")
-            self._queue.put((kind, sid, payload, fut, time.perf_counter()))
+        self._enqueue((kind, sid, payload, fut, time.perf_counter()))
         return fut
 
     def attach(self, u_prefix, y_prefix) -> Future:
@@ -1489,58 +1552,12 @@ class FilterBatcher:
         s["mean_wait_ms"] = 1e3 * wait / n if n else 0.0
         return s
 
-    def close(self, drain: bool = True) -> None:
-        """Stop accepting operations and shut the dispatcher down.
-        With ``drain`` (default) pending items are served first."""
-        with self._submit_lock:
-            already = self._closing
-            self._closing = True
-            if not already:
-                if not drain:
-                    try:
-                        while True:
-                            *_, fut, _t = self._queue.get_nowait()
-                            if fut.set_running_or_notify_cancel():
-                                fut.set_exception(RuntimeError(
-                                    "FilterBatcher closed before dispatch"
-                                ))
-                    except _queue.Empty:
-                        pass
-                self._queue.put(None)
-        self._thread.join()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-        return False
-
     # --- dispatcher thread ----------------------------------------------
 
-    def _collect(self):
-        first = self._queue.get()
-        if first is None:
-            return None
-        batch = [first]
-        deadline = time.perf_counter() + self.max_wait
+    def _collect_cap(self) -> int:
         # bound one sweep by pool capacity: a group can't exceed it,
         # and a longer sweep would only delay the first item further
-        while len(batch) < self.pool.capacity:
-            remaining = deadline - time.perf_counter()
-            try:
-                item = (
-                    self._queue.get_nowait()
-                    if remaining <= 0
-                    else self._queue.get(timeout=remaining)
-                )
-            except _queue.Empty:
-                break
-            if item is None:
-                self._queue.put(None)
-                break
-            batch.append(item)
-        return batch
+        return self.pool.capacity
 
     def _flush(self, kind, group):
         """Serve one homogeneous group (distinct sids) in one pool
@@ -1603,42 +1620,27 @@ class FilterBatcher:
             with self._lock:
                 self._stats["errors"] += 1
 
-    def _dispatch_loop(self):
-        while True:
-            batch = self._collect()
-            if batch is None:
-                try:  # defensive: nothing should land behind the sentinel
-                    while True:
-                        item = self._queue.get_nowait()
-                        if item is None:
-                            continue
-                        *_, fut, _t = item
-                        if fut.set_running_or_notify_cancel():
-                            fut.set_exception(RuntimeError(
-                                "FilterBatcher closed before dispatch"
-                            ))
-                except _queue.Empty:
-                    return
-            with self._lock:
-                self._stats["requests"] += len(batch)
-            group_kind, group, horizon = None, [], None
-            for kind, sid, payload, fut, t in batch:
-                if kind not in self._GROUPABLE:
-                    if group:
-                        self._flush(group_kind, group)
-                        group_kind, group, horizon = None, [], None
-                    self._run_single(kind, sid, payload, fut, t)
-                    continue
-                h = payload.shape[0] if kind == "forecast" else None
-                boundary = (
-                    kind != group_kind
-                    or any(sid == g_sid for g_sid, *_ in group)
-                    or (kind == "forecast" and h != horizon)
-                )
-                if group and boundary:
+    def _serve(self, batch) -> None:
+        with self._lock:
+            self._stats["requests"] += len(batch)
+        group_kind, group, horizon = None, [], None
+        for kind, sid, payload, fut, t in batch:
+            if kind not in self._GROUPABLE:
+                if group:
                     self._flush(group_kind, group)
-                    group = []
-                group_kind, horizon = kind, h
-                group.append((sid, payload, fut, t))
-            if group:
+                    group_kind, group, horizon = None, [], None
+                self._run_single(kind, sid, payload, fut, t)
+                continue
+            h = payload.shape[0] if kind == "forecast" else None
+            boundary = (
+                kind != group_kind
+                or any(sid == g_sid for g_sid, *_ in group)
+                or (kind == "forecast" and h != horizon)
+            )
+            if group and boundary:
                 self._flush(group_kind, group)
+                group = []
+            group_kind, horizon = kind, h
+            group.append((sid, payload, fut, t))
+        if group:
+            self._flush(group_kind, group)

@@ -228,6 +228,36 @@ def test_state_roundtrip(mp, rng):
     # == max+1 is the tightest legal value
     FilterPool(model, params, capacity=2, seed=0).load_state(
         (x, tick, slots, max(slots) + 1))
+    # string-typed tables (hand-decoded JSON) must be coerced before
+    # storing: raw string slots would miss the used-set and hand a
+    # restored session's row to the next attach()
+    strly = FilterPool(model, params, capacity=2, seed=0)
+    strly.load_state(
+        (x, tick, {str(s): str(v) for s, v in slots.items()}, next_sid))
+    assert strly._slots == slots
+    assert all(isinstance(s, int) and isinstance(v, int)
+               for s, v in strly._slots.items())
+    assert set(strly._free) == (
+        set(range(2)) - set(slots.values()))
+    # int()-aliased keys ("0" and "+0") would silently collapse
+    with pytest.raises(ValueError, match="duplicate"):
+        FilterPool(model, params, capacity=2, seed=0).load_state(
+            (x, tick, {"0": 0, "+0": 1}, 5))
+
+
+def test_pool_forecast_input_rank_guard(mp, rng):
+    """Malformed u_future shapes fail with a clear error: a 1-D [du]
+    input must not be read as horizon=du, and an empty [0, du] input
+    must not AOT-compile a useless H=0 program."""
+    model, params = mp
+    pool = FilterPool(model, params, capacity=2, seed=0)
+    sid = pool.attach(*prefix(rng))
+    with pytest.raises(ValueError, match="H >= 1"):
+        pool.forecast({sid: rng.normal(size=(DU,))})
+    with pytest.raises(ValueError, match="H >= 1"):
+        pool.forecast({sid: np.zeros((0, DU))})
+    with pytest.raises(ValueError, match="H >= 1"):
+        pool.forecast({sid: np.float64(1.0)})
 
 
 def test_pool_on_mesh_matches_unsharded(mp, rng):

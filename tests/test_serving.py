@@ -140,6 +140,12 @@ def test_bucketed_predictor_input_guard(rng):
     pred = BucketedPredictor(model, params, seq_len=8, buckets=(2,))
     with pytest.raises(ValueError, match="expected"):
         pred(rng.normal(size=(1, 9, 2)), rng.normal(size=(1, 9, 1)))
+    # a 0-row bucket would AOT-compile a useless program and then die
+    # at serve time inside range(); fail at construction instead
+    with pytest.raises(ValueError, match=">= 1"):
+        BucketedPredictor(model, params, seq_len=8, buckets=(0,))
+    with pytest.raises(ValueError, match=">= 1"):
+        BucketedPredictor(model, params, seq_len=8, buckets=(2, -1))
 
 
 def test_bucketed_predictor_chunks_draw_independent_noise(rng):
