@@ -179,6 +179,13 @@ def cmd_export(args) -> int:
                 args.out, model, params, args.batch, args.seq_len,
                 condition=args.condition, platforms=tuple(args.platforms),
             )
+        elif args.kind == "pool":
+            out_meta = export_mod.save_exported_pool(
+                args.out, model, params, capacity=args.capacity,
+                horizons=tuple(args.horizons),
+                replay_buckets=tuple(args.replay_buckets),
+                platforms=tuple(args.platforms),
+            )
         else:
             out_meta = export_mod.save_exported_filter(
                 args.out, model, params, batch=args.batch,
@@ -340,8 +347,9 @@ def cmd_serve(args) -> int:
     or an exported predictor artifact (framework-free program,
     fixed-batch chunking). Endpoints: /healthz, /v1/meta, /v1/stats,
     POST /v1/predict. With ``--filter``: online-estimation sessions
-    (FilterServer over a FilterPool — /v1/sessions lifecycle, trained
-    dirs of streaming models only)."""
+    (FilterServer over a FilterPool — /v1/sessions lifecycle) from a
+    streaming model's trained dir or an exported pool artifact
+    (`export --kind pool`, framework-free)."""
     import json as _json
 
     import jax
@@ -349,30 +357,62 @@ def cmd_serve(args) -> int:
     exported_meta = os.path.join(args.model_dir, "meta.json")
     trained_meta = os.path.join(args.model_dir, "model_meta.json")
     if args.filter:
-        if not os.path.isfile(trained_meta):
-            print("error: --filter serves a trained directory of a "
-                  "streaming model (CBFSSMHALF/Voliro); "
-                  f"{args.model_dir} has no model_meta.json"
-                  + (" (for exported filter artifacts use "
-                     "ExportedFilter in your own loop — the pooled "
-                     "server needs the in-framework model)"
-                     if os.path.isfile(exported_meta) else ""),
-                  file=sys.stderr)
-            return 2
-        loaded = _load_checkpointed_model(args.model_dir, args.checkpoint)
-        if loaded is None:
-            return 2
-        _meta, model, params = loaded
-        from cbfssm_tpu.serving import FilterPool
         from cbfssm_tpu.serving_http import FilterServer
 
-        try:
-            pool = FilterPool(
-                model, params, capacity=args.capacity,
-                replay_buckets=args.replay_buckets or None,
-            )
-        except (TypeError, ValueError) as e:  # no streaming interface
-            print(f"error: {e}", file=sys.stderr)
+        if os.path.isfile(exported_meta):
+            with open(exported_meta) as f:
+                ameta = _json.load(f)
+            if ameta.get("kind") != "filter_pool":
+                print("error: --filter serves a trained directory or an "
+                      "exported POOL artifact (kind 'filter_pool'); "
+                      f"{args.model_dir} is kind "
+                      f"{ameta.get('kind', 'predictor')!r} — re-export "
+                      "with `export --kind pool`"
+                      + (" (for single-session filter artifacts use "
+                         "ExportedFilter in your own loop)"
+                         if ameta.get("kind") == "filter" else ""),
+                      file=sys.stderr)
+                return 2
+            if ameta.get("requires_x64"):
+                jax.config.update("jax_enable_x64", True)  # before arrays
+            if args.capacity != 32 and \
+                    args.capacity != ameta.get("capacity"):
+                print(f"note: capacity is baked into the artifact "
+                      f"({ameta.get('capacity')}); ignoring --capacity",
+                      file=sys.stderr)
+            if args.replay_buckets and sorted(args.replay_buckets) != \
+                    sorted(ameta.get("replay_buckets", [])):
+                print("note: the replay ladder is baked into the "
+                      f"artifact ({ameta.get('replay_buckets', [])}); "
+                      "ignoring --replay-buckets", file=sys.stderr)
+            from cbfssm_tpu.export import ExportedFilterPool
+
+            try:
+                pool = ExportedFilterPool(args.model_dir)
+            except (ValueError, RuntimeError, FileNotFoundError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+        elif os.path.isfile(trained_meta):
+            loaded = _load_checkpointed_model(
+                args.model_dir, args.checkpoint)
+            if loaded is None:
+                return 2
+            _meta, model, params = loaded
+            from cbfssm_tpu.serving import FilterPool
+
+            try:
+                pool = FilterPool(
+                    model, params, capacity=args.capacity,
+                    replay_buckets=args.replay_buckets or None,
+                )
+            except (TypeError, ValueError) as e:  # no streaming interface
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+        else:
+            print("error: --filter serves a trained directory of a "
+                  "streaming model (CBFSSMHALF/Voliro) or an exported "
+                  f"pool artifact; {args.model_dir} has neither "
+                  "model_meta.json nor meta.json", file=sys.stderr)
             return 2
         server = FilterServer(
             pool, args.host, args.port, max_wait_ms=args.max_wait_ms)
@@ -493,7 +533,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory written by Trainer (holds "
                         "model_meta.json + checkpoints)")
     e.add_argument("--out", required=True, help="artifact directory to write")
-    e.add_argument("--kind", choices=["predictor", "filter"],
+    e.add_argument("--kind", choices=["predictor", "filter", "pool"],
                    default="predictor")
     e.add_argument("--checkpoint", choices=["best", "last"], default="best")
     e.add_argument("--batch", type=int, default=1)
@@ -502,10 +542,13 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--condition", action="store_true",
                    help="export the conditioned predict path")
     e.add_argument("--horizons", type=int, nargs="*", default=[],
-                   help="forecast horizons to lower (filter kind only)")
+                   help="forecast horizons to lower (filter/pool kinds)")
     e.add_argument("--replay-buckets", type=int, nargs="*", default=[],
                    help="fused backlog-replay block lengths to lower "
-                        "(filter kind only)")
+                        "(filter/pool kinds)")
+    e.add_argument("--capacity", type=int, default=32,
+                   help="fleet size baked into a pool artifact "
+                        "(pool kind only)")
     e.add_argument("--platforms", nargs="*", default=["cpu", "tpu"],
                    help="backends the artifact must run on")
     e.set_defaults(fn=cmd_export)
@@ -555,8 +598,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microbatcher coalescing window")
     s.add_argument("--filter", action="store_true",
                    help="serve online-estimation sessions (FilterPool "
-                        "over a streaming model's trained dir) instead "
-                        "of free-running prediction")
+                        "over a streaming model's trained dir, or an "
+                        "exported pool artifact) instead of "
+                        "free-running prediction")
     s.add_argument("--capacity", type=int, default=32,
                    help="filter-session pool capacity (--filter only)")
     s.add_argument("--replay-buckets", type=int, nargs="*", default=None,

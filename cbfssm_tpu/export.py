@@ -579,3 +579,18 @@ class ExportedFilter:
         key = jax.random.fold_in(self._base_key, 2**30 + self._t)
         out = self._forecasts[h](self._params, self._ops, self._x, u, key)
         return out["mean"], out["var"]
+
+
+
+def __getattr__(name):
+    # PEP 562 lazy re-export: the fleet-pool artifact pieces live in
+    # cbfssm_tpu.export_pool because their loader subclasses the
+    # production FilterPool — importing them here eagerly would pull
+    # the serving stack into every artifact load, breaking this
+    # module's pinned standalone-load claim
+    # (tests/test_export.py::test_load_does_not_import_model_zoo).
+    if name in ("save_exported_pool", "ExportedFilterPool"):
+        from cbfssm_tpu import export_pool
+
+        return getattr(export_pool, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -677,6 +677,39 @@ class FilterPool:
             for sid in inputs
         }
 
+    def _forecast_compiled(self, h: int):
+        """AOT pool-forecast program for horizon ``h`` (compiled
+        lazily, cached). Overridden by the exported-artifact pool,
+        whose horizons are fixed at export time."""
+        if h not in self._forecast_c:
+            model = self.model
+            dtype = model.dtype
+            fc_fn = lambda p, ops, x, uu, k: model.forecast(p, ops, x, uu, k)
+            if self.mesh is None:
+                fc_jit = jax.jit(fc_fn)
+            else:
+                _, row2, row3 = self._row_shardings
+                rep = self._rep_sharding
+                fc_jit = jax.jit(
+                    fc_fn,
+                    in_shardings=(rep, rep, row3, row3, rep),
+                    out_shardings=(row3, row3),
+                )
+            self._forecast_c[h] = (
+                fc_jit
+                .lower(
+                    self.params, self._ops,
+                    jax.ShapeDtypeStruct(self._x.shape, self._x.dtype),
+                    jax.ShapeDtypeStruct(
+                        (self.capacity, h, model.dim_u), dtype),
+                    jax.ShapeDtypeStruct(
+                        self._base_key.shape, self._base_key.dtype
+                    ),
+                )
+                .compile()
+            )
+        return self._forecast_c[h]
+
     def _replay_compiled(self, k: int):
         """AOT pool-replay program for a K-tick block (cached per
         length): the model's fused scan with a per-(tick, slot) active
@@ -822,30 +855,6 @@ class FilterPool:
                     f"got {u.shape}"
                 )
             u_full[slot] = u
-        if h not in self._forecast_c:
-            fc_fn = lambda p, ops, x, uu, k: model.forecast(p, ops, x, uu, k)
-            if self.mesh is None:
-                fc_jit = jax.jit(fc_fn)
-            else:
-                _, row2, row3 = self._row_shardings
-                rep = self._rep_sharding
-                fc_jit = jax.jit(
-                    fc_fn,
-                    in_shardings=(rep, rep, row3, row3, rep),
-                    out_shardings=(row3, row3),
-                )
-            self._forecast_c[h] = (
-                fc_jit
-                .lower(
-                    self.params, self._ops,
-                    jax.ShapeDtypeStruct(self._x.shape, self._x.dtype),
-                    jax.ShapeDtypeStruct((self.capacity, h, model.dim_u), dtype),
-                    jax.ShapeDtypeStruct(
-                        self._base_key.shape, self._base_key.dtype
-                    ),
-                )
-                .compile()
-            )
         # forecast keys live in a disjoint fold range from step keys
         key = jax.random.fold_in(self._base_key, 2**30 + self._tick)
         u_dev = (
@@ -853,7 +862,7 @@ class FilterPool:
             if self.mesh is None
             else jax.device_put(u_full, self._row_shardings[2])
         )
-        mean, var = self._forecast_c[h](
+        mean, var = self._forecast_compiled(h)(
             self.params, self._ops, self._x, u_dev, key
         )
         mean, var = np.asarray(mean), np.asarray(var)

@@ -1040,7 +1040,9 @@ class FilterServer(_ServerBase):
         model = pool.model
         return {
             "server": "FilterServer",
-            "model": type(model).__name__,
+            # an exported-artifact pool carries the original class
+            # name on its model stand-in
+            "model": getattr(model, "model_class", type(model).__name__),
             "capacity": pool.capacity,
             "active": pool.active,
             "recog_len": int(model.config.recog_len),
