@@ -375,7 +375,7 @@ def cmd_serve(args) -> int:
                 return 2
             if ameta.get("requires_x64"):
                 jax.config.update("jax_enable_x64", True)  # before arrays
-            if args.capacity != 32 and \
+            if args.capacity is not None and \
                     args.capacity != ameta.get("capacity"):
                 print(f"note: capacity is baked into the artifact "
                       f"({ameta.get('capacity')}); ignoring --capacity",
@@ -402,7 +402,8 @@ def cmd_serve(args) -> int:
 
             try:
                 pool = FilterPool(
-                    model, params, capacity=args.capacity,
+                    model, params,
+                    capacity=32 if args.capacity is None else args.capacity,
                     replay_buckets=args.replay_buckets or None,
                 )
             except (TypeError, ValueError) as e:  # no streaming interface
@@ -601,8 +602,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "over a streaming model's trained dir, or an "
                         "exported pool artifact) instead of "
                         "free-running prediction")
-    s.add_argument("--capacity", type=int, default=32,
-                   help="filter-session pool capacity (--filter only)")
+    s.add_argument("--capacity", type=int, default=None,
+                   help="filter-session pool capacity (--filter only; "
+                        "default 32; baked into exported pool artifacts)")
     s.add_argument("--replay-buckets", type=int, nargs="*", default=None,
                    help="AOT backlog-replay chunk ladder (--filter only)")
     s.set_defaults(fn=cmd_serve)

@@ -269,6 +269,75 @@ _F_META = "meta.json"
 _F_STATE = "arrays.npz"
 
 
+def _validate_streaming_model(model, buckets, hint):
+    """Shared pre-write validation for the streaming artifact kinds:
+    nothing may touch the filesystem until the model is exportable."""
+    for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
+        if not hasattr(model, attr):
+            raise TypeError(
+                f"{type(model).__name__} has no streaming interface "
+                f"({attr}); {hint}"
+            )
+    if buckets and not hasattr(model, "filter_replay"):
+        raise TypeError(
+            f"{type(model).__name__} has no filter_replay; export "
+            "without replay_buckets"
+        )
+
+
+def _flatten_streaming_arrays(model, params):
+    """params + the derived filter operators flattened to plain tuples
+    (the artifact calling convention — no custom pytree types on the
+    load side), with matching ShapeDtypeStructs for lowering."""
+    import jax.numpy as jnp
+
+    ops = jax.jit(model.filter_ops)(params)
+    p_flat, p_def = jax.tree_util.tree_flatten(params)
+    o_flat, o_def = jax.tree_util.tree_flatten(ops)
+    p_flat = tuple(jnp.asarray(x) for x in p_flat)
+    o_flat = tuple(jnp.asarray(x) for x in o_flat)
+    p_specs = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in p_flat)
+    o_specs = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in o_flat)
+    return p_flat, p_def, o_flat, o_def, p_specs, o_specs
+
+
+def _write_streaming_arrays(path, p_flat, o_flat):
+    np.savez(
+        os.path.join(path, _F_STATE),
+        **{f"p{i}": np.asarray(x) for i, x in enumerate(p_flat)},
+        **{f"o{i}": np.asarray(x) for i, x in enumerate(o_flat)},
+    )
+
+
+def _streaming_meta(kind, model, key, p_flat, o_flat, horizons, buckets,
+                    plats):
+    """The meta fields shared by the filter and pool artifact kinds —
+    one copy of the requires_x64 rule and the key serialization."""
+    dtype = model.dtype
+    return {
+        "kind": kind,
+        "model_class": type(model).__name__,
+        "recog_len": int(model.config.recog_len),
+        "samples": int(model.samples),
+        "dim_x": int(model.dim_x),
+        "dim_u": int(model.dim_u),
+        "dim_y": int(model.dim_y),
+        "dtype": np.dtype(dtype).name,
+        "n_params": len(p_flat),
+        "n_ops": len(o_flat),
+        "horizons": [int(h) for h in horizons],
+        "replay_buckets": list(buckets),
+        "key_shape": list(key.shape),
+        "key_dtype": np.dtype(key.dtype).name,
+        "key_default": np.asarray(key).tolist(),
+        "requires_x64": np.dtype(dtype).itemsize == 8 or any(
+            np.dtype(x.dtype).itemsize == 8 for x in p_flat + o_flat
+        ),
+        "platforms": list(plats),
+        "jax_version": jax.__version__,
+    }
+
+
 def save_exported_filter(path, model, params, batch=1, *, horizons=(),
                          replay_buckets=(), platforms=("cpu", "tpu"),
                          seed=0):
@@ -288,7 +357,6 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
     backlog over that ladder exactly like
     :meth:`~cbfssm_tpu.serving.StreamingFilter.replay`.
     """
-    import jax.numpy as jnp
     from jax import export as jax_export
 
     from cbfssm_tpu.serving import normalize_replay_ladder
@@ -298,27 +366,14 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
     # corrupt a pre-existing one at the same path, since makedirs is
     # exist_ok) that ExportedFilter would happily load with stale
     # params/meta
-    for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
-        if not hasattr(model, attr):
-            raise TypeError(
-                f"{type(model).__name__} has no streaming interface "
-                f"({attr}); exported filters support CBFSSMHALF and Voliro"
-            )
+    _validate_streaming_model(
+        model, replay_buckets,
+        "exported filters support CBFSSMHALF and Voliro")
     buckets = list(normalize_replay_ladder(replay_buckets or None))
-    if buckets and not hasattr(model, "filter_replay"):
-        raise TypeError(
-            f"{type(model).__name__} has no filter_replay; export "
-            "without replay_buckets or use CBFSSMHALF"
-        )
     dtype = model.dtype
     key = jax.random.PRNGKey(seed)
-    ops = jax.jit(model.filter_ops)(params)
-    p_flat, p_def = jax.tree_util.tree_flatten(params)
-    o_flat, o_def = jax.tree_util.tree_flatten(ops)
-    p_flat = tuple(jnp.asarray(x) for x in p_flat)
-    o_flat = tuple(jnp.asarray(x) for x in o_flat)
-    p_specs = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in p_flat)
-    o_specs = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in o_flat)
+    p_flat, p_def, o_flat, o_def, p_specs, o_specs = (
+        _flatten_streaming_arrays(model, params))
 
     recog_len = int(model.config.recog_len)
     up_spec = jax.ShapeDtypeStruct((batch, recog_len, model.dim_u), dtype)
@@ -376,34 +431,10 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
             f.write(exp(jax.jit(replay_fn), platforms=plats)(
                 p_specs, o_specs, x_spec, uk, yk, key_spec, t0_spec, ak
             ).serialize())
-    np.savez(
-        os.path.join(path, _F_STATE),
-        **{f"p{i}": np.asarray(x) for i, x in enumerate(p_flat)},
-        **{f"o{i}": np.asarray(x) for i, x in enumerate(o_flat)},
-    )
-    meta = {
-        "kind": "filter",
-        "model_class": type(model).__name__,
-        "batch": int(batch),
-        "recog_len": recog_len,
-        "samples": int(model.samples),
-        "dim_x": int(model.dim_x),
-        "dim_u": int(model.dim_u),
-        "dim_y": int(model.dim_y),
-        "dtype": np.dtype(dtype).name,
-        "n_params": len(p_flat),
-        "n_ops": len(o_flat),
-        "horizons": [int(h) for h in horizons],
-        "replay_buckets": buckets,
-        "key_shape": list(key.shape),
-        "key_dtype": np.dtype(key.dtype).name,
-        "key_default": np.asarray(key).tolist(),
-        "requires_x64": np.dtype(dtype).itemsize == 8 or any(
-            np.dtype(x.dtype).itemsize == 8 for x in p_flat + o_flat
-        ),
-        "platforms": plats,
-        "jax_version": jax.__version__,
-    }
+    _write_streaming_arrays(path, p_flat, o_flat)
+    meta = _streaming_meta("filter", model, key, p_flat, o_flat,
+                           horizons, buckets, plats)
+    meta["batch"] = int(batch)
     with open(os.path.join(path, _F_META), "w") as f:
         json.dump(meta, f, indent=1)
     return meta
@@ -458,10 +489,16 @@ class ExportedFilter:
 
     @property
     def state(self):
-        return (None if self._x is None else np.asarray(self._x)), self._t
+        # key included: a standby artifact exported with a different
+        # seed still resumes the primary's exact draw stream
+        return ((None if self._x is None else np.asarray(self._x)),
+                self._t, np.asarray(self._base_key))
 
     def load_state(self, state):
-        x, t = state
+        if len(state) == 2:  # pre-key snapshots keep the export key
+            (x, t), key = state, None
+        else:
+            x, t, key = state
         if x is not None:
             m = self.meta
             x = np.asarray(x, dtype=np.dtype(m["dtype"]))
@@ -470,6 +507,16 @@ class ExportedFilter:
                 raise ValueError(
                     f"ensemble must be {want} for this filter, got {x.shape}"
                 )
+        if key is not None:
+            key = np.asarray(key)
+            cur = np.asarray(self._base_key)
+            if (key.shape, key.dtype) != (cur.shape, cur.dtype):
+                raise ValueError(
+                    f"snapshot key has shape/dtype "
+                    f"{(key.shape, key.dtype)}, expected "
+                    f"{(cur.shape, cur.dtype)}"
+                )
+            self._base_key = key
         self._x = x
         self._t = int(t)
 

@@ -39,8 +39,16 @@ import os
 import jax
 import numpy as np
 
-from cbfssm_tpu.export import _artifact_base_key, _load_artifact_meta
-from cbfssm_tpu.export import _F_META, _F_STATE
+from cbfssm_tpu.export import (
+    _F_META,
+    _F_STATE,
+    _artifact_base_key,
+    _flatten_streaming_arrays,
+    _load_artifact_meta,
+    _streaming_meta,
+    _validate_streaming_model,
+    _write_streaming_arrays,
+)
 from cbfssm_tpu.serving import FilterPool
 
 _FP_INIT = "pool_init.jaxexp"
@@ -83,30 +91,17 @@ def save_exported_pool(path, model, params, capacity, *, horizons=(),
 
     # validate EVERYTHING before the first file write (same rationale
     # as save_exported_filter: no half-written / stale-mixed artifacts)
-    for attr in ("filter_ops", "filter_init", "filter_step", "forecast"):
-        if not hasattr(model, attr):
-            raise TypeError(
-                f"{type(model).__name__} has no streaming interface "
-                f"({attr}); exported pools support CBFSSMHALF and Voliro"
-            )
+    _validate_streaming_model(
+        model, replay_buckets,
+        "exported pools support CBFSSMHALF and Voliro")
     buckets = list(normalize_replay_ladder(replay_buckets or None))
-    if buckets and not hasattr(model, "filter_replay"):
-        raise TypeError(
-            f"{type(model).__name__} has no filter_replay; export "
-            "without replay_buckets"
-        )
     capacity = int(capacity)
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     dtype = model.dtype
     key = jax.random.PRNGKey(seed)
-    ops = jax.jit(model.filter_ops)(params)
-    p_flat, p_def = jax.tree_util.tree_flatten(params)
-    o_flat, o_def = jax.tree_util.tree_flatten(ops)
-    p_flat = tuple(jnp.asarray(x) for x in p_flat)
-    o_flat = tuple(jnp.asarray(x) for x in o_flat)
-    p_specs = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in p_flat)
-    o_specs = tuple(jax.ShapeDtypeStruct(x.shape, x.dtype) for x in o_flat)
+    p_flat, p_def, o_flat, o_def, p_specs, o_specs = (
+        _flatten_streaming_arrays(model, params))
 
     recog_len = int(model.config.recog_len)
     u1 = jax.ShapeDtypeStruct((1, recog_len, model.dim_u), dtype)
@@ -169,34 +164,10 @@ def save_exported_pool(path, model, params, capacity, *, horizons=(),
             f.write(exp(jax.jit(replay_fn), platforms=plats)(
                 p_specs, o_specs, x_spec, uk, yk, ak, key_spec, t0_spec
             ).serialize())
-    np.savez(
-        os.path.join(path, _F_STATE),
-        **{f"p{i}": np.asarray(x) for i, x in enumerate(p_flat)},
-        **{f"o{i}": np.asarray(x) for i, x in enumerate(o_flat)},
-    )
-    meta = {
-        "kind": "filter_pool",
-        "model_class": type(model).__name__,
-        "capacity": capacity,
-        "recog_len": recog_len,
-        "samples": int(model.samples),
-        "dim_x": int(model.dim_x),
-        "dim_u": int(model.dim_u),
-        "dim_y": int(model.dim_y),
-        "dtype": np.dtype(dtype).name,
-        "n_params": len(p_flat),
-        "n_ops": len(o_flat),
-        "horizons": [int(h) for h in horizons],
-        "replay_buckets": buckets,
-        "key_shape": list(key.shape),
-        "key_dtype": np.dtype(key.dtype).name,
-        "key_default": np.asarray(key).tolist(),
-        "requires_x64": np.dtype(dtype).itemsize == 8 or any(
-            np.dtype(x.dtype).itemsize == 8 for x in p_flat + o_flat
-        ),
-        "platforms": plats,
-        "jax_version": jax.__version__,
-    }
+    _write_streaming_arrays(path, p_flat, o_flat)
+    meta = _streaming_meta("filter_pool", model, key, p_flat, o_flat,
+                           horizons, buckets, plats)
+    meta["capacity"] = capacity
     with open(os.path.join(path, _F_META), "w") as f:
         json.dump(meta, f, indent=1)
     return meta
@@ -239,7 +210,6 @@ class ExportedFilterPool(FilterPool):
     """
 
     def __init__(self, path):
-        import jax.numpy as jnp
         from jax import export as jax_export
 
         self.meta = _load_artifact_meta(
@@ -276,14 +246,7 @@ class ExportedFilterPool(FilterPool):
             for k in m.get("replay_buckets", ())
         }
         self._replay_buckets = tuple(sorted(self._replay_c))
-        self._x = jnp.zeros(
-            (self.capacity, self.model.samples, self.model.dim_x),
-            self.model.dtype,
-        )
-        self._slots: dict = {}
-        self._free = list(range(self.capacity - 1, -1, -1))
-        self._next_sid = 0
-        self._tick = 0
+        self._init_host_state()  # the base class's empty-fleet state
 
     def _forecast_compiled(self, h: int):
         try:

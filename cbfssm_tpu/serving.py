@@ -257,11 +257,18 @@ class StreamingFilter:
 
     @property
     def state(self):
-        """(ensemble [B, S, dx], step counter) — serializable."""
-        return (None if self._x is None else np.asarray(self._x)), self._t
+        """(ensemble [B, S, dx], step counter, base PRNG key) — all
+        serializable. The key rides along so a standby constructed
+        with a DIFFERENT seed still resumes the primary's exact draw
+        stream (keys fold from base by step counter)."""
+        return ((None if self._x is None else np.asarray(self._x)),
+                self._t, np.asarray(self._base_key))
 
     def load_state(self, state) -> None:
-        x, t = state
+        if len(state) == 2:  # pre-key snapshots: keep this seed's key
+            (x, t), key = state, None
+        else:
+            x, t, key = state
         if x is not None:
             x = jnp.asarray(x, self.model.dtype)
             want = (self.batch, self.model.samples, self.model.dim_x)
@@ -272,8 +279,25 @@ class StreamingFilter:
                 raise ValueError(
                     f"ensemble must be {want} for this filter, got {x.shape}"
                 )
+        self._base_key = self._restore_key(key, self._base_key)
         self._x = x
         self._t = int(t)
+
+    @staticmethod
+    def _restore_key(key, current):
+        """Validated key restore shared by the failover loaders: None
+        (legacy snapshot) keeps the instance's own key; otherwise the
+        snapshot's key must match the compiled key spec exactly."""
+        if key is None:
+            return current
+        key = np.asarray(key)
+        want = (np.asarray(current).shape, np.asarray(current).dtype)
+        if (key.shape, key.dtype) != want:
+            raise ValueError(
+                f"snapshot key has shape/dtype {(key.shape, key.dtype)}, "
+                f"expected {want}"
+            )
+        return key
 
     def _require_started(self):
         if self._x is None:
@@ -573,8 +597,16 @@ class FilterPool:
             # AOT: failover-time compiles are unaffordable
             self._replay_compiled(k)
 
+        self._init_host_state()
+
+    def _init_host_state(self) -> None:
+        """Empty-fleet host state. ONE place on purpose: the artifact
+        loader (export_pool.ExportedFilterPool) builds its instance
+        without this constructor and calls this instead — a new host
+        field added here reaches both pools automatically."""
+        m = self.model
         self._x = self._commit_x(
-            jnp.zeros((self.capacity, model.samples, model.dim_x), dtype)
+            jnp.zeros((self.capacity, m.samples, m.dim_x), m.dtype)
         )
         self._slots: dict = {}  # sid -> slot
         self._free = list(range(self.capacity - 1, -1, -1))  # pop() -> slot 0 first
@@ -875,14 +907,20 @@ class FilterPool:
 
     @property
     def state(self):
-        """(ensemble [C, S, dx], tick, {sid: slot}, next_sid) — all
-        host values, serializable."""
+        """(ensemble [C, S, dx], tick, {sid: slot}, next_sid, base PRNG
+        key) — all host values, serializable. The key rides along so a
+        standby constructed with a DIFFERENT seed still resumes the
+        primary's exact draw stream (keys fold from base by tick)."""
         return (
-            np.asarray(self._x), self._tick, dict(self._slots), self._next_sid,
+            np.asarray(self._x), self._tick, dict(self._slots),
+            self._next_sid, np.asarray(self._base_key),
         )
 
     def load_state(self, state) -> None:
-        x, tick, slots, next_sid = state
+        if len(state) == 4:  # pre-key snapshots: keep this seed's key
+            (x, tick, slots, next_sid), key = state, None
+        else:
+            x, tick, slots, next_sid, key = state
         if np.asarray(x).shape != self._x.shape:
             raise ValueError(
                 f"state ensemble shape {np.asarray(x).shape} != pool "
@@ -924,6 +962,7 @@ class FilterPool:
                 f"state next_sid {int(next_sid)} collides with live "
                 f"session ids (max {max(int(s) for s in slots)})"
             )
+        self._base_key = StreamingFilter._restore_key(key, self._base_key)
         self._x = self._commit_x(jnp.asarray(x, self.model.dtype))
         self._tick = int(tick)
         self._slots = slots

@@ -938,8 +938,11 @@ class FilterServer(_ServerBase):
     Error mapping: bad shapes/JSON 400, unknown session 404, oversized
     body 413, pool full or shutting down 503. The /v1/state snapshot is
     the pool's host-serializable state (ensemble as nested lists, tick,
-    session table) — POST it to a standby FilterServer for exact
-    failover (same contract as ``FilterPool.load_state``, pinned there).
+    session table, PRNG base key) — POST it to a standby FilterServer
+    for exact failover even when the standby was constructed with a
+    different seed (same contract as ``FilterPool.load_state``, pinned
+    there; snapshots from pre-key builds restore with the standby's
+    own key).
     For production capacities use the binary form
     (:func:`get_state_npz` / :func:`post_state_npz`): the ensemble ships
     as an .npz archive instead of JSON float text, which is the measured
@@ -958,12 +961,16 @@ class FilterServer(_ServerBase):
 
     @staticmethod
     def _encode_state(state) -> dict:
-        x, tick, slots, next_sid = state
+        x, tick, slots, next_sid, key = state
         x = np.asarray(x)
+        key = np.asarray(key)
         return {
             "x": x.tolist(), "dtype": x.dtype.name, "tick": int(tick),
             "slots": {str(sid): int(slot) for sid, slot in slots.items()},
             "next_sid": int(next_sid),
+            # the PRNG base key: a standby with a different seed still
+            # resumes the primary's exact draw stream
+            "key": key.tolist(), "key_dtype": key.dtype.name,
         }
 
     @staticmethod
@@ -976,19 +983,24 @@ class FilterServer(_ServerBase):
             # keys are already collapsed by json.loads upstream; this
             # catches the detectable alias class)
             raise ValueError("duplicate session ids in snapshot")
-        return (
+        state = (
             np.asarray(obj["x"], dtype=np.dtype(obj["dtype"])),
             int(obj["tick"]),
             slots,
             int(obj["next_sid"]),
         )
+        if "key" in obj:  # pre-key snapshots: 4-tuple keeps pool's key
+            state += (np.asarray(
+                obj["key"], dtype=np.dtype(obj.get("key_dtype", "uint32"))
+            ),)
+        return state
 
     @staticmethod
     def _encode_state_npz(state) -> dict:
         """The snapshot as pure arrays for np.savez: the ensemble keeps
         its dtype natively (no ``dtype`` side-field), the session table
         becomes two parallel int64 vectors."""
-        x, tick, slots, next_sid = state
+        x, tick, slots, next_sid, key = state
         n = len(slots)
         return {
             "x": np.asarray(x),
@@ -996,6 +1008,7 @@ class FilterServer(_ServerBase):
             "slot_sids": np.fromiter(slots.keys(), np.int64, count=n),
             "slot_rows": np.fromiter(slots.values(), np.int64, count=n),
             "next_sid": np.int64(next_sid),
+            "base_key": np.asarray(key),
         }
 
     @staticmethod
@@ -1010,12 +1023,15 @@ class FilterServer(_ServerBase):
             # corrupt session table with 200 OK. (_decode_state guards
             # the JSON form's aliased-key equivalent.)
             raise ValueError("duplicate session ids in snapshot")
-        return (
+        state = (
             np.asarray(obj["x"]),
             int(obj["tick"]),
             {int(s): int(v) for s, v in zip(sids, rows)},
             int(obj["next_sid"]),
         )
+        if "base_key" in obj:  # pre-key snapshots keep the pool's key
+            state += (np.asarray(obj["base_key"]),)
+        return state
 
     @property
     def state_body_limit(self) -> int:

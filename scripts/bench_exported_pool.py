@@ -67,10 +67,15 @@ def main():
                     for s in sids}
 
         # warmup: compile + one-time staging; also the first equality
+        def pair_err(a, b):
+            # BOTH output channels: a var-only divergence must not
+            # hide behind a clean mean
+            return max(float(np.max(np.abs(a[s][c] - b[s][c])))
+                       for s in sids for c in (0, 1))
+
         first = tick()
         o1, o2 = pool.step(first), epool.step(first)
-        rel = max(float(np.max(np.abs(o1[s][0] - o2[s][0])))
-                  for s in sids)
+        rel = pair_err(o1, o2)
 
         ticks = [tick() for _ in range(TICKS)]
         t0 = time.perf_counter()
@@ -79,14 +84,14 @@ def main():
         t0 = time.perf_counter()
         outs_a = [epool.step(t) for t in ticks]  # SAME ticks: lockstep
         ta = (time.perf_counter() - t0) / TICKS
-        rel = max(rel, max(
-            float(np.max(np.abs(a[s][0] - b[s][0])))
-            for a, b in zip(outs_f, outs_a) for s in sids))
+        rel = max(rel, max(pair_err(a, b)
+                           for a, b in zip(outs_f, outs_a)))
 
         blk = {sids[0]: (rng.normal(size=(16, du)),
                          rng.normal(size=(16, dy)))}
         r1, r2 = pool.replay(blk), epool.replay(blk)
-        rel_rp = float(np.max(np.abs(r1[sids[0]][0] - r2[sids[0]][0])))
+        rel_rp = max(float(np.max(np.abs(r1[sids[0]][c] - r2[sids[0]][c])))
+                     for c in (0, 1))
 
     out = {
         "shape": f"cbfssmhalf_fleet{CAPACITY}_S{model.samples}"

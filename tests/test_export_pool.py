@@ -119,9 +119,18 @@ def test_exported_pool_failover_both_directions(mp, artifact, rng):
     o1, o2 = standby.step(step), back.step(step)
     np.testing.assert_array_equal(o1[sid][0], o2[sid][0])
     # inherited snapshot validation (the pinned FilterPool rules)
-    x, tick, slots, _ = standby.state
+    x, tick, slots, _next, _key = standby.state
     with pytest.raises(ValueError, match="next_sid"):
         ExportedFilterPool(path).load_state((x, tick, slots, max(slots)))
+
+    # cross-seed failover is exact: the snapshot carries the base key,
+    # so a pool built with a DIFFERENT seed resumes the primary's draw
+    # stream (this is the case that silently diverged pre-key)
+    other = FilterPool(model, params, capacity=3, seed=99)
+    other.load_state(standby.state)
+    step = {sid: (rng.normal(size=(DU,)), rng.normal(size=(DY,)))}
+    o1, o2 = standby.step(step), other.step(step)
+    np.testing.assert_array_equal(o1[sid][0], o2[sid][0])
 
 
 def test_exported_pool_guards(mp, artifact, tmp_path, rng):

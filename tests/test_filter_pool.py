@@ -209,7 +209,7 @@ def test_state_roundtrip(mp, rng):
         FilterPool(model, params, capacity=3, seed=0).load_state(snapshot)
     # a corrupt session table fails fast, not by silently cross-wiring
     # two sessions onto one ensemble row (or a later bare IndexError)
-    x, tick, slots, next_sid = snapshot
+    x, tick, slots, next_sid, _key = snapshot
     dup = dict(slots)
     dup[a] = dup[b]
     with pytest.raises(ValueError, match="one slot"):

@@ -634,10 +634,11 @@ def test_state_npz_codec_roundtrip(rng):
     and handle the empty session table."""
     from cbfssm_tpu.serving_http import FilterServer
 
+    key = np.asarray([3, 4], np.uint32)
     for dtype in (np.float32, np.float64):
         for slots in ({}, {7: 0, 3: 1}):
             state = (rng.normal(size=(2, 3, 4)).astype(dtype), 11,
-                     slots, 9)
+                     slots, 9, key)
             buf = io.BytesIO()
             np.savez(buf, **FilterServer._encode_state_npz(state))
             buf.seek(0)
@@ -646,10 +647,12 @@ def test_state_npz_codec_roundtrip(rng):
                     {k: z[k] for k in z.files})
             np.testing.assert_array_equal(got[0], state[0])
             assert got[0].dtype == dtype
-            assert got[1:] == state[1:]
+            assert got[1:4] == state[1:4]
+            np.testing.assert_array_equal(got[4], key)
+            assert got[4].dtype == key.dtype  # PRNG key survives natively
     # corrupt table: ragged sid/row vectors must be refused
     bad = FilterServer._encode_state_npz(
-        (np.zeros((1, 1, 1)), 0, {1: 0}, 2))
+        (np.zeros((1, 1, 1)), 0, {1: 0}, 2, key))
     bad["slot_rows"] = np.zeros(2, np.int64)
     with pytest.raises(ValueError, match="mismatch"):
         FilterServer._decode_state_npz(bad)
@@ -657,7 +660,7 @@ def test_state_npz_codec_roundtrip(rng):
     # the parallel-vector encoding can carry them) must be refused, not
     # silently collapsed into a dict that drops a session mapping
     dup = FilterServer._encode_state_npz(
-        (np.zeros((2, 1, 1)), 0, {5: 0, 6: 1}, 7))
+        (np.zeros((2, 1, 1)), 0, {5: 0, 6: 1}, 7, key))
     dup["slot_sids"] = np.array([5, 5], np.int64)
     with pytest.raises(ValueError, match="duplicate"):
         FilterServer._decode_state_npz(dup)

@@ -84,9 +84,9 @@ def test_streaming_filter_end_to_end(setup):
     fmean, fvar = f.forecast(np.zeros((2, 5, 2)))
     assert fmean.shape == (2, 5, 1) and np.isfinite(np.asarray(fmean)).all()
     # forecast must not advance the filter state
-    x_before, t_before = f.state
+    x_before, t_before, _key = f.state
     f.forecast(np.zeros((2, 5, 2)))
-    x_after, t_after = f.state
+    x_after, t_after, _key = f.state
     np.testing.assert_array_equal(x_before, x_after)
     assert t_before == t_after
 
@@ -100,12 +100,23 @@ def test_streaming_filter_state_roundtrip(setup):
     f1.update(u[:, 3], y[:, 4])
     saved = f1.state
 
-    f2 = StreamingFilter(model, params, batch=2)
+    # the standby was built with a DIFFERENT seed: the snapshot carries
+    # the base key, so the resumed draw stream is still the primary's
+    # (this case silently diverged before the key rode along)
+    f2 = StreamingFilter(model, params, batch=2, seed=99)
     f2.load_state(saved)
     m1, v1 = f1.update(u[:, 4], y[:, 5])
     m2, v2 = f2.update(u[:, 4], y[:, 5])
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    # legacy 2-tuple snapshots (pre-key) still load, keeping own key
+    f3 = StreamingFilter(model, params, batch=2)
+    f3.load_state((saved[0], saved[1]))
+    m3, _ = f3.update(u[:, 4], y[:, 5])
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m3))
+    # a malformed key is refused, not silently folded
+    with pytest.raises(ValueError, match="snapshot key"):
+        f3.load_state((saved[0], saved[1], np.zeros((7,), np.float32)))
 
 
 def test_streaming_rejects_models_without_interface(setup):
