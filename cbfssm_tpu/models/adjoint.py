@@ -276,10 +276,12 @@ def backward_step(cache_b, var_x_h, dims, gp_predict):
         )
         gp_in = jnp.concatenate(
             (jnp.broadcast_to(h_in, (n_runs, k_blk, b, s, dh)), uy), axis=-1
-        ).reshape(n_runs * k_blk * b * s, -1)
-        fmean, fvar = gp_predict(cache_b, gp_in)
-        fmean = fmean.reshape(n_runs, k_blk, b, s, dh) + h_in
-        fvar = fvar.reshape(n_runs, k_blk, b, s, dh) + var_x_h
+        )  # [2, K, B, S, dh+duy]
+        # batch-major flatten: keeps the GP matmul rows sharded on a
+        # data mesh (see gp.predict_rows); bitwise = layout flatten
+        fmean, fvar = gp.predict_rows(gp_predict, cache_b, gp_in, 2)
+        fmean = fmean + h_in
+        fvar = fvar + var_x_h
         out = fmean + eps_t * jnp.sqrt(fvar)
         ent_t = 0.5 * jnp.sum(LOG_2PI_E + jnp.log(fvar), axis=(3, 4))  # [2,K,B]
         return out, (out, ent_t)

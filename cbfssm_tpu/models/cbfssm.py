@@ -151,10 +151,12 @@ class CBFSSM(BaseSSM):
                 jnp.concatenate((u_t, y_t), axis=-1)[None, :, None, :],
                 (2, b, s, self.dim_u + self.dim_y),
             )
-            gp_in = jnp.concatenate((h_in, uy), axis=-1).reshape(2 * b * s, -1)
-            fmean, fvar = self._gp_predict(cache_b, gp_in)
-            fmean = fmean.reshape(2, b, s, dh) + h_in  # residual transition
-            fvar = fvar.reshape(2, b, s, dh) + var_x[:dh]
+            gp_in = jnp.concatenate((h_in, uy), axis=-1)  # [2, B, S, dx+duy]
+            # batch-major flatten: keeps the GP matmul rows sharded on a
+            # data mesh (see gp.predict_rows); bitwise = layout flatten
+            fmean, fvar = gp.predict_rows(self._gp_predict, cache_b, gp_in, 1)
+            fmean = fmean + h_in  # residual transition
+            fvar = fvar + var_x[:dh]
             out = fmean + eps_t * jnp.sqrt(fvar)
             y2_t = jnp.where(w0_t, out[0], out[1])  # writing run's sample
             ent_run = 0.5 * jnp.sum(LOG_2PI_E + jnp.log(fvar), axis=(2, 3))  # [2, B]

@@ -198,6 +198,37 @@ def predict(cache: GPCache, xnew, precision=None):
     return fmean, fvar
 
 
+def predict_rows(predict_fn, cache, gp_in, batch_axis: int):
+    """Row-wise predict over an N-D input, flattened with the window
+    -batch axis MAJOR-most: ``gp_in [..., B, ..., d] -> rows [B*rest, d]
+    -> predict -> [..., B, ..., D]``.
+
+    Why the axis shuffle exists: GP predict is row-independent, so the
+    flatten order is semantically free — but it is NOT free to the SPMD
+    partitioner. XLA can only keep a reshape-merged dimension sharded
+    when the sharded axis is the major-most axis of the merged group.
+    CBFSSM's recognition pass carries a leading run axis ([2, B, S, d];
+    [2, K, B, S, d] blocked), so the layout-order flatten
+    ``reshape(2*B*S, d)`` forced an all-gather of the batch shards and
+    REPLICATED every GP matmul on every device of a data mesh (found by
+    the round-5 collective-census audit; pinned in
+    tests/test_collective_census.py). Flattening batch-major keeps the
+    row dimension sharded end-to-end.
+
+    Bitwise identical per element to the layout-order flatten on any
+    single device: moveaxis/reshape are pure permutations and every
+    predict row is the same dot products either way.
+    """
+    moved = jnp.moveaxis(gp_in, batch_axis, 0)
+    shape = moved.shape
+    fmean, fvar = predict_fn(cache, moved.reshape(-1, shape[-1]))
+
+    def unflatten(a):
+        return jnp.moveaxis(a.reshape(shape[:-1] + (a.shape[-1],)), 0, batch_axis)
+
+    return unflatten(fmean), unflatten(fvar)
+
+
 def predict_fast(cache: GPCache, xnew):
     """Like :func:`predict` but through the fused Pallas TPU kernel
     (single-kernel forward; analytic custom VJP). Falls back to the same
