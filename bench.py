@@ -334,7 +334,7 @@ def _emit_json(results, error=None, stage=None):
     if error is not None:
         payload["error"] = str(error)[:500]
         payload["stage"] = stage
-    if error is not None or results.get("degraded_link"):
+    if error is not None or results.get("degraded_link") or results.get("below_band"):
         last = _last_green()
         if last is not None:
             # keep the perf record visible even in a full-round outage
@@ -344,6 +344,8 @@ def _emit_json(results, error=None, stage=None):
             payload["last_green"] = last
     for key in (
         "degraded_link",
+        "below_band",
+        "band",
         "baseline_estimated",
         "steps_per_sec_300_per_dispatch",
         "trainer_blocked_steps_per_sec",
@@ -380,6 +382,35 @@ def _last_green():
         return None
 
 
+def _band(window=10, min_entries=3):
+    """Healthy-performance band from the trailing non-degraded history:
+    median headline of the last ``window`` green entries. The fixed
+    150 steps/sec floor only catches catastrophic (~4x) degradation;
+    the committed history showed -23% runs recorded green (r4 verdict
+    weak #2). Returns {"median": .., "n": ..} or None when fewer than
+    ``min_entries`` green entries exist (fresh clone / new metric)."""
+    try:
+        with open(_history_path()) as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        values = []
+        for line in lines:
+            entry = json.loads(line)
+            if entry.get("degraded") or not isinstance(
+                entry.get("value"), (int, float)
+            ):
+                continue
+            values.append(float(entry["value"]))
+        values = values[-window:]
+        if len(values) < min_entries:
+            return None
+        return {"median": round(float(np.median(values)), 2), "n": len(values)}
+    except (OSError, ValueError):
+        return None
+
+
+BAND_FRACTION = 0.8  # below 80% of the trailing median -> below_band
+
+
 def _run_issues(results, headline_only):
     """Ways a run that reached the emit stage can still be degraded —
     recorded in its history entry so _last_green never cites it."""
@@ -395,6 +426,11 @@ def _run_issues(results, headline_only):
         # every number in the run was timed through a slow tunnel
         # window; keep it out of _last_green
         issues.append("degraded_link")
+    if results.get("below_band"):
+        # chronically-degraded tier: above the catastrophic floor but
+        # below BAND_FRACTION of the trailing green median after
+        # retries — recorded, labeled, never cited by _last_green
+        issues.append("below_band")
     for name, shape in sorted((results.get("shapes") or {}).items()):
         if "error" in shape:
             issues.append(f"shape_error:{name}")
@@ -633,12 +669,23 @@ def _run_stages(stage, results):
     # emitted JSON cites the last green history entry, and the history
     # entry is marked degraded so _last_green never cites it.
     retries = int(os.environ.get("CBFSSM_BENCH_SLOW_RETRIES", 3))
+    # Two-tier bar: the fixed 150 steps/sec floor catches catastrophic
+    # (~4x) outage windows; the band bar — BAND_FRACTION of the trailing
+    # green-history median — catches the chronic ~20-50%-slow windows
+    # the fixed floor recorded green (r4 verdict weak #2). Both tiers
+    # share the retry machinery; a run still under a bar after retries
+    # is labeled (degraded_link / below_band) so _last_green skips it.
+    band = _band()
+    band_bar = band["median"] * BAND_FRACTION if band else None
+    if band:
+        results["band"] = dict(band, threshold=round(band_bar, 2))
+    retry_bar = max(150.0, band_bar or 0.0)
     for attempt in range(retries):
-        if sps >= 150.0:
+        if sps >= retry_bar:
             break
         print(
-            f"suspiciously low {sps:.1f} steps/sec; retry "
-            f"{attempt + 1}/{retries} after 90s",
+            f"suspiciously low {sps:.1f} steps/sec (bar {retry_bar:.1f}); "
+            f"retry {attempt + 1}/{retries} after 90s",
             file=sys.stderr, flush=True,
         )
         time.sleep(90.0)
@@ -649,6 +696,14 @@ def _run_stages(stage, results):
         print(
             f"link still degraded after {retries} retries "
             f"({sps:.1f} steps/sec); labeling run degraded_link",
+            file=sys.stderr, flush=True,
+        )
+    elif band_bar is not None and sps < band_bar:
+        results["below_band"] = True
+        print(
+            f"headline {sps:.1f} below band "
+            f"({BAND_FRACTION:.0%} of trailing median {band['median']}) "
+            f"after {retries} retries; labeling run below_band",
             file=sys.stderr, flush=True,
         )
     from scripts.profile_mfu import V5E_PEAK_BF16

@@ -370,3 +370,85 @@ def test_error_payload_carries_last_green(tmp_path, monkeypatch, capsys):
     payload = bench._emit_json({}, error="outage", stage="backend-probe")
     capsys.readouterr()
     assert "last_green" not in payload
+
+
+def test_band_from_trailing_green_history(tmp_path, monkeypatch):
+    """_band: median of trailing green entries; degraded entries and
+    short histories are excluded (r4 verdict weak #2)."""
+    import bench
+
+    path = tmp_path / "hist.jsonl"
+    monkeypatch.setattr(bench, "_history_path", lambda: str(path))
+    # no file yet
+    assert bench._band() is None
+    for v in (600.0, 610.0, 620.0):
+        bench._append_history({"value": v}, path=str(path))
+    # degraded entries must not drag the band down
+    bench._append_history({"value": 150.0, "degraded": ["degraded_link"]},
+                          path=str(path))
+    band = bench._band()
+    assert band == {"median": 610.0, "n": 3}
+    # window: only the trailing `window` green entries count
+    for v in (700.0,) * 10:
+        bench._append_history({"value": v}, path=str(path))
+    assert bench._band(window=10) == {"median": 700.0, "n": 10}
+    # below min_entries -> None (fresh metric must not self-judge)
+    assert bench._band(min_entries=99) is None
+
+
+def test_below_band_run_is_labeled_and_skipped(tmp_path, monkeypatch, capsys):
+    """End-to-end labeling: a headline above the fixed floor but below
+    80% of the trailing median retries, then records below_band — and
+    _last_green never cites it."""
+    import json as _json
+
+    import bench
+
+    path = tmp_path / "hist.jsonl"
+    monkeypatch.setattr(bench, "_history_path", lambda: str(path))
+    for v in (600.0, 610.0, 620.0):
+        bench._append_history({"value": v}, path=str(path))
+
+    sleeps = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.setattr(bench, "measure", lambda *a, **k: 400.0)
+    monkeypatch.setattr(bench, "cpu_baseline", lambda: (10.0, False))
+    monkeypatch.setenv("CBFSSM_BENCH_HEADLINE_ONLY", "1")
+    stage, results = {"name": "s"}, {}
+    bench._run_stages(stage, results)
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert sleeps, "a below-band first reading must trigger the retries"
+    assert payload["value"] == 400.0
+    assert payload["below_band"] is True
+    assert payload["band"] == {"median": 610.0, "n": 3, "threshold": 488.0}
+    # the diagnostic context rides along, and the history entry is
+    # labeled so the band and _last_green never absorb it
+    assert payload["last_green"]["value"] == 620.0
+    entry = _json.loads(path.read_text().splitlines()[-1])
+    assert "below_band" in entry["degraded"]
+    assert bench._last_green()["value"] == 620.0
+    assert bench._band() == {"median": 610.0, "n": 3}
+
+
+def test_in_band_run_stays_green(tmp_path, monkeypatch, capsys):
+    import json as _json
+
+    import bench
+
+    path = tmp_path / "hist.jsonl"
+    monkeypatch.setattr(bench, "_history_path", lambda: str(path))
+    for v in (600.0, 610.0, 620.0):
+        bench._append_history({"value": v}, path=str(path))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: (_ for _ in ()).throw(
+        AssertionError("in-band run must not retry")))
+    monkeypatch.setattr(bench, "measure", lambda *a, **k: 590.0)
+    monkeypatch.setattr(bench, "cpu_baseline", lambda: (10.0, False))
+    monkeypatch.setenv("CBFSSM_BENCH_HEADLINE_ONLY", "1")
+    bench._run_stages({"name": "s"}, {})
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "below_band" not in payload
+    assert payload["band"]["median"] == 610.0
+    entry = _json.loads(path.read_text().splitlines()[-1])
+    # headline-only is still a partial record; band labels are separate
+    assert entry["degraded"] == ["headline_only"]
