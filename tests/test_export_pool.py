@@ -46,6 +46,24 @@ def _prefix(rng):
     return rng.normal(size=(RECOG, DU)), rng.normal(size=(RECOG, DY))
 
 
+def test_pool_meta_format_version_gate(mp, tmp_path):
+    """Pool artifacts carry the same format_version stamp/gate as
+    predictors (shared _load_artifact_meta; r4 verdict weak #5)."""
+    from cbfssm_tpu.export import FORMAT_VERSION
+
+    model, params = mp
+    path = str(tmp_path / "pool_v")
+    meta = save_exported_pool(path, model, params, capacity=2,
+                              replay_buckets=(4,), platforms=("cpu",))
+    assert meta["format_version"] == FORMAT_VERSION
+    meta_path = os.path.join(path, "meta.json")
+    on_disk = json.load(open(meta_path))
+    on_disk["format_version"] = FORMAT_VERSION + 1
+    json.dump(on_disk, open(meta_path, "w"))
+    with pytest.raises(RuntimeError, match="re-export"):
+        ExportedFilterPool(path)
+
+
 def test_exported_pool_lockstep_with_filter_pool(mp, artifact, rng):
     """Every pool operation — attach, masked step (one session holds),
     forecast, ragged fused replay, detach + slot-reusing reattach —
