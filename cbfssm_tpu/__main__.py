@@ -340,6 +340,25 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def _resolve_auth_token(args):
+    """--auth-token beats the CBFSSM_AUTH_TOKEN env var (the env form
+    keeps the secret off `ps` output); empty string means open. Warns
+    when a non-loopback bind goes up without a token — the documented
+    failover story (docs/SERVING.md) ships fleet state over this
+    surface."""
+    token = args.auth_token
+    if token is None:
+        token = os.environ.get("CBFSSM_AUTH_TOKEN") or None
+    if not token:
+        token = None
+    if token is None and args.host not in ("127.0.0.1", "localhost", "::1"):
+        print("warning: non-loopback bind without --auth-token / "
+              "CBFSSM_AUTH_TOKEN — any peer that can reach the port can "
+              "mutate serving state (see docs/SERVING.md 'Deployment "
+              "posture')", file=sys.stderr)
+    return token
+
+
 def cmd_serve(args) -> int:
     """Reference HTTP transport (serving_http.py): microbatched
     free-running prediction over stdlib HTTP, from either a trained
@@ -416,7 +435,8 @@ def cmd_serve(args) -> int:
                   "model_meta.json nor meta.json", file=sys.stderr)
             return 2
         server = FilterServer(
-            pool, args.host, args.port, max_wait_ms=args.max_wait_ms)
+            pool, args.host, args.port, max_wait_ms=args.max_wait_ms,
+            auth_token=_resolve_auth_token(args))
         m = server.meta()
         banner = (f"serving {m['model']} filter sessions (capacity "
                   f"{m['capacity']}, recog_len {m['recog_len']}, dim_u "
@@ -467,6 +487,7 @@ def cmd_serve(args) -> int:
     server = PredictionServer(
         pred, args.host, args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+        auth_token=_resolve_auth_token(args),
     )
     m = server.meta()
     banner = (f"serving {m['predictor']} (seq_len {m['seq_len']}, "
@@ -607,6 +628,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "default 32; baked into exported pool artifacts)")
     s.add_argument("--replay-buckets", type=int, nargs="*", default=None,
                    help="AOT backlog-replay chunk ladder (--filter only)")
+    s.add_argument("--auth-token", default=None,
+                   help="shared-secret Bearer token required on every "
+                        "POST/DELETE and GET /v1/state (default: "
+                        "CBFSSM_AUTH_TOKEN env var; unset = open — fine "
+                        "for the loopback default, set one for any "
+                        "non-loopback bind)")
     s.set_defaults(fn=cmd_serve)
 
     sub.add_parser("bench", help="headline ELBO steps/sec benchmark"

@@ -46,6 +46,7 @@ cross-thread dispatch races).
 
 from __future__ import annotations
 
+import hmac
 import json
 import socket
 import threading
@@ -212,7 +213,7 @@ class _JSONHandler(BaseHTTPRequestHandler):
     def log_message(self, *_args):
         pass
 
-    def _send(self, code: int, obj) -> None:
+    def _send(self, code: int, obj, extra_headers=()) -> None:
         # Drain any unread request body FIRST (success paths too — a
         # keep-alive GET/DELETE carrying a payload would otherwise
         # desync the connection just like an error reply would), and
@@ -227,6 +228,8 @@ class _JSONHandler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for name, value in extra_headers:
+            self.send_header(name, value)
         if self.close_connection:
             # we will drop the socket after this reply (unreadable or
             # oversized body) — tell keep-alive clients, don't surprise
@@ -324,9 +327,33 @@ class _JSONHandler(BaseHTTPRequestHandler):
         except OSError:
             pass
 
-    def _fail(self, code: int, msg: str) -> None:
+    def _fail(self, code: int, msg: str, extra_headers=()) -> None:
         self.server.app._count("http_errors")
-        self._send(code, {"error": msg})
+        self._send(code, {"error": msg}, extra_headers=extra_headers)
+
+    def _require_auth(self) -> bool:
+        """Bearer-token gate for state-mutating / state-leaking routes
+        (every POST/DELETE plus GET /v1/state). No-op unless the server
+        was built with ``auth_token`` — the loopback default needs none;
+        a non-loopback bind for the documented primary→standby failover
+        story should set one (docs/SERVING.md "Deployment posture").
+        Constant-time compare; replies 401 + WWW-Authenticate on
+        mismatch and returns False (the caller returns immediately)."""
+        token = self.server.app.auth_token
+        if token is None:
+            return True
+        supplied = self.headers.get("Authorization", "")
+        if hmac.compare_digest(
+            supplied.encode(), f"Bearer {token}".encode()
+        ):
+            return True
+        self._fail(
+            401,
+            "missing or invalid auth token "
+            "(send 'Authorization: Bearer <token>')",
+            extra_headers=(("WWW-Authenticate", "Bearer"),),
+        )
+        return False
 
     def _send_metrics(self) -> None:
         """GET /metrics: the app's stats() counters in the Prometheus
@@ -480,7 +507,8 @@ class _JSONHandler(BaseHTTPRequestHandler):
         return best is not None and best > 0.0
 
 
-def post_predict_npz(base_url: str, u, y, timeout: float | None = None):
+def post_predict_npz(base_url: str, u, y, timeout: float | None = None,
+                     auth_token: str | None = None):
     """Client-side helper for the binary predict body: POST
     ``{u, y}`` as an .npz archive and parse the mirrored .npz reply
     into ``{field: np.ndarray}``. Exactly the JSON endpoint's numbers
@@ -496,13 +524,16 @@ def post_predict_npz(base_url: str, u, y, timeout: float | None = None):
         data=buf.getvalue(),
     )
     req.add_header("Content-Type", NPZ_CONTENT_TYPE)
+    if auth_token is not None:
+        req.add_header("Authorization", f"Bearer {auth_token}")
     with urllib.request.urlopen(req, timeout=timeout) as r:
         raw = r.read()
     with np.load(io.BytesIO(raw), allow_pickle=False) as z:
         return {k: z[k] for k in z.files}
 
 
-def get_state_npz(base_url: str, timeout: float | None = None) -> bytes:
+def get_state_npz(base_url: str, timeout: float | None = None,
+                  auth_token: str | None = None) -> bytes:
     """Fetch a :class:`FilterServer`'s whole-fleet failover snapshot as
     an opaque binary blob (GET /v1/state with ``Accept:
     application/x-npz``). Pass the blob unchanged to
@@ -515,6 +546,8 @@ def get_state_npz(base_url: str, timeout: float | None = None) -> bytes:
 
     req = urllib.request.Request(base_url.rstrip("/") + "/v1/state")
     req.add_header("Accept", NPZ_CONTENT_TYPE)
+    if auth_token is not None:
+        req.add_header("Authorization", f"Bearer {auth_token}")
     with urllib.request.urlopen(req, timeout=timeout) as r:
         ctype = r.headers.get("Content-Type", "").split(";")[0].strip()
         if ctype.lower() != NPZ_CONTENT_TYPE:
@@ -529,7 +562,8 @@ def get_state_npz(base_url: str, timeout: float | None = None) -> bytes:
 
 
 def post_state_npz(base_url: str, blob: bytes,
-                   timeout: float | None = None) -> None:
+                   timeout: float | None = None,
+                   auth_token: str | None = None) -> None:
     """Restore a :func:`get_state_npz` blob into a standby
     :class:`FilterServer` (POST /v1/state, binary body). Raises
     ``urllib.error.HTTPError`` on a rejected snapshot (400: shape or
@@ -540,6 +574,8 @@ def post_state_npz(base_url: str, blob: bytes,
         base_url.rstrip("/") + "/v1/state", method="POST", data=blob,
     )
     req.add_header("Content-Type", NPZ_CONTENT_TYPE)
+    if auth_token is not None:
+        req.add_header("Authorization", f"Bearer {auth_token}")
     with urllib.request.urlopen(req, timeout=timeout):
         pass
 
@@ -563,6 +599,8 @@ class _Handler(_JSONHandler):
     def do_POST(self):  # noqa: N802
         app = self.server.app
         app._count("http_requests")
+        if not self._require_auth():
+            return
         if self.path != "/v1/predict":
             self._fail(404, f"unknown path {self.path!r} (try /v1/predict)")
             return
@@ -630,8 +668,14 @@ class _ServerBase:
     _thread_name: str
 
     def __init__(self, host: str, port: int,
-                 request_timeout: float | None, make_batcher):
+                 request_timeout: float | None, make_batcher,
+                 auth_token: str | None = None):
         self.request_timeout = request_timeout
+        # Shared-secret for the mutating/state routes (_require_auth).
+        # None = open (safe with the loopback default bind); REQUIRED
+        # posture for non-loopback binds, e.g. the primary→standby
+        # failover shipping documented in docs/SERVING.md.
+        self.auth_token = auth_token
         # Bind BEFORE building the batcher: a failed bind (port already
         # in use) raises out of __init__ with no object to close(), so
         # nothing allocated-but-unowned may exist yet — the batcher
@@ -729,11 +773,12 @@ class PredictionServer(_ServerBase):
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 0,
                  *, max_batch: int = 32, max_wait_ms: float = 2.0,
                  queue_size: int = 1024, seed: int = 0,
-                 request_timeout: float | None = None):
+                 request_timeout: float | None = None,
+                 auth_token: str | None = None):
         super().__init__(host, port, request_timeout, lambda: MicroBatcher(
             predictor, max_batch=max_batch, max_wait_ms=max_wait_ms,
             queue_size=queue_size, seed=seed,
-        ))
+        ), auth_token=auth_token)
 
     def meta(self) -> dict:
         pred = self.batcher.predictor
@@ -772,6 +817,10 @@ class _FilterHandler(_JSONHandler):
         elif self.path == "/v1/stats":
             self._send(200, app.stats())
         elif self.path == "/v1/state":
+            # the snapshot leaks the whole fleet's state — token-gated
+            # like the mutating routes
+            if not self._require_auth():
+                return
             # content negotiation: Accept: application/x-npz gets the
             # binary snapshot (the fleet ensemble is the largest payload
             # in this API — JSON float text is the measured failover
@@ -791,6 +840,8 @@ class _FilterHandler(_JSONHandler):
     def do_DELETE(self):  # noqa: N802
         app = self.server.app
         app._count("http_requests")
+        if not self._require_auth():
+            return
         route = self._route()
         if not route or route[0] != "session_op" or route[2] is not None:
             self._fail(404, f"unknown path {self.path!r} "
@@ -802,6 +853,8 @@ class _FilterHandler(_JSONHandler):
     def do_POST(self):  # noqa: N802
         app = self.server.app
         app._count("http_requests")
+        if not self._require_auth():
+            return
         if self.path == "/v1/state":
             binary = self._body_is_npz()
             # a fleet snapshot's legitimate size scales with the pool,
@@ -954,10 +1007,11 @@ class FilterServer(_ServerBase):
 
     def __init__(self, pool, host: str = "127.0.0.1", port: int = 0,
                  *, max_wait_ms: float = 2.0, queue_size: int = 1024,
-                 request_timeout: float | None = None):
+                 request_timeout: float | None = None,
+                 auth_token: str | None = None):
         super().__init__(host, port, request_timeout, lambda: FilterBatcher(
             pool, max_wait_ms=max_wait_ms, queue_size=queue_size,
-        ))
+        ), auth_token=auth_token)
 
     @staticmethod
     def _encode_state(state) -> dict:

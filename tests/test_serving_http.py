@@ -125,12 +125,14 @@ def test_exported_batch_rejects_voliro_dict_artifact(tmp_path, rng):
 # --- PredictionServer over real HTTP ---------------------------------
 
 
-def _http(method, url, body=None, timeout=30):
+def _http(method, url, body=None, timeout=30, headers=()):
     req = urllib.request.Request(url, method=method)
     data = None
     if body is not None:
         data = json.dumps(body).encode()
         req.add_header("Content-Type", "application/json")
+    for name, value in headers:
+        req.add_header(name, value)
     try:
         with urllib.request.urlopen(req, data=data, timeout=timeout) as r:
             return r.status, json.loads(r.read())
@@ -1304,3 +1306,139 @@ def test_npz_predict_keepalive_and_error_surface(stub_server, rng):
             assert np.all(np.isfinite(z["pred_mean"]))
     finally:
         conn.close()
+
+
+# --- auth token (r4 verdict weak #4) ---------------------------------
+
+
+@pytest.fixture
+def auth_stub_server():
+    srv = PredictionServer(StubPredictor(), port=0, max_wait_ms=0.0,
+                           auth_token="s3cret")
+    srv.start()
+    try:
+        yield srv, f"http://{srv.host}:{srv.port}"
+    finally:
+        srv.close()
+
+
+AUTH = (("Authorization", "Bearer s3cret"),)
+
+
+def test_predict_auth_required(auth_stub_server, rng):
+    """With a token set, POST /v1/predict 401s without/with-wrong
+    credentials (counted as an http error, WWW-Authenticate set) and
+    works with the right one; monitoring GETs stay open."""
+    srv, base = auth_stub_server
+    body = {"u": rng.normal(size=(SEQ, DU)).tolist(),
+            "y": rng.normal(size=(SEQ, DY)).tolist()}
+    code, resp = _http("POST", base + "/v1/predict", body)
+    assert code == 401 and "auth token" in resp["error"]
+    code, _ = _http("POST", base + "/v1/predict", body,
+                    headers=(("Authorization", "Bearer wrong"),))
+    assert code == 401
+    # scheme must be Bearer, not a bare token
+    code, _ = _http("POST", base + "/v1/predict", body,
+                    headers=(("Authorization", "s3cret"),))
+    assert code == 401
+    req = urllib.request.Request(base + "/v1/predict", method="POST",
+                                 data=json.dumps(body).encode())
+    req.add_header("Content-Type", "application/json")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        raise AssertionError("expected 401")
+    except urllib.error.HTTPError as e:
+        assert e.code == 401
+        assert e.headers["WWW-Authenticate"] == "Bearer"
+        e.read()
+    code, _ = _http("POST", base + "/v1/predict", body, headers=AUTH)
+    assert code == 200
+    # monitoring endpoints stay open (scrapers don't carry the secret)
+    for path in ("/healthz", "/v1/meta", "/v1/stats"):
+        code, _ = _http("GET", base + path)
+        assert code == 200, path
+    # four 401s above (missing, wrong, bare-scheme, WWW-Authenticate
+    # probe) — each counted as a transport error
+    assert srv.stats()["http_errors"] == 4
+
+
+def test_predict_npz_auth(auth_stub_server, rng):
+    """The binary path is gated identically; the client helper carries
+    the token."""
+    from cbfssm_tpu.serving_http import post_predict_npz
+
+    srv, base = auth_stub_server
+    u = rng.normal(size=(SEQ, DU))
+    y = rng.normal(size=(SEQ, DY))
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post_predict_npz(base, u, y)
+    assert exc.value.code == 401
+    exc.value.read()
+    out = post_predict_npz(base, u, y, auth_token="s3cret")
+    np.testing.assert_allclose(out["pred_mean"], u[:, :DY] + 1.0)
+
+
+@pytest.fixture
+def auth_filter_server(half_mp):
+    from cbfssm_tpu.serving import FilterPool
+    from cbfssm_tpu.serving_http import FilterServer
+
+    model, params = half_mp
+    srv = FilterServer(FilterPool(model, params, capacity=2, seed=0),
+                       port=0, max_wait_ms=0.0, auth_token="s3cret")
+    srv.start()
+    try:
+        yield srv, f"http://{srv.host}:{srv.port}"
+    finally:
+        srv.close()
+
+
+def test_filter_auth_gates_mutating_and_state(auth_filter_server, rng):
+    """Every POST/DELETE and the state-leaking GET /v1/state 401
+    without the token; the full session lifecycle works with it and
+    the binary failover helpers carry it."""
+    from cbfssm_tpu.serving_http import get_state_npz, post_state_npz
+
+    srv, base = auth_filter_server
+    pa = {"u_prefix": rng.normal(size=(FRECOG, FDU)).tolist(),
+          "y_prefix": rng.normal(size=(FRECOG, FDY)).tolist()}
+
+    assert _http("POST", base + "/v1/sessions", pa)[0] == 401
+    assert _http("GET", base + "/v1/state")[0] == 401
+    assert _http("DELETE", base + "/v1/sessions/0")[0] == 401
+    assert _http("POST", base + "/v1/state", {"x": []})[0] == 401
+    # monitoring stays open
+    for path in ("/healthz", "/v1/meta", "/v1/stats"):
+        assert _http("GET", base + path)[0] == 200, path
+
+    code, resp = _http("POST", base + "/v1/sessions", pa, headers=AUTH)
+    assert code == 200
+    sid = resp["sid"]
+    step = {"u_prev": rng.normal(size=(FDU,)).tolist(),
+            "y_new": rng.normal(size=(FDY,)).tolist()}
+    assert _http("POST", base + f"/v1/sessions/{sid}/step", step)[0] == 401
+    code, out = _http("POST", base + f"/v1/sessions/{sid}/step", step,
+                      headers=AUTH)
+    assert code == 200 and np.all(np.isfinite(out["mean"]))
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        get_state_npz(base)
+    assert exc.value.code == 401
+    exc.value.read()
+    blob = get_state_npz(base, auth_token="s3cret")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post_state_npz(base, blob)
+    assert exc.value.code == 401
+    exc.value.read()
+    post_state_npz(base, blob, auth_token="s3cret")  # 200 = no raise
+    code, _ = _http("DELETE", base + f"/v1/sessions/{sid}", headers=AUTH)
+    assert code == 200
+
+
+def test_no_token_server_stays_open(stub_server, rng):
+    """auth_token=None (the default) keeps the surface exactly as
+    before — no header needed anywhere."""
+    _, base = stub_server
+    body = {"u": rng.normal(size=(SEQ, DU)).tolist(),
+            "y": rng.normal(size=(SEQ, DY)).tolist()}
+    assert _http("POST", base + "/v1/predict", body)[0] == 200
