@@ -115,12 +115,13 @@ def main(epochs=30, out_path=None):
     def hyper_snapshot(params_s):
         import cbfssm_tpu.ops.transforms as tf_
 
+        len_f = np.asarray(tf_.positive(params_s.gp_f.kern_len_unc))
         return {
-            "gp_len_f_min": np.asarray(
-                tf_.positive(params_s.gp_f.len_unc)).min(axis=tuple(
-                    range(1, np.asarray(params_s.gp_f.len_unc).ndim))),
-            "gp_var_f": np.asarray(tf_.positive(params_s.gp_f.var_unc)).reshape(n_seeds, -1)[:, 0],
-            "var_x_max": np.asarray(tf_.positive(params_s.var_x_unc)).max(axis=1),
+            "gp_len_f_min": len_f.reshape(n_seeds, -1).min(axis=1),
+            "gp_var_f": np.asarray(
+                tf_.positive(params_s.gp_f.kern_var_unc)).reshape(n_seeds),
+            "var_x_max": np.asarray(
+                tf_.positive(params_s.var_x_unc)).max(axis=1),
         }
 
     rng = np.random.default_rng(1)

@@ -77,7 +77,8 @@ def main():
         src = os.path.join(out, f)
         if os.path.exists(src):
             shutil.copy(src, art)
-    for f in ["mse.txt", "predict_test.pdf", "training_loss.pdf"]:
+    for f in ["mse.txt", "predict_test.pdf", "training_loss.pdf",
+              "calibration.txt"]:
         src = os.path.join(out, "run_0", f)
         if os.path.exists(src):
             shutil.copy(src, art)

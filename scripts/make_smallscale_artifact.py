@@ -142,7 +142,8 @@ def main():
         for f in ["summary.txt"]:
             if os.path.exists(os.path.join(src_root, f)):
                 shutil.copy(os.path.join(src_root, f), dst)
-        for f in ["mse.txt", "training_loss.pdf", "predict_test.pdf"]:
+        for f in ["mse.txt", "training_loss.pdf", "predict_test.pdf",
+                  "calibration.txt"]:
             src = os.path.join(src_root, "run_0", f)
             if os.path.exists(src):
                 shutil.copy(src, dst)
