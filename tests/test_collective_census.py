@@ -173,6 +173,42 @@ def test_particle_parallel_census():
         assert c.result_bytes <= max_payload, (c.shapes, c.result_bytes)
 
 
+def test_two_axis_trainer_census():
+    """(data x particle) 2-D mesh through the production Trainer: the
+    only collectives are all-reduces — the XLA gradient psums plus the
+    hand-placed particle psums (whose payloads are [B]-sized
+    per-sequence reductions) — never a gather of batch rows or of the
+    particle ensemble."""
+    from jax.sharding import Mesh
+
+    from cbfssm_tpu.parallel.particle import ParticleParallel
+
+    cfg = smoke_config()
+    cfg["samples"] = 8
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "particle"))
+    pp = ParticleParallel(CBFSSM, cfg, mesh, data_axis="data")
+    tr = Trainer(pp, tempfile.mkdtemp(), mesh=mesh)
+    tr.init_state()
+    ds = SmokeDS()
+    data_u, data_y = tr._stage("train", ds.train_in_batch, ds.train_out_batch)
+    batch = tr.dp.round_up_batch(pp.config.batch_size)
+    idx, w = tr._epoch_indices(ds.train_in_batch.shape[0], batch, shuffle=False)
+    lowered = tr._epoch_update.lower(
+        tr.params, tr.opt_state, data_u, data_y, idx, w, jax.random.PRNGKey(0)
+    )
+    items = collectives(lowered.compile())
+    assert items and all(c.kind == "all-reduce" for c in items), [
+        (c.kind, c.shapes) for c in items
+    ]
+    # bound: the largest legitimate payload is the fused gradient tuple
+    # (parameter-sized); particle psums are [B]-sized. The ensemble
+    # block ([B, S/n, dx] and larger) must never cross ICI.
+    bound = _param_bytes(tr.params) + 1024
+    for c in items:
+        assert c.result_bytes <= bound, (c.shapes, c.result_bytes)
+
+
 def test_census_parser_units():
     """Parser handles scalar, tensor, variadic-tuple, and -start forms."""
     from cbfssm_tpu.parallel.census import Collective
