@@ -112,3 +112,31 @@ def test_eval_outputs_class_mapping():
     assert _eval_outputs_class("CBFSSM", "RoboMoveSimple") is OutputsRoboMove
     assert _eval_outputs_class("CBFSSM", "SpringNonlinear") is Outputs
     assert _eval_outputs_class("PRSSM", "Actuator") is Outputs
+
+
+def test_serve_auth_token_resolution(monkeypatch, capsys):
+    """--auth-token beats the env var; empty means open; a tokenless
+    non-loopback bind warns (docs/SERVING.md deployment posture)."""
+    import argparse
+
+    from cbfssm_tpu.__main__ import _resolve_auth_token
+
+    ns = lambda **kw: argparse.Namespace(  # noqa: E731
+        auth_token=kw.get("auth_token"), host=kw.get("host", "127.0.0.1"))
+
+    monkeypatch.delenv("CBFSSM_AUTH_TOKEN", raising=False)
+    assert _resolve_auth_token(ns()) is None
+    assert _resolve_auth_token(ns(auth_token="flag")) == "flag"
+
+    monkeypatch.setenv("CBFSSM_AUTH_TOKEN", "envtok")
+    assert _resolve_auth_token(ns()) == "envtok"
+    assert _resolve_auth_token(ns(auth_token="flag")) == "flag"
+    monkeypatch.setenv("CBFSSM_AUTH_TOKEN", "")
+    assert _resolve_auth_token(ns()) is None
+
+    capsys.readouterr()
+    monkeypatch.delenv("CBFSSM_AUTH_TOKEN", raising=False)
+    assert _resolve_auth_token(ns(host="0.0.0.0")) is None
+    assert "non-loopback" in capsys.readouterr().err
+    assert _resolve_auth_token(ns(host="0.0.0.0", auth_token="t")) == "t"
+    assert "non-loopback" not in capsys.readouterr().err
