@@ -173,6 +173,49 @@ def test_particle_parallel_census():
         assert c.result_bytes <= max_payload, (c.shapes, c.result_bytes)
 
 
+def test_other_model_families_census():
+    """CBFSSMHALF (rnn recognition incl. the flax GRU), PRSSM, and
+    Voliro mesh trainers: gradient psums only — no family regresses to
+    gathered/replicated compute."""
+    from test_other_models import (
+        half_config,
+        prssm_config,
+        voliro_batch,
+        voliro_config,
+    )
+
+    from cbfssm_tpu.models import PRSSM, Voliro
+
+    rng = np.random.default_rng(0)
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+
+    def windows(n, t, du, dy):
+        return (rng.normal(size=(n, t, du)), rng.normal(size=(n, t, dy)))
+
+    cases = []
+    cases.append((CBFSSMHALF(half_config("rnn")), windows(16, 10, 2, 1)))
+    cases.append((PRSSM(prssm_config("rnn")), windows(16, 10, 2, 1)))
+    vu, vy = voliro_batch(rng, b=16, t=6)
+    cases.append((Voliro(voliro_config()), (vu, vy)))
+
+    for model, (u, y) in cases:
+        tr = Trainer(model, tempfile.mkdtemp(), mesh=mesh)
+        tr.init_state()
+        data_u, data_y = tr._stage("train", u, y)
+        batch = tr.dp.round_up_batch(model.config.batch_size)
+        idx, w = tr._epoch_indices(u.shape[0], batch, shuffle=False)
+        lowered = tr._epoch_update.lower(
+            tr.params, tr.opt_state, data_u, data_y, idx, w,
+            jax.random.PRNGKey(0),
+        )
+        bound = _param_bytes(tr.params) + 1024
+        items = assert_data_parallel_contract(
+            lowered.compile(), bound, context=type(model).__name__
+        )
+        assert items, f"{type(model).__name__}: gradient psum missing"
+
+
 def test_two_axis_trainer_census():
     """(data x particle) 2-D mesh through the production Trainer: the
     only collectives are all-reduces — the XLA gradient psums plus the
