@@ -67,6 +67,50 @@ _META = "meta.json"
 FORMAT_VERSION = 1
 
 
+def _file_sha256(full):
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(full, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _dir_checksums(path, exclude):
+    """{filename: sha256} for every regular file in an artifact dir
+    except ``exclude`` (the meta itself). Stamped into the meta so a
+    loader detects a truncated/corrupted copy — artifacts ship across
+    hosts in the failover story (docs/SERVING.md), and a torn scp would
+    otherwise surface as an obscure deserialization error."""
+    return {
+        name: _file_sha256(os.path.join(path, name))
+        for name in sorted(os.listdir(path))
+        if name not in exclude and os.path.isfile(os.path.join(path, name))
+    }
+
+
+def _verify_checksums(path, meta):
+    """Validate meta's sha256 manifest (absent on pre-manifest
+    artifacts: skipped — the format_version gate handles layout
+    changes; the manifest is an additive integrity check)."""
+    for name, want in (meta.get("sha256") or {}).items():
+        full = os.path.join(path, name)
+        if not os.path.isfile(full):
+            raise RuntimeError(
+                f"{path}: artifact file {name!r} is missing but listed "
+                "in the meta's sha256 manifest — incomplete copy? "
+                "re-copy or re-export"
+            )
+        got = _file_sha256(full)
+        if got != want:
+            raise RuntimeError(
+                f"{path}/{name}: checksum mismatch (expected "
+                f"{want[:12]}…, got {got[:12]}…) — artifact corrupted "
+                "in transit? re-copy or re-export"
+            )
+
+
 def _register_linalg_ffi(dtype):
     """Work around lazy LAPACK FFI registration in jaxlib (verified on
     jax 0.9.0): the CPU linalg custom-call targets are registered as a
@@ -104,6 +148,7 @@ def _load_artifact_meta(path, meta_name, kind, hint):
             f"{path} is a {actual!r} artifact, not an exported {kind} "
             f"({hint})"
         )
+    _verify_checksums(path, meta)
     if meta["requires_x64"] and not jax.config.jax_enable_x64:
         raise RuntimeError(
             "artifact was exported with 64-bit arrays; enable "
@@ -217,6 +262,7 @@ def save_exported_predictor(path, model, params, batch, seq_len, *,
         "format_version": FORMAT_VERSION,
         "output_fields": list(fields),
     }
+    meta["sha256"] = _dir_checksums(path, {_META})
     with open(os.path.join(path, _META), "w") as f:
         json.dump(meta, f, indent=1)
     return meta
@@ -454,6 +500,7 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
     meta = _streaming_meta("filter", model, key, p_flat, o_flat,
                            horizons, buckets, plats)
     meta["batch"] = int(batch)
+    meta["sha256"] = _dir_checksums(path, {_F_META})
     with open(os.path.join(path, _F_META), "w") as f:
         json.dump(meta, f, indent=1)
     return meta

@@ -251,6 +251,26 @@ def test_format_version_absent_reads_as_v0(tmp_path):
         ExportedPredictor(path)
 
 
+def test_checksum_manifest_detects_corruption(tmp_path):
+    """meta.json carries a sha256 manifest of every artifact file; a
+    flipped byte or a missing file (torn copy to a standby host) fails
+    at load with a clear message, before deserialization."""
+    from cbfssm_tpu.export import FORMAT_VERSION  # noqa: F401
+
+    _, _, path, meta = _export_cbfssm(tmp_path)
+    assert set(meta["sha256"]) == {"predictor.jaxexp", "params.npz"}
+
+    blob = open(os.path.join(path, "params.npz"), "rb").read()
+    with open(os.path.join(path, "params.npz"), "wb") as f:
+        f.write(blob[:-4] + bytes([blob[-4] ^ 0xFF]) + blob[-3:])
+    with pytest.raises(RuntimeError, match="checksum mismatch"):
+        ExportedPredictor(path)
+
+    os.remove(os.path.join(path, "params.npz"))
+    with pytest.raises(RuntimeError, match="missing"):
+        ExportedPredictor(path)
+
+
 # --- online-filter artifacts -------------------------------------------
 
 
