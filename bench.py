@@ -675,7 +675,13 @@ def _run_stages(stage, results):
     # the fixed floor recorded green (r4 verdict weak #2). Both tiers
     # share the retry machinery; a run still under a bar after retries
     # is labeled (degraded_link / below_band) so _last_green skips it.
-    band = _band()
+    # CBFSSM_BENCH_NO_BAND=1: escape hatch for a LEGITIMATE performance
+    # envelope change (new rig, accepted perf regression/trade) — the
+    # band judges against history, so without this a persistent real
+    # change would label every future run below_band forever (labeled
+    # runs never enter the band, which therefore can't adapt downward).
+    # One green no-band run re-anchors the trailing median.
+    band = (None if os.environ.get("CBFSSM_BENCH_NO_BAND") else _band())
     band_bar = band["median"] * BAND_FRACTION if band else None
     if band:
         results["band"] = dict(band, threshold=round(band_bar, 2))

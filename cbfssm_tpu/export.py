@@ -77,16 +77,15 @@ def _file_sha256(full):
     return h.hexdigest()
 
 
-def _dir_checksums(path, exclude):
-    """{filename: sha256} for every regular file in an artifact dir
-    except ``exclude`` (the meta itself). Stamped into the meta so a
-    loader detects a truncated/corrupted copy — artifacts ship across
-    hosts in the failover story (docs/SERVING.md), and a torn scp would
+def _manifest(path, names):
+    """{filename: sha256} for exactly the files this exporter wrote
+    (never a directory walk: stray pre-existing files in the target dir
+    must not become load-bearing). Stamped into the meta so a loader
+    detects a truncated/corrupted copy — artifacts ship across hosts in
+    the failover story (docs/SERVING.md), and a torn scp would
     otherwise surface as an obscure deserialization error."""
     return {
-        name: _file_sha256(os.path.join(path, name))
-        for name in sorted(os.listdir(path))
-        if name not in exclude and os.path.isfile(os.path.join(path, name))
+        name: _file_sha256(os.path.join(path, name)) for name in sorted(names)
     }
 
 
@@ -262,7 +261,7 @@ def save_exported_predictor(path, model, params, batch, seq_len, *,
         "format_version": FORMAT_VERSION,
         "output_fields": list(fields),
     }
-    meta["sha256"] = _dir_checksums(path, {_META})
+    meta["sha256"] = _manifest(path, [_ARTIFACT, _PARAMS])
     with open(os.path.join(path, _META), "w") as f:
         json.dump(meta, f, indent=1)
     return meta
@@ -500,7 +499,12 @@ def save_exported_filter(path, model, params, batch=1, *, horizons=(),
     meta = _streaming_meta("filter", model, key, p_flat, o_flat,
                            horizons, buckets, plats)
     meta["batch"] = int(batch)
-    meta["sha256"] = _dir_checksums(path, {_F_META})
+    meta["sha256"] = _manifest(
+        path,
+        [_F_INIT, _F_STEP, _F_STATE]
+        + [_F_FORECAST.format(h=int(h)) for h in horizons]
+        + [_F_REPLAY.format(k=int(k)) for k in buckets],
+    )
     with open(os.path.join(path, _F_META), "w") as f:
         json.dump(meta, f, indent=1)
     return meta

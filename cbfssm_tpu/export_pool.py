@@ -43,7 +43,7 @@ from cbfssm_tpu.export import (
     _F_META,
     _F_STATE,
     _artifact_base_key,
-    _dir_checksums,
+    _manifest,
     _flatten_streaming_arrays,
     _load_artifact_meta,
     _streaming_meta,
@@ -169,7 +169,12 @@ def save_exported_pool(path, model, params, capacity, *, horizons=(),
     meta = _streaming_meta("filter_pool", model, key, p_flat, o_flat,
                            horizons, buckets, plats)
     meta["capacity"] = capacity
-    meta["sha256"] = _dir_checksums(path, {_F_META})
+    meta["sha256"] = _manifest(
+        path,
+        [_FP_INIT, _FP_STEP, _F_STATE]
+        + [_FP_FORECAST.format(h=int(h)) for h in horizons]
+        + [_FP_REPLAY.format(k=int(k)) for k in buckets],
+    )
     with open(os.path.join(path, _F_META), "w") as f:
         json.dump(meta, f, indent=1)
     return meta

@@ -82,14 +82,28 @@ def _shape_bytes(shape_str: str) -> int:
 
 
 def _as_text(program) -> str:
-    """Accept a Compiled object, a Lowered (compiles it), or HLO text."""
+    """Accept a Compiled object, a Lowered (compiles it), or optimized
+    HLO text. Order matters: ``jax.stages.Lowered`` ALSO has
+    ``as_text()``, but it returns pre-partitioning StableHLO MLIR whose
+    ops (``stablehlo.all_reduce``) this module's HLO regexes would
+    silently miss — an empty census on a gather-filled program is the
+    exact false-green this module exists to prevent, so Lowered is
+    compiled first and MLIR-looking text is rejected loudly."""
     if isinstance(program, str):
-        return program
-    if hasattr(program, "as_text"):
-        return program.as_text()
-    if hasattr(program, "compile"):
-        return program.compile().as_text()
-    raise TypeError(f"cannot extract HLO text from {type(program)!r}")
+        text = program
+    elif hasattr(program, "compile"):  # Lowered (Compiled has no .compile)
+        text = program.compile().as_text()
+    elif hasattr(program, "as_text"):
+        text = program.as_text()
+    else:
+        raise TypeError(f"cannot extract HLO text from {type(program)!r}")
+    if "stablehlo." in text and "HloModule" not in text:
+        raise ValueError(
+            "got StableHLO MLIR, not post-partitioning optimized HLO — "
+            "census needs Compiled.as_text() (pass the Compiled, or the "
+            "Lowered itself so it can be compiled)"
+        )
+    return text
 
 
 def collectives(program) -> list[Collective]:

@@ -280,6 +280,29 @@ def test_census_parser_units():
     }
 
 
+def test_lowered_input_is_compiled_not_censused_as_mlir():
+    """A jax.stages.Lowered also has as_text() — but it returns
+    StableHLO MLIR whose collectives the HLO regexes would silently
+    miss (empty census = vacuous contract pass). The parser must
+    compile Lowered first, and reject raw MLIR text loudly."""
+    mesh = make_mesh(2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def psum_prog(x):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P())
+        ).sum()
+
+    x = jax.device_put(
+        np.ones(8), NamedSharding(mesh, P("data"))
+    )
+    lowered = jax.jit(psum_prog).lower(x)
+    # the Lowered path must see the post-partitioning collectives
+    assert census(lowered), "Lowered input produced an empty census"
+    with pytest.raises(ValueError, match="StableHLO MLIR"):
+        census(lowered.as_text())  # raw MLIR text is rejected, not empty
+
+
 def test_contract_rejects_gathers_and_oversized_psums():
     gather = '%g = f32[64,5]{1,0} all-gather(%x), metadata={op_name="bad"}'
     with pytest.raises(AssertionError, match="non-psum"):

@@ -31,12 +31,15 @@ def _stated_count() -> int:
 def test_readme_test_count_matches_collection(request):
     stated = _stated_count()
     collected = request.session.testscollected
-    if collected < stated - _TOLERANCE:
+    if collected < stated * 0.5:
+        # a single-file / -k run collects far less than half the suite;
+        # a genuinely shrunken full suite does not — so an overstated
+        # README (the reverse drift direction) still fails below
         pytest.skip(
-            f"partial run ({collected} collected < stated {stated}); "
+            f"partial run ({collected} collected vs stated {stated}); "
             "count check only meaningful on the full suite"
         )
-    assert collected - stated <= _TOLERANCE, (
+    assert abs(collected - stated) <= _TOLERANCE, (
         f"README.md states {stated} tests but the suite collects "
         f"{collected}; update the count in README.md (and PARITY.md)"
     )

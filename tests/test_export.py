@@ -271,6 +271,22 @@ def test_checksum_manifest_detects_corruption(tmp_path):
         ExportedPredictor(path)
 
 
+def test_checksum_manifest_ignores_stray_files(tmp_path):
+    """Only the files the exporter wrote are manifested: a pre-existing
+    unrelated file in the target dir must not become load-bearing."""
+    model = make_model()
+    params = model.init(jax.random.PRNGKey(0))
+    path = os.path.join(str(tmp_path), "art")
+    os.makedirs(path)
+    stray = os.path.join(path, "notes.txt")
+    open(stray, "w").write("not part of the artifact")
+    meta = save_exported_predictor(path, model, params, 1, 8,
+                                   platforms=("cpu",))
+    assert "notes.txt" not in meta["sha256"]
+    os.remove(stray)  # deleting the stray must not break loading
+    ExportedPredictor(path)
+
+
 # --- online-filter artifacts -------------------------------------------
 
 
