@@ -452,3 +452,28 @@ def test_in_band_run_stays_green(tmp_path, monkeypatch, capsys):
     entry = _json.loads(path.read_text().splitlines()[-1])
     # headline-only is still a partial record; band labels are separate
     assert entry["degraded"] == ["headline_only"]
+
+
+def test_no_band_env_reanchors(tmp_path, monkeypatch, capsys):
+    """CBFSSM_BENCH_NO_BAND=1: the legitimate-envelope-change escape
+    hatch skips band judgment entirely, so a persistent real perf
+    change can record green and re-anchor the trailing median."""
+    import json as _json
+
+    import bench
+
+    path = tmp_path / "hist.jsonl"
+    monkeypatch.setattr(bench, "_history_path", lambda: str(path))
+    for v in (600.0, 610.0, 620.0):
+        bench._append_history({"value": v}, path=str(path))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: (_ for _ in ()).throw(
+        AssertionError("no-band run must not retry at 400")))
+    monkeypatch.setattr(bench, "measure", lambda *a, **k: 400.0)
+    monkeypatch.setattr(bench, "cpu_baseline", lambda: (10.0, False))
+    monkeypatch.setenv("CBFSSM_BENCH_HEADLINE_ONLY", "1")
+    monkeypatch.setenv("CBFSSM_BENCH_NO_BAND", "1")
+    bench._run_stages({"name": "s"}, {})
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "below_band" not in payload and "band" not in payload
+    entry = _json.loads(path.read_text().splitlines()[-1])
+    assert entry["degraded"] == ["headline_only"]

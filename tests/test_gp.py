@@ -129,3 +129,24 @@ def test_precompute_pair_matches_single(rng):
             got,
             want,
         )
+
+
+def test_predict_rows_bitwise_equals_layout_flatten(rng):
+    """predict_rows (batch-major ND flatten, the sharding-safe path) is
+    BITWISE identical per element to flattening in layout order — rows
+    are independent, so the flatten order is semantically free. This is
+    the single-device half of the round-5 sharding contract (the mesh
+    half is tests/test_collective_census.py)."""
+    params = make_gp()
+    cache = gp.precompute(params, jitter=1e-8)
+
+    for shape, batch_axis in [((2, 8, 4, 3), 1), ((2, 5, 8, 4, 3), 2),
+                              ((8, 4, 3), 0)]:
+        x = jnp.asarray(rng.normal(size=shape))
+        fmean, fvar = gp.predict_rows(gp.predict, cache, x, batch_axis)
+        want_m, want_v = gp.predict(cache, x.reshape(-1, shape[-1]))
+        want_m = want_m.reshape(shape[:-1] + (want_m.shape[-1],))
+        want_v = want_v.reshape(shape[:-1] + (want_v.shape[-1],))
+        assert fmean.shape == want_m.shape, (shape, batch_axis)
+        np.testing.assert_array_equal(np.asarray(fmean), np.asarray(want_m))
+        np.testing.assert_array_equal(np.asarray(fvar), np.asarray(want_v))
