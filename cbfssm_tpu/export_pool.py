@@ -255,6 +255,21 @@ class ExportedFilterPool(FilterPool):
         self._replay_buckets = tuple(sorted(self._replay_c))
         self._init_host_state()  # the base class's empty-fleet state
 
+    def reload_params(self, params) -> None:
+        """Deliberately unsupported: an exported artifact freezes
+        params + program as ONE validated deployment unit (the whole
+        point of the artifact — a checkpoint swap that skipped export
+        would serve numbers nobody validated, and the baked
+        ``filter_ops`` factorization would silently disagree with the
+        new params). Re-export from the new checkpoint and restore
+        this pool's ``state`` into the new artifact's pool instead
+        (exact two-way failover is pinned by test)."""
+        raise ValueError(
+            "exported pool artifacts freeze params+program; re-export "
+            "from the new checkpoint (`python -m cbfssm_tpu export "
+            "--kind pool`) and load_state() into the new pool"
+        )
+
     def _forecast_compiled(self, h: int):
         try:
             return self._forecast_c[h]

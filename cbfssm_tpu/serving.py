@@ -96,6 +96,38 @@ def plan_replay_chunks(k_total, buckets):
     return plan
 
 
+def validate_params_like(old, new, context="reload_params"):
+    """Validate a replacement parameter pytree against the one a
+    compiled program was built with: same tree structure, same leaf
+    shapes and dtypes (the AOT executables' calling convention).
+    Returns the new tree with leaves as device-ready arrays.
+
+    Shared by every ``reload_params`` (checkpoint hot-swap) surface so
+    a wrong-config checkpoint fails here with a named leaf instead of
+    dying inside an AOT executable with an opaque signature error.
+    """
+    old_leaves, old_def = jax.tree_util.tree_flatten(old)
+    new_leaves, new_def = jax.tree_util.tree_flatten(new)
+    if new_def != old_def:
+        raise ValueError(
+            f"{context}: parameter tree structure differs from the "
+            f"served one (got {new_def}, serving {old_def}) — wrong "
+            "model class or config?"
+        )
+    coerced = []
+    for i, (o, n) in enumerate(zip(old_leaves, new_leaves)):
+        n = jnp.asarray(n)
+        o_shape, o_dtype = jnp.shape(o), jnp.asarray(o).dtype
+        if n.shape != o_shape or n.dtype != o_dtype:
+            raise ValueError(
+                f"{context}: leaf {i} is {n.dtype}{list(n.shape)}, "
+                f"serving expects {o_dtype}{list(o_shape)} — wrong "
+                "checkpoint (different dims/inducing points/dtype)?"
+            )
+        coerced.append(n)
+    return jax.tree_util.tree_unflatten(old_def, coerced)
+
+
 class CompiledPredictor:
     """AOT-compiled free-running prediction for one (batch, seq_len)
     shape.
@@ -144,6 +176,13 @@ class CompiledPredictor:
     def cost_analysis(self):
         """Compiler cost analysis (FLOPs / bytes) of the executable."""
         return self._compiled.cost_analysis()
+
+    def reload_params(self, params) -> None:
+        """Hot-swap the served checkpoint with NO recompile (params are
+        a call argument of the AOT executable, not baked in). The swap
+        is one reference assignment, so a concurrent ``__call__`` sees
+        either the old or the new checkpoint — never a torn mix."""
+        self.params = validate_params_like(self.params, params)
 
     def __call__(self, u, y, key=None):
         dtype = self.model.dtype
@@ -254,6 +293,19 @@ class StreamingFilter:
             self._replay_compiled(k)
 
     # --- state management ----------------------------------------------
+
+    def reload_params(self, params) -> None:
+        """Hot-swap the trained checkpoint WITHOUT dropping the session:
+        the particle ensemble, step counter, and PRNG stream carry over
+        (that is what a model update means for an online estimator —
+        same belief state, new dynamics from the next tick). No
+        recompile: params/ops are call arguments of the AOT programs;
+        only the GP factorization (``filter_ops``) is recomputed, which
+        is microseconds of small-matrix linalg. Equivalent, pinned by
+        test, to constructing a fresh filter with the new checkpoint
+        and loading this one's ``state``."""
+        self.params = validate_params_like(self.params, params)
+        self._ops = jax.jit(self.model.filter_ops)(self.params)
 
     @property
     def state(self):
@@ -639,6 +691,24 @@ class FilterPool:
     def active(self) -> int:
         return len(self._slots)
 
+    def reload_params(self, params) -> None:
+        """Hot-swap the fleet's trained checkpoint WITHOUT dropping any
+        session: every session's ensemble, the tick counter, slot
+        table, and PRNG stream carry over; the new dynamics apply from
+        the next tick. No recompile (params/ops are call arguments);
+        only ``filter_ops`` is recomputed, re-placed on the mesh when
+        sharded. Through :class:`FilterBatcher` the swap serializes
+        between dispatches; pinned by test equal to a fresh pool with
+        the new checkpoint restored from this pool's ``state``.
+
+        Exported pools do NOT support this (by design — an exported
+        artifact freezes params+program as one validated deployment
+        unit; see export_pool.ExportedFilterPool.reload_params)."""
+        self.params = validate_params_like(self.params, params)
+        self._ops = jax.jit(self.model.filter_ops)(self.params)
+        if self.mesh is not None:
+            self._ops = jax.device_put(self._ops, self._rep_sharding)
+
     def attach(self, u_prefix, y_prefix) -> int:
         """Start a session from a recog_len warmup window (the same
         recognition program training uses); returns its session id."""
@@ -1008,10 +1078,21 @@ class BucketedPredictor:
             raise ValueError(f"bucket sizes must be >= 1, got {buckets}")
         self.seq_len = seq_len
         self.model = model
+        self.params = params
         self._preds = {
             b: CompiledPredictor(model, params, b, seq_len, condition, seed)
             for b in self.buckets
         }
+
+    def reload_params(self, params) -> None:
+        """Hot-swap the served checkpoint across every bucket (no
+        recompiles; see :meth:`CompiledPredictor.reload_params`).
+        Validated once, then assigned to each bucket — an invalid
+        checkpoint changes nothing."""
+        new = validate_params_like(self.params, params)
+        self.params = new
+        for pred in self._preds.values():
+            pred.params = new
 
     @staticmethod
     def plan_buckets(sizes, max_buckets: int, cost=None):
@@ -1589,6 +1670,13 @@ class FilterBatcher(_CoalescingBatcher):
         serialization guarantee as :meth:`state`)."""
         return self._submit("load_state", None, state)
 
+    def reload_params(self, params) -> Future:
+        """Future resolving to None once the fleet serves the new
+        checkpoint (hot-swap; sessions keep their state). Runs as a
+        singleton item on the dispatcher thread, so the swap lands
+        BETWEEN fleet dispatches, never mid-tick."""
+        return self._submit("reload_params", None, params)
+
     def stats(self) -> dict:
         """requests, dispatches (pool calls incl. lifecycle items),
         errors, mean_group_size, max_group_seen, mean_wait_ms."""
@@ -1661,6 +1749,8 @@ class FilterBatcher(_CoalescingBatcher):
                 fut.set_result(self.pool.detach(sid))
             elif kind == "state":
                 fut.set_result(self.pool.state)
+            elif kind == "reload_params":
+                fut.set_result(self.pool.reload_params(payload))
             else:  # load_state
                 fut.set_result(self.pool.load_state(payload))
         except Exception as exc:

@@ -480,6 +480,31 @@ class _JSONHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _read_params_npz(self, template):
+        """POST /v1/params body: an .npz of parameter leaves ``p0..pN``
+        in ``jax.tree_util`` flatten order (the exact convention of the
+        exported artifacts' params.npz), rebuilt into a pytree shaped
+        like ``template``. Binary-only by design — params are float
+        arrays, and the JSON float-text path is the measured transport
+        bottleneck for array payloads. Returns None after an error
+        reply."""
+        if not self._body_is_npz():
+            self._fail(415, "params are binary: POST an "
+                            f"{NPZ_CONTENT_TYPE} body with leaves "
+                            "p0..pN (jax.tree_util flatten order)")
+            return None
+        req = self._read_npz("empty body (send an .npz with p0..pN)")
+        if req is None:
+            return None
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        want = [f"p{i}" for i in range(len(leaves))]
+        if set(req) != set(want):
+            self._fail(400, f"params npz must contain exactly p0..p"
+                            f"{len(leaves) - 1}; got "
+                            f"{sorted(req)[:6]}{'...' if len(req) > 6 else ''}")
+            return None
+        return jax.tree_util.tree_unflatten(treedef, [req[k] for k in want])
+
     def _body_is_npz(self) -> bool:
         return (self.headers.get("Content-Type", "")
                 .split(";")[0].strip().lower() == NPZ_CONTENT_TYPE)
@@ -580,6 +605,34 @@ def post_state_npz(base_url: str, blob: bytes,
         pass
 
 
+def post_params_npz(base_url: str, params, timeout: float | None = None,
+                    auth_token: str | None = None) -> None:
+    """Hot-swap a server's checkpoint: POST /v1/params with the
+    parameter pytree's leaves as an .npz (``p0..pN``,
+    ``jax.tree_util`` flatten order — the exported artifacts'
+    params.npz convention). Works against both server kinds; sessions
+    keep their state (FilterServer) and in-flight requests see old or
+    new, never a mix. Raises ``urllib.error.HTTPError`` on a rejected
+    checkpoint (400: wrong shapes/dtypes/structure, or an
+    exported-artifact server)."""
+    import io
+    import urllib.request
+
+    leaves = jax.tree_util.tree_leaves(params)
+    buf = io.BytesIO()
+    np.savez(buf, **{f"p{i}": np.asarray(leaf)
+                     for i, leaf in enumerate(leaves)})
+    req = urllib.request.Request(
+        base_url.rstrip("/") + "/v1/params", method="POST",
+        data=buf.getvalue(),
+    )
+    req.add_header("Content-Type", NPZ_CONTENT_TYPE)
+    if auth_token is not None:
+        req.add_header("Authorization", f"Bearer {auth_token}")
+    with urllib.request.urlopen(req, timeout=timeout):
+        pass
+
+
 class _Handler(_JSONHandler):
     def do_GET(self):  # noqa: N802 (stdlib handler naming)
         app = self.server.app
@@ -601,8 +654,32 @@ class _Handler(_JSONHandler):
         app._count("http_requests")
         if not self._require_auth():
             return
+        if self.path == "/v1/params":
+            # checkpoint hot-swap: exported-artifact predictors freeze
+            # params+program as one validated unit and refuse
+            pred = app.batcher.predictor
+            if not hasattr(pred, "reload_params"):
+                self._fail(400, "this server serves an exported "
+                                "artifact; artifacts freeze "
+                                "params+program — re-export and "
+                                "restart (hot-swap is for "
+                                "checkpoint-backed servers)")
+                return
+            tree = self._read_params_npz(pred.params)
+            if tree is None:
+                return
+            try:
+                # atomic reference swap: an in-flight dispatch sees the
+                # old or the new checkpoint, never a torn mix
+                pred.reload_params(tree)
+            except ValueError as e:
+                self._fail(400, str(e))
+                return
+            self._send(200, {"ok": True})
+            return
         if self.path != "/v1/predict":
-            self._fail(404, f"unknown path {self.path!r} (try /v1/predict)")
+            self._fail(404, f"unknown path {self.path!r} "
+                            "(try /v1/predict, /v1/params)")
             return
         # content negotiation: the reply format mirrors the body format
         binary = self._body_is_npz()
@@ -855,6 +932,15 @@ class _FilterHandler(_JSONHandler):
         app._count("http_requests")
         if not self._require_auth():
             return
+        if self.path == "/v1/params":
+            # fleet checkpoint hot-swap: sessions keep their state; the
+            # batcher lands the swap between dispatches, never mid-tick
+            tree = self._read_params_npz(app.batcher.pool.params)
+            if tree is None:
+                return
+            self._resolve(app.batcher.reload_params, tree,
+                          encode=lambda _r: {"ok": True})
+            return
         if self.path == "/v1/state":
             binary = self._body_is_npz()
             # a fleet snapshot's legitimate size scales with the pool,
@@ -881,8 +967,8 @@ class _FilterHandler(_JSONHandler):
         route = self._route()
         if route is None:
             self._fail(404, f"unknown path {self.path!r} (try "
-                            "/v1/sessions[/<sid>/{step,forecast,replay}] "
-                            "or /v1/state)")
+                            "/v1/sessions[/<sid>/{step,forecast,replay}], "
+                            "/v1/state, or /v1/params)")
             return
         req = self._read_json()
         if req is None:
@@ -986,6 +1072,9 @@ class FilterServer(_ServerBase):
                                             for the binary form)
       POST   /v1/state                   <- restore it (exact resume;
                                             JSON or .npz body)
+      POST   /v1/params                  <- checkpoint hot-swap (.npz of
+                                            leaves p0..pN; sessions keep
+                                            their state)
       GET    /healthz | /v1/meta | /v1/stats
 
     Error mapping: bad shapes/JSON 400, unknown session 404, oversized
