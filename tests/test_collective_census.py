@@ -123,6 +123,35 @@ def test_multiseed_epoch_is_collective_free(n_devices):
     )
 
 
+def test_sweep_lanes_are_collective_free():
+    """SweepTrainer grid lanes (hyper values stacked on the lane axis,
+    possibly with injected learning rates) shard like seed lanes:
+    zero cross-device traffic."""
+    from cbfssm_tpu.training.sweep import SweepTrainer
+
+    n = 8
+    st = SweepTrainer(
+        CBFSSM, smoke_config(),
+        {"k_factor": np.linspace(10.0, 80.0, n),
+         "learning_rate": np.linspace(0.01, 0.08, n)},
+        tempfile.mkdtemp(), mesh=make_mesh(n),
+    )
+    st.init_state()
+    ds = SmokeDS()
+    dtype = st.model.dtype
+    data_u = jax.device_put(np.asarray(ds.train_in_batch, dtype=dtype))
+    data_y = jax.device_put(np.asarray(ds.train_out_batch, dtype=dtype))
+    idx_s, w_s = st._epoch_indices(
+        ds.train_in_batch.shape[0], st.model.config.batch_size,
+        shuffle=False,
+    )
+    keys = st._lane_keys(jax.random.PRNGKey(0))
+    lowered = st._epoch_update.lower(
+        st.params, st.opt_state, data_u, data_y, idx_s, w_s, keys
+    )
+    assert census(lowered.compile()) == {}
+
+
 def _half_model():
     cfg = smoke_config()
     cfg.update(recog_model="rnn", dim_x=2,
