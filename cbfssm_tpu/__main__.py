@@ -440,7 +440,8 @@ def cmd_serve(args) -> int:
         m = server.meta()
         banner = (f"serving {m['model']} filter sessions (capacity "
                   f"{m['capacity']}, recog_len {m['recog_len']}, dim_u "
-                  f"{m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
+                  f"{m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}, "
+                  f"auth {'on' if server.auth_token else 'off'}) "
                   f"on http://{server.host}:{server.port}")
         return _serve_until_interrupt(server, banner)
     if os.path.isfile(exported_meta):
@@ -491,7 +492,8 @@ def cmd_serve(args) -> int:
     )
     m = server.meta()
     banner = (f"serving {m['predictor']} (seq_len {m['seq_len']}, "
-              f"dim_u {m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}) "
+              f"dim_u {m['dim_u']}, dim_y {m['dim_y']}, {m['dtype']}, "
+              f"auth {'on' if server.auth_token else 'off'}) "
               f"on http://{server.host}:{server.port}")
     return _serve_until_interrupt(server, banner)
 

@@ -170,6 +170,29 @@ def test_exported_pool_refuses_reload(tmp_path, rng):
         pool.reload_params(b)
 
 
+def test_http_exported_pool_refuses_reload(tmp_path, rng):
+    """Over HTTP too: an exported-pool FilterServer maps the refusal to
+    400 with the re-export message (not a 500)."""
+    from cbfssm_tpu.export import ExportedFilterPool
+    from cbfssm_tpu.export_pool import save_exported_pool
+    from cbfssm_tpu.serving_http import FilterServer, post_params_npz
+
+    model, a, b = _model_and_two_checkpoints()
+    path = os.path.join(str(tmp_path), "pool")
+    save_exported_pool(path, model, a, capacity=2, platforms=("cpu",))
+    with FilterServer(ExportedFilterPool(path), port=0,
+                      max_wait_ms=0.0) as srv:
+        srv.start()
+        base = f"http://{srv.host}:{srv.port}"
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            # the exported pool's params are a flat tuple; its leaves
+            # frame correctly, so the refusal happens in reload itself
+            post_params_npz(base, tuple(np.asarray(x)
+                                        for x in srv.batcher.pool.params))
+        assert exc.value.code == 400
+        assert b"re-export" in exc.value.read()
+
+
 # --- over HTTP --------------------------------------------------------
 
 
